@@ -1,0 +1,64 @@
+"""IPv4 integer codec + subnet math as Column expressions.
+
+The reference stores IPv4 as uint32 so subnet queries become range
+scans (reference: common/utils.py:9-18 ipstr2int/int2ipstr;
+NERDweb/nerd_main.py:968-973 cidr→[net, broadcast] range). We keep
+the same encoding in a LongType column; everything below is pure
+column math (whole-stage-codegen, no UDFs) so predicates stay
+pushdown-eligible.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ipstr2int(col: Column | str) -> Column:
+    """Dotted-quad string -> uint32 (as long).
+
+    aggregate(octets, acc -> acc*256 + octet) over split('.').
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, r"\."),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 256 + x.cast("long"),
+    )
+
+
+def int2ipstr(col: Column | str) -> Column:
+    """uint32 (long) -> dotted-quad string via shifts and masks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat_ws(
+        ".",
+        (F.shiftright(c, 24).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftright(c, 16).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftright(c, 8).bitwiseAND(F.lit(255))).cast("string"),
+        (c.bitwiseAND(F.lit(255))).cast("string"),
+    )
+
+
+def prefix24(col: Column | str) -> Column:
+    """/24 prefix id of an int IP (reference: NERDd/fmp_updater.py:224-226)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.shiftright(c, 8)
+
+
+def subnet_range(cidr: str) -> tuple[int, int]:
+    """CIDR -> inclusive [network, broadcast] int range (driver-side).
+
+    Mirrors the query builder's subnet predicate
+    (reference: NERDweb/nerd_main.py:968-973).
+    """
+    net = ipaddress.ip_network(cidr, strict=False)
+    return int(net.network_address), int(net.broadcast_address)
+
+
+def subnet_predicate(ip_int_col: Column | str, cidr: str) -> Column:
+    """Membership of int-IP column in a CIDR block as a range predicate."""
+    lo, hi = subnet_range(cidr)
+    c = F.col(ip_int_col) if isinstance(ip_int_col, str) else ip_int_col
+    return c.between(lo, hi)

@@ -1,0 +1,117 @@
+"""Text-analysis column functions for the training-data pipeline.
+
+These are designed so the same semantics are expressible in ANSI SQL
+(DuckDB oracle): regex token counts, word shingles via 1-based array
+indexing, md5 fingerprints. All JVM-side expressions; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny + deterministic (real lists would be
+# config). Word-boundary regexes work identically in Java regex and RE2.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|y)\b",
+}
+
+STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it)\b"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (long, to match SQL len())."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count of word/number/punct runs.
+
+    Regex splits on letter-runs, digit-runs and single punctuation,
+    approximating a byte-pair tokenizer's granularity without a vocab.
+    """
+    return F.size(
+        F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """k-word shingles as array<string> (space-joined).
+
+    Built with sequence + transform + element_at (all 1-based) so the
+    identical expression exists in DuckDB list comprehensions.
+    Returns empty array when the doc has fewer than k tokens.
+    """
+    w = tokens(col)
+    n = F.size(w) - (k - 1)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    # sequence(1, n<1) would count down — guard short docs to empty.
+    return F.when(n >= 1, shingled).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-grams via substring over a position sequence."""
+    c = _c(col)
+    m = F.length(c) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.substring(c, i.cast("int"), n)
+    )
+    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Document quality heuristics: length, punct ratio, stopword ratio.
+
+    Returns named columns (caller selects/aliases). All counts as
+    long, ratios as double rounded downstream.
+    """
+    c = _c(col)
+    n_tokens = token_count(c)
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0))
+    ).cast("long")
+    n_stop = F.size(F.regexp_extract_all(c, F.lit(STOPWORDS_RE), F.lit(0))).cast("long")
+    n_chars = F.length(c).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        "stopword_ratio": n_stop.cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+        "mean_token_len": (n_chars - n_tokens + 1).cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+    }
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts for the language-ID heuristic."""
+    c = _c(col)
+    return {
+        lang: F.size(F.regexp_extract_all(c, F.lit(rx), F.lit(0))).cast("long")
+        for lang, rx in LANG_MARKERS.items()
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Identical in DuckDB (md5())."""
+    c = _c(col)
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

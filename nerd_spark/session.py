@@ -1,0 +1,90 @@
+"""SparkSession factory tuned for the engine.
+
+Design notes (scale):
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switch — at 100 TB the static plan is never right.
+- Session timezone pinned to UTC: the reference's datetime policy is
+  naive-UTC everywhere (reference: common/utils.py:24-36,
+  common/task_queue.py:92-95), and the DuckDB oracle compares
+  naive timestamps.
+- Arrow enabled for every pandas interchange (Pandas UDFs,
+  createDataFrame, toPandas).
+- shuffle.partitions defaults to local core count for tests; a real
+  cluster deployment overrides it (or relies on AQE coalescing from
+  a high initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "nerd_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("NERD_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver's parquet tables, normalizing types.
+
+    The synthetic ``events`` table stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark 4 refuses to read natively. We set
+    the legacy nanos-as-long conf (runtime-settable) and rebuild a
+    microsecond timestamp with ``timestamp_micros(ts div 1000)`` —
+    bit-identical to what DuckDB presents for the same file (it
+    truncates ns -> us on read). The raw nanos stay available as
+    ``ts_ns`` for precision-sensitive ordering.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load the driver's parquet tables from an sf directory.
+
+    Returns a dict name -> DataFrame. With no names, loads the full set.
+    """
+    all_names = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    names = names or tuple(all_names)
+    return {n: read_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,113 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nerd_spark.functions.ip import int2ipstr, ipstr2int, prefix24, subnet_predicate
+from nerd_spark.functions.mathx import ewma_expr, ewma_weights, nonlin, prob_or
+from nerd_spark.functions.text import (
+    fingerprint,
+    quality_features,
+    token_count,
+    word_shingles,
+)
+from nerd_spark.functions.timeutil import end_time, parse_rfc_time, validity_filter
+
+
+def test_ip_roundtrip(spark):
+    ips = ["0.0.0.0", "10.0.0.1", "192.168.1.255", "255.255.255.255", "147.32.80.1"]
+    df = spark.createDataFrame([(ip,) for ip in ips], ["ip"])
+    rows = df.select(
+        ipstr2int("ip").alias("i"), int2ipstr(ipstr2int("ip")).alias("back"), "ip"
+    ).collect()
+    import ipaddress
+
+    for r in rows:
+        assert r.i == int(ipaddress.ip_address(r.ip))
+        assert r.back == r.ip
+
+
+def test_prefix24_and_subnet(spark):
+    df = spark.createDataFrame([("10.1.2.3",), ("10.1.2.250",), ("10.1.3.1",)], ["ip"])
+    out = df.select(
+        prefix24(ipstr2int("ip")).alias("p"),
+        subnet_predicate(ipstr2int("ip"), "10.1.2.0/24").alias("in24"),
+    ).collect()
+    assert out[0].p == out[1].p != out[2].p
+    assert [r.in24 for r in out] == [True, True, False]
+
+
+def test_nonlin_matches_reference_formula(spark):
+    # nonlin(v, s, c) = min(1 - c^(v/s), 1)  (reputation.py:16-21)
+    df = spark.createDataFrame([(0.0,), (1.0,), (5.0,), (None,)], "v double")
+    rows = df.select(nonlin("v", scale=2.0, base=0.5).alias("x")).collect()
+    exp = [1 - 0.5 ** (v / 2.0) for v in (0.0, 1.0, 5.0, 0.0)]
+    for r, e in zip(rows, exp):
+        assert math.isclose(r.x, min(e, 1.0), rel_tol=1e-12)
+
+
+def test_ewma(spark):
+    ws = ewma_weights()
+    assert math.isclose(sum(ws), 1 - 0.75**7, rel_tol=1e-12)
+    df = spark.createDataFrame([(3.0, 0.0, 2.0)], ["d0", "d1", "d2"])
+    counts = [F.col("d0"), F.col("d1"), F.col("d2")] + [F.lit(0)] * 4
+    row = df.select(
+        ewma_expr(counts).alias("e"), ewma_expr(counts, binary=True).alias("b")
+    ).first()
+    assert math.isclose(row.e, 3 * ws[0] + 2 * ws[2], rel_tol=1e-12)
+    assert math.isclose(row.b, ws[0] + ws[2], rel_tol=1e-12)
+
+
+def test_prob_or(spark):
+    df = spark.createDataFrame([(0.5, 0.5), (0.0, 0.9), (None, 0.9)], ["a", "b"])
+    rows = df.select(prob_or([F.col("a"), F.col("b")]).alias("r")).collect()
+    assert math.isclose(rows[0].r, 0.75, rel_tol=1e-12)
+    assert math.isclose(rows[1].r, 0.9, rel_tol=1e-12)
+    assert math.isclose(rows[2].r, 0.9, rel_tol=1e-12)
+
+
+def test_time_helpers(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01T12:00:00+01:00", None, None, "2024-03-01T10:59:00Z")],
+        "cease string, win string, ev string, det string",
+    )
+    row = df.select(
+        parse_rfc_time("cease").alias("c"),
+        end_time("cease", "win", "ev", "det").alias("e"),
+    ).first()
+    assert row.c.hour == 11  # normalized to UTC
+    assert row.e == row.c
+
+
+def test_validity_filter(spark):
+    now = F.to_timestamp(F.lit("2024-03-10 00:00:00"))
+    df = spark.createDataFrame(
+        [("2024-03-09 23:00:00",), ("2024-03-01 00:00:00",), ("2024-03-10 00:10:00",)],
+        ["ts"],
+    ).select(F.to_timestamp("ts").alias("ts"))
+    rows = df.select(validity_filter("ts", now).alias("ok")).collect()
+    assert [r.ok for r in rows] == [True, False, False]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("The quick, brown fox — and the dog!",)], ["text"])
+    q = quality_features("text")
+    row = df.select(
+        token_count("text").alias("tc"),
+        word_shingles("text", 3).alias("sh"),
+        fingerprint("text").alias("fp"),
+        q["punct_ratio"].alias("pr"),
+        q["stopword_ratio"].alias("sr"),
+    ).first()
+    assert row.tc == 8
+    assert row.sh[0] == "The quick, brown"
+    assert len(row.sh) == 6
+    assert len(row.fp) == 32
+    assert 0 < row.pr < 1
+    assert row.sr > 0
+
+
+def test_short_doc_shingles_empty(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    assert df.select(word_shingles("text", 3).alias("s")).first().s == []
