@@ -1,0 +1,36 @@
+"""Differential test: every registered query with an oracle must match
+DuckDB exactly (row count + columns + order-insensitive values) —
+a local mirror of the driver's CORRECTNESS gate, at sf0.001 for speed.
+Set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for the full check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nerd_spark.queries import ORACLE, REGISTRY
+from nerd_spark.queries.compare import diff, duckdb_conn
+
+_names = sorted(ORACLE)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", _names)
+def test_query_matches_oracle(spark, sf_dir, con, name):
+    sdf = REGISTRY[name](spark, sf_dir).toPandas()
+    odf = con.execute(ORACLE[name]).df()
+    assert len(sdf) > 0 or len(odf) == 0, f"{name}: spark returned 0 rows"
+    mismatch = diff(sdf, odf)
+    assert mismatch is None, f"{name}: {mismatch}"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for name in sorted(set(REGISTRY) - set(ORACLE)):
+        df = REGISTRY[name](spark, sf_dir)
+        assert df.count() >= 0, name
