@@ -1,1 +1,538 @@
-"""NERD-model aggregation family (SURVEY §2.5) — populated next."""
+"""NERD-model aggregation family (SURVEY §2.5-2.6) mapped onto the
+driver's `events` table: entity = user_id, category = event_type,
+day = date(ts). Each query calls the engine's derivation stages
+(nerd_spark.plans.derivations); the oracle re-derives the same math
+in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from nerd_spark.plans import derivations as D
+from nerd_spark.queries.base import exact_avg, exact_sum, nonlin_sql, query, t
+
+# Shared SQL fragments ------------------------------------------------------
+
+_DAILY = """
+  daily AS (
+    SELECT user_id AS entity, CAST(ts AS DATE) AS d, event_type AS cat,
+           count(*) AS n, sum(value) AS val
+    FROM events GROUP BY 1, 2, 3
+  ),
+  as_of AS (SELECT max(ts) AS as_of FROM events)
+"""
+
+
+def _daily_with_asof(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = D.daily_rollup(ev, "user_id")
+    as_of = ev.agg(F.max("ts").alias("as_of"))
+    return D.with_as_of(daily, as_of)
+
+
+# ---------------------------------------------------------------------------
+# A1 — base fact rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_daily_rollup",
+    """
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type,
+           count(*) AS n, round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS val
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def a1_daily_rollup(spark, sf_dir):
+    # (reference: warden_receiver.py:534-563 — the per-(ip,date,node,cat)
+    # array_upsert, here as a plain shuffle agg with partial combine)
+    ev = t(spark, sf_dir, "events")
+    d = D.daily_rollup(ev, "user_id")
+    return d.select(
+        F.col("entity").alias("user_id"),
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("cat").alias("event_type"),
+        "n",
+        F.round(F.col("val_dec").cast("double"), 2).alias("val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — windowed totals + distinct categories
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a2_window_totals",
+    f"""
+    WITH {_DAILY}
+    SELECT entity AS user_id,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 1  THEN n ELSE 0 END) AS BIGINT) AS total1,
+           CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7  THEN n ELSE 0 END) AS BIGINT) AS total7,
+           CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 30 THEN n ELSE 0 END) AS BIGINT) AS total30,
+           count(DISTINCT CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7 THEN cat END) AS cats_7d
+    FROM daily, as_of
+    GROUP BY 1
+    """,
+)
+def a2_window_totals(spark, sf_dir):
+    # (reference: event_counter.py:52-116 — incl. the 'total1 =
+    # today + yesterday' bucket quirk: age<=1, not sliding 24h)
+    dwa = _daily_with_asof(spark, sf_dir)
+    out = D.window_totals(dwa, windows=(1, 7, 30))
+    return out.select(
+        F.col("entity").alias("user_id"),
+        "total",
+        "total1",
+        "total7",
+        "total30",
+        "cats_7d",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — EWMA + binary EWMA over 7 daily buckets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a3_ewma",
+    f"""
+    WITH {_DAILY},
+    per_day AS (
+      SELECT entity, d, sum(n) AS nd FROM daily GROUP BY 1, 2
+    )
+    SELECT entity AS user_id,
+           round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
+                 THEN nd * 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS ewma,
+           round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
+                 THEN 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS bin_ewma
+    FROM per_day, as_of
+    GROUP BY 1
+    """,
+)
+def a3_ewma(spark, sf_dir):
+    # (reference: event_counter.py:12-13,104-115 — weights 0.25*0.75^i)
+    dwa = _daily_with_asof(spark, sf_dir)
+    return D.ewma(dwa).select(F.col("entity").alias("user_id"), "ewma", "bin_ewma")
+
+
+# ---------------------------------------------------------------------------
+# A5 — event-type profile (share >= 5%, min volume)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_type_profile",
+    f"""
+    WITH {_DAILY},
+    in_win AS (
+      SELECT daily.* FROM daily, as_of
+      WHERE date_diff('day', d, CAST(as_of AS DATE)) <= 30
+    ),
+    per_cat AS (SELECT entity, cat, sum(n) AS n_cat FROM in_win GROUP BY 1, 2),
+    per_ent AS (SELECT entity, sum(n) AS n_tot FROM in_win GROUP BY 1)
+    SELECT c.entity AS user_id, c.cat AS event_type,
+           round(c.n_cat * 1.0 / e.n_tot, 6) AS share
+    FROM per_cat c JOIN per_ent e USING (entity)
+    WHERE e.n_tot >= 10 AND c.n_cat * 1.0 / e.n_tot >= 0.05
+    """,
+)
+def a5_type_profile(spark, sf_dir):
+    # (reference: event_type_counter.py:41-104)
+    dwa = _daily_with_asof(spark, sf_dir)
+    return D.type_profile(dwa).select(
+        F.col("entity").alias("user_id"), F.col("cat").alias("event_type"), "share"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/A7 — reputation: per-source weighted decay, then combination
+# ---------------------------------------------------------------------------
+
+_REP_DENOM_14 = sum((14 - a) / 14 for a in range(14))
+
+_REP_SQL = f"""
+  daily AS (
+    SELECT user_id AS entity, CAST(ts AS DATE) AS d, event_type AS cat,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+  ),
+  as_of AS (SELECT max(ts) AS as_of FROM events),
+  per_day AS (
+    SELECT entity, d, sum(n) AS nd, count(DISTINCT cat) AS cats
+    FROM daily, as_of
+    WHERE date_diff('day', d, CAST(as_of AS DATE)) < 14
+    GROUP BY 1, 2
+  ),
+  rep AS (
+    SELECT entity,
+           round(sum({nonlin_sql("nd", 5.0)} * {nonlin_sql("cats", 2.0)}
+                     * (14 - date_diff('day', d, CAST(as_of AS DATE))) / 14.0)
+                 / {_REP_DENOM_14}, 6) AS rep_events
+    FROM per_day, as_of GROUP BY 1
+  )
+"""
+
+
+@query(
+    "a6_source_reputation",
+    f"WITH {_REP_SQL} SELECT entity AS user_id, rep_events FROM rep",
+)
+def a6_source_reputation(spark, sf_dir):
+    # (reference: reputation.py:111-221 — daily
+    # nonlin(events)*nonlin(detectors), linear-decay weighted mean)
+    dwa = _daily_with_asof(spark, sf_dir)
+    return D.source_reputation(dwa, out="rep_events").select(
+        F.col("entity").alias("user_id"), "rep_events"
+    )
+
+
+@query(
+    "a7_total_reputation",
+    f"""
+    WITH {_REP_SQL},
+    err_daily AS (
+      SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS nd
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ),
+    err_rep AS (
+      SELECT entity,
+             round(sum({nonlin_sql("nd", 2.0)} * {nonlin_sql("1", 2.0)}
+                       * (14 - date_diff('day', d, CAST(as_of AS DATE))) / 14.0)
+                   / {_REP_DENOM_14}, 6) AS rep_err
+      FROM err_daily, as_of
+      WHERE date_diff('day', d, CAST(as_of AS DATE)) < 14
+      GROUP BY 1
+    )
+    SELECT r.entity AS user_id,
+           round(1 - (1 - r.rep_events * 0.9)
+                   * (1 - coalesce(e.rep_err, 0) * 0.6), 6) AS rep
+    FROM rep r LEFT JOIN err_rep e USING (entity)
+    """,
+)
+def a7_total_reputation(spark, sf_dir):
+    # (reference: reputation.py:100-109 — rep = 1 - prod(1 - r_src*t_src);
+    # two pseudo-sources here: all events + error events)
+    ev = t(spark, sf_dir, "events")
+    as_of = ev.agg(F.max("ts").alias("as_of"))
+    all_rep = D.source_reputation(
+        D.with_as_of(D.daily_rollup(ev, "user_id"), as_of), out="rep_events"
+    )
+    err = ev.filter(F.col("event_type") == "error")
+    err_rep = D.source_reputation(
+        D.with_as_of(D.daily_rollup(err, "user_id"), as_of),
+        scale_events=2.0,
+        scale_cats=2.0,
+        out="rep_err",
+    )
+    # err_rep's cats dimension is constant (single type) -> nonlin(1,2)
+    # appears in both engines identically through the same formula; see
+    # oracle: it folds nonlin(cats,2) with cats=1.
+    joined = all_rep.join(err_rep, "entity", "left")
+    return joined.select(
+        F.col("entity").alias("user_id"),
+        F.round(
+            1
+            - (1 - F.col("rep_events") * 0.9)
+            * (1 - F.coalesce("rep_err", F.lit(0.0)) * 0.6),
+            6,
+        ).alias("rep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — threat-category summary (confidence + capped subcategory list)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a8_threat_summary",
+    f"""
+    WITH as_of AS (SELECT max(ts) AS as_of FROM events),
+    base AS (
+      SELECT user_id, event_type AS cat,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             CAST(ts AS DATE) AS d
+      FROM events, as_of
+      WHERE date_diff('day', CAST(ts AS DATE), CAST(as_of AS DATE)) < 14
+    )
+    SELECT user_id, cat,
+           round({nonlin_sql("count(*)", 10.0)} * {nonlin_sql("count(DISTINCT d)", 3.0)}, 6) AS conf,
+           array_to_string(list_sort(list_distinct(list(k)))[1:10], '|') AS subcats
+    FROM base GROUP BY 1, 2
+    """,
+)
+def a8_threat_summary(spark, sf_dir):
+    # (reference: threat_category_summary.py:40-119 — per-category
+    # report counts, nonlin(reports)*nonlin(#sources) confidence,
+    # union+cap(10) subcategory lists)
+    ev = t(spark, sf_dir, "events")
+    as_of = ev.agg(F.max("ts").alias("as_of"))
+    base = (
+        ev.crossJoin(F.broadcast(as_of))
+        .filter(F.datediff(F.to_date("as_of"), F.to_date("ts")) < 14)
+        .select(
+            "user_id",
+            F.col("event_type").alias("cat"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.to_date("ts").alias("d"),
+        )
+    )
+    from nerd_spark.functions.mathx import nonlin
+
+    return base.groupBy("user_id", "cat").agg(
+        F.round(
+            nonlin(F.count("*"), scale=10.0) * nonlin(F.count_distinct("d"), scale=3.0),
+            6,
+        ).alias("conf"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("k")), 1, 10).cast("array<string>"), "|"
+        ).alias("subcats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — prefix summary (group-range aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a10_prefix_summary",
+    """
+    SELECT user_id // 5 AS grp, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_entities,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def a10_prefix_summary(spark, sf_dir):
+    # (reference: nerd_main.py:2310-2335 — /24 prefix rollup: avg rep,
+    # count, members; the //5 grouping is the prefix24 shape)
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") / 5).cast("long").alias("grp")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_entities"),
+        exact_avg("value", "avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 — distinct-pair meta counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a11_distinct_pair_counts",
+    """
+    SELECT event_type, count(*) AS n_entities FROM (
+      SELECT DISTINCT user_id, event_type FROM events
+    ) GROUP BY 1
+    """,
+)
+def a11_distinct_pair_counts(spark, sf_dir):
+    # (reference: scripts/update_db_meta_info.js:2-6 — n_ip_by_cat:
+    # $unwind + $group x2 == distinct pairs then count per category)
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_entities"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — ref-count rebuild over the entity graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a12_refcount_rebuild",
+    """
+    SELECT n.n_name, CAST(coalesce(c.cnt, 0) AS BIGINT) AS ref_cnt
+    FROM nation n LEFT JOIN (
+      SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1
+    ) c ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def a12_refcount_rebuild(spark, sf_dir):
+    # (reference: scripts/fix_ref_cnt.js:13-109 — _ref_cnt recomputed
+    # as groupBy(fk).count(), never incrementally ticked)
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_nationkey").agg(F.count("*").alias("cnt"))
+    return (
+        F.broadcast(n)
+        .join(cnt, n.n_nationkey == cnt.c_nationkey, "left")
+        .select("n_name", F.coalesce("cnt", F.lit(0)).alias("ref_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — inter-arrival intervals over last-21 events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a13_intervals",
+    """
+    WITH last21 AS (
+      SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), kept AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM last21 WHERE rn <= 21
+    )
+    SELECT user_id,
+           count(prev_ts) AS n_gaps,
+           round(avg(epoch_us(ts) - epoch_us(prev_ts)) / 1e6, 6) AS avg_gap_s,
+           round(max(epoch_us(ts) - epoch_us(prev_ts)) / 1e6, 6) AS max_gap_s
+    FROM kept GROUP BY 1
+    """,
+)
+def a13_intervals(spark, sf_dir):
+    # (reference: intervals_between_events.py:23-31 — last 21 event
+    # timestamps, inter-arrival stats; fmp_updater.py:228-239)
+    ev = t(spark, sf_dir, "events")
+    w_desc = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w_asc = W.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        ev.withColumn("rn", F.row_number().over(w_desc))
+        .filter(F.col("rn") <= 21)
+        .withColumn("prev_ts", F.lag("ts").over(w_asc))
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    return kept.groupBy("user_id").agg(
+        F.count("prev_ts").alias("n_gaps"),
+        F.round(F.avg(gap_us) / 1e6, 6).alias("avg_gap_s"),
+        F.round(F.max(gap_us) / 1e6, 6).alias("max_gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — feed rollup with threshold
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a14_feed_rollup",
+    """
+    SELECT user_id, count(*) AS reports,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS amount
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 HAVING count(*) >= 5
+    """,
+)
+def a14_feed_rollup(spark, sf_dir):
+    # (reference: NERDd/dshield.py:64-112 — per-IP sum of
+    # reports/targets + minimum-reports threshold)
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("reports"), exact_sum("value", "amount"))
+        .filter(F.col("reports") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16 — rollup / grouping sets (free in Spark; absent in reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a16_rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS r_name,
+           coalesce(n_name, 'ALL') AS n_name,
+           round(CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a16_rollup_revenue(spark, sf_dir):
+    # Hierarchical rollup over the entity graph (SURVEY A16): the
+    # J2/J3-style enrichment chain feeding a multi-level aggregate.
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(exact_sum("o_totalprice", "revenue"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Op-algebra snapshot: the columnar fast-path merge (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_merge_snapshot",
+    """
+    WITH lastv AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT e.user_id,
+           count(*) AS total,
+           max(e.ts) AS last_activity,
+           min(e.ts) AS first_seen,
+           array_to_string(list_sort(list_distinct(list(e.event_type))), '|') AS types,
+           round(any_value(lv.value), 2) AS last_value
+    FROM events e JOIN (SELECT user_id, value FROM lastv WHERE rn = 1) lv
+      ON e.user_id = lv.user_id
+    GROUP BY 1
+    """,
+)
+def op_merge_snapshot(spark, sf_dir):
+    # The §2.4 commutative op subset as one aggregation pass:
+    # add (count), setmax/setmin (max/min ts), add_to_set (sorted
+    # distinct), set/last-writer-wins (max_by over arrival order) —
+    # the columnar fast path of operators/merge.py.
+    from nerd_spark.operators.merge import (
+        agg_add_to_set,
+        agg_set_last,
+        agg_setmax,
+        agg_setmin,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "arrival", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = ev.groupBy("user_id").agg(
+        F.count("*").alias("total"),
+        agg_setmax("ts", "last_activity"),
+        agg_setmin("ts", "first_seen"),
+        agg_add_to_set("event_type", "types_arr"),
+        agg_set_last("value", "arrival", "last_value"),
+    )
+    return out.select(
+        "user_id",
+        "total",
+        "last_activity",
+        "first_seen",
+        F.array_join("types_arr", "|").alias("types"),
+        F.round("last_value", 2).alias("last_value"),
+    )

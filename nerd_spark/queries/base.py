@@ -35,3 +35,43 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # nerd_spark.functions.mathx.nonlin.
 def nonlin_sql(v: str, scale: float) -> str:
     return f"least(1.0 - pow(0.5, ({v}) / {scale}), 1.0)"
+
+
+# ---------------------------------------------------------------------------
+# Exact money aggregation: summing 2-decimal doubles in floating point is
+# order-dependent, and groupBy order differs between Spark and DuckDB —
+# at rounding boundaries the value-hash flips. Accumulate in DECIMAL
+# (exact) and convert to double only at the end, identically on both
+# sides. Division (for avg) happens in double on identical operands.
+# ---------------------------------------------------------------------------
+
+
+# The row value is rounded in DOUBLE first (the per-row double is
+# bit-identical across engines, and engines' double->decimal rounding
+# rules differ at the quantum), making the decimal cast unambiguous.
+
+
+def _dec(col):
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, 4).cast("decimal(18,4)")
+
+
+def exact_sum(col, alias: str, ndigits: int = 2):
+    """Spark: exact decimal sum of a ~2-dp double column -> rounded double."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(_dec(col)).cast("double"), ndigits).alias(alias)
+
+
+def exact_avg(col, alias: str, ndigits: int = 6):
+    """Spark: exact-sum / count in double, rounded."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(_dec(col)).cast("double") / F.count(c), ndigits).alias(alias)
+
+
+def dec_sql(expr: str) -> str:
+    return f"CAST(round({expr}, 4) AS DECIMAL(18,4))"

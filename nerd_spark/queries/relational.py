@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from nerd_spark.functions.ip import int2ipstr, ipstr2int, prefix24
 from nerd_spark.plans.warden_filter import Rule, compile_filter, to_oracle_sql_case
-from nerd_spark.queries.base import query, t
+from nerd_spark.queries.base import exact_avg, exact_sum, query, t
 
 # ---------------------------------------------------------------------------
 # Flagship: pricing summary over lineitem (TPC-H Q1 shape).
@@ -28,12 +28,12 @@ from nerd_spark.queries.base import query, t
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
            round(avg(l_quantity), 6)                                        AS avg_qty,
-           round(avg(l_extendedprice), 6)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,12 +48,12 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -355,7 +355,8 @@ _J4_BANDS = [
     WITH bands(lo, hi, band) AS (
       VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _J4_BANDS)}
     )
-    SELECT band, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT band, count(*) AS n,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY band
     """,
@@ -375,7 +376,7 @@ def j4_range_join(spark, sf_dir):
             (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
         )
         .groupBy("band")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), exact_sum("value", "sum_value"))
     )
 
 
@@ -454,7 +455,8 @@ def j6_bulk_lookup(spark, sf_dir):
     "j8_group_stats_join_back",
     """
     WITH nat AS (
-      SELECT c_nationkey, round(avg(c_acctbal), 6) AS nation_avg
+      SELECT c_nationkey,
+             round(CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal), 6) AS nation_avg
       FROM customer GROUP BY c_nationkey
     )
     SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal, n.nation_avg,
@@ -466,9 +468,7 @@ def j8_group_stats_join_back(spark, sf_dir):
     # FMP /24-prefix self-aggregation: group stats joined back to the
     # members (reference: NERDd/fmp_updater.py:292-355).
     c = t(spark, sf_dir, "customer")
-    nat = c.groupBy("c_nationkey").agg(
-        F.round(F.avg("c_acctbal"), 6).alias("nation_avg")
-    )
+    nat = c.groupBy("c_nationkey").agg(exact_avg("c_acctbal", "nation_avg"))
     return c.join(F.broadcast(nat), "c_nationkey").select(
         "c_custkey",
         F.round("c_acctbal", 2).alias("c_acctbal"),
