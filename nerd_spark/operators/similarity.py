@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — the correctness baseline.
+  Query set broadcast against the corpus; dot products via
+  zip_with + aggregate (JVM-side higher-order functions, no UDF).
+- lsh_bucket_topk: the scale path — deterministic sign-LSH buckets
+  (axis-aligned hyperplanes) so candidates co-locate in an equi-join
+  bucket; top-k within bucket. At 100 TB the bucket join replaces the
+  corpus-size cross join; recall is tuned by bits/probes.
+
+All math in double with sequential folds so an ANSI-SQL oracle
+(list_dot_product over DOUBLE[]) produces identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return (F.col(col) if isinstance(col, str) else col).cast("array<double>")
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 10,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching query_pred.
+
+    Returns (query_id, neighbor_id, sim). Self-matches excluded; ties
+    broken by neighbor id. The query side is broadcast, so the corpus
+    scan stays partition-parallel with no shuffle until the final
+    per-query top-k (TakeOrdered per partition via window).
+    """
+    q = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def sign_bucket(vec_col, dims: tuple[int, ...] = (1, 17, 33, 49)):
+    """Deterministic sign-LSH bucket code: bit i set when element at
+    1-based index dims[i] is >= 0 (axis-aligned hyperplanes)."""
+    v = _as_double(vec_col)
+    code = F.lit(0)
+    for i, d in enumerate(dims):
+        code = code + F.when(F.element_at(v, d) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col="vec_id",
+    vec_col="embedding",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine within the bucket. The cross join of
+    brute force becomes an equi-join on the bucket code."""
+    withb = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        sign_bucket(vec_col, dims).alias("bucket"),
+    )
+    q = withb.filter(query_pred(F.col("id"))).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    sims = (
+        withb.join(F.broadcast(q), "bucket")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

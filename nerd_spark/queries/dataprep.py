@@ -1,1 +1,349 @@
-"""Training-data operators (dedup/similarity/text/multimodal) — populated next."""
+"""Training-data operator family: dedup, similarity search, text
+analysis, multimodal plumbing — over the `documents` and `embeddings`
+tables. These are first-class engine operators (see
+nerd_spark/operators/{dedup,similarity,multimodal}.py); each query
+here exercises one with a full DuckDB oracle where expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerd_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_RE,
+    bpe_ish_token_count,
+    quality_features,
+    token_count,
+)
+from nerd_spark.operators import dedup as DD
+from nerd_spark.operators import multimodal as MM
+from nerd_spark.operators import similarity as SIM
+from nerd_spark.queries.base import query, t
+
+# Shared DuckDB fragments ---------------------------------------------------
+
+# Whitespace tokens + distinct 3-word shingles per doc. Must stay in
+# lockstep with functions.text.tokens / word_shingles.
+_SH = r"""
+  toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  ),
+  sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 0)),
+      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+    FROM toks
+  ),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+"""
+
+_JACCARD_VERIFY = """
+  inter AS (
+    SELECT c.a_id, c.b_id, count(*) AS cnt
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.a_id
+    JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
+    GROUP BY 1, 2
+  ),
+  jac AS (
+    SELECT i.a_id, i.b_id,
+           round(i.cnt * 1.0 / (sa.n + sb.n - i.cnt), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a_id
+    JOIN sizes sb ON sb.doc_id = i.b_id
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH},
+    dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s) WHERE dfq.df <= 20),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+    ),
+    {_JACCARD_VERIFY}
+    SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.jaccard_dedup(docs, threshold=0.8, max_df=20)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH},
+    bands AS (SELECT unnest(generate_series(0, 7)) AS b),
+    mh AS (
+      SELECT doc_id, b, min(md5(b::VARCHAR || '|' || s)) AS h
+      FROM sh, bands GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM mh x JOIN mh y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+    ),
+    {_JACCARD_VERIFY}
+    SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_dedup(spark, docs, n_bands=8, threshold=0.5)
+
+
+_HEXPARSE = (
+    "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1)"
+)
+
+_SIMHASH_BITS = "".join(
+    f", sum((hv // {2**j}) % 2) AS b{j}" for j in range(16)
+)
+_SIMHASH_VAL = " + ".join(
+    f"CASE WHEN 2 * b{j} > n THEN {2**j} ELSE 0 END" for j in range(16)
+)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH dt AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_HEXPARSE} AS hv FROM dt),
+    bits AS (SELECT doc_id, count(*) AS n{_SIMHASH_BITS} FROM h GROUP BY 1)
+    SELECT doc_id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return DD.simhash(docs).select(F.col("id").alias("doc_id"), "simhash")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(qv, v) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_COS} AS sim
+      FROM e, q WHERE e.vec_id != q.query_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, F.col("vec_id") < 10, k=10)
+
+
+@query(
+    "ann_lsh_bucket_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    wb AS (
+      SELECT vec_id AS id, v,
+             (CASE WHEN v[1]  >= 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN v[17] >= 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN v[33] >= 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN v[49] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e
+    ),
+    q AS (SELECT id AS query_id, v AS qv, bucket FROM wb WHERE id < 10),
+    sims AS (
+      SELECT q.query_id, wb.id AS neighbor_id, {_COS} AS sim
+      FROM wb JOIN q USING (bucket) WHERE wb.id != q.query_id
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ann_lsh_bucket_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucket_topk(emb, lambda c: c < 10, k=5)
+
+
+@query(
+    "emb_centroids",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS dim1,
+           round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS dim2,
+           round(avg(CAST(embedding[3] AS DOUBLE)), 6) AS dim3,
+           round(avg(CAST(embedding[4] AS DOUBLE)), 6) AS dim4
+    FROM embeddings GROUP BY 1
+    """,
+)
+def emb_centroids(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.avg(F.element_at(v, i)), 6).alias(f"dim{i}")
+            for i in range(1, 5)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_quality",
+    rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           round(len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '{STOPWORDS_RE}')) * 1.0
+                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    q = quality_features("text")
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+_LANG_CNT_SQL = {
+    lang: f"len(regexp_extract_all(text, '{rx}'))" for lang, rx in LANG_MARKERS.items()
+}
+
+@query(
+    "text_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_LANG_CNT_SQL['en']} AS en, {_LANG_CNT_SQL['de']} AS de,
+             {_LANG_CNT_SQL['fr']} AS fr, {_LANG_CNT_SQL['es']} AS es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN en + de + fr + es = 0 THEN 'und'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    # n-gram/stopword language-ID heuristic: argmax of per-language
+    # marker hits, priority order en>de>fr>es on ties, 'und' when no
+    # marker fires. The Spark when-chain mirrors the SQL CASE exactly.
+    docs = t(spark, sf_dir, "documents")
+    cnt = {
+        lang: F.size(F.regexp_extract_all(F.col("text"), F.lit(rx), F.lit(0))).cast(
+            "long"
+        )
+        for lang, rx in LANG_MARKERS.items()
+    }
+    en, de, fr, es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+    pred = (
+        F.when(en + de + fr + es == 0, "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+@query(
+    "text_token_stats",
+    r"""
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_ish
+    FROM documents GROUP BY 1
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("total_bpe_ish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + mapInPandas features)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_bytes",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    # Binary payload column -> Arrow-batched mapInPandas feature
+    # extraction (the stubbed decode path) -> aggregate. The oracle
+    # independently checks byte accounting via octet_length.
+    docs = t(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.attach_payload(docs))
+    return feats.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_bytes").alias("total_bytes")
+    )
