@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop data source (full
+computation, no driver collect). Timings exclude session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative cut across operator families; excludes the
+# deliberately quadratic-ish jaccard candidate path (minhash LSH is
+# the scale-path dedup entry).
+HEADLINE = [
+    "q1_pricing_summary",
+    "a1_daily_rollup",
+    "a2_window_totals",
+    "a3_ewma",
+    "a7_total_reputation",
+    "j1_equi_join",
+    "j2_enrichment_chain",
+    "j5_asof_join",
+    "a16_rollup_revenue",
+    "w1_topk",
+    "w4_last_n_per_key",
+    "op_merge_snapshot",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_token_stats",
+    "multimodal_bytes",
+]
+
+
+def main() -> None:
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.session import get_spark
+
+    from nerd_spark.session import read_table
+
+    spark = get_spark(app_name="nerd_spark_bench")
+    # warm the JVM/session and page in the parquet footers/data so the
+    # first timed query isn't charged for cold IO + codegen bring-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for name in (
+        "lineitem orders customer nation region events documents embeddings".split()
+    ):
+        read_table(spark, SF_DIR, name).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

