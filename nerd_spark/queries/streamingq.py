@@ -1,1 +1,55 @@
-"""Structured Streaming query paths (rows-only checks) — populated next."""
+"""Structured Streaming query paths. No SQL oracle (the driver records
+rows-only checks): streaming semantics aren't expressible in DuckDB,
+but the aggregation bodies are the same ones the batch family
+hash-checks (a1/a2), and tests/test_ingest.py proves batch==stream
+for the ingest pipeline.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from nerd_spark.queries.base import query
+
+
+@query("streaming_daily_counts")  # rows-only: streaming op
+def streaming_daily_counts(spark, sf_dir):
+    """The A1 daily rollup as a Structured Streaming job: file source
+    over the events parquet, 7-day watermark (the P10 late-data
+    policy, reference: warden_receiver.py:444-457), tumbling 1-day
+    window, availableNow trigger draining to a memory sink
+    (SURVEY §2.8 tumbling windows + watermark).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file source wants a directory: scan sf_dir, match only events
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.withWatermark("ts", "7 days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("d"), "event_type", "n"
+        )
+    )
+    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nerd_spark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # materialize so the result outlives the memory sink
+    rows = spark.table(name).collect()
+    return spark.createDataFrame(rows, spark.table(name).schema)

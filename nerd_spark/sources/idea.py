@@ -1,0 +1,97 @@
+"""IDEA event source: directory of JSON alert files -> typed rows.
+
+Replaces the reference's filer-protocol spool reader (reference:
+NERDd/warden_receiver.py:50-172 — poll incoming/, claim files, parse
+one IDEA JSON per file, route errors aside). Spark's file source
+covers claiming/ordering; corrupt records are captured per-row via
+columnNameOfCorruptRecord instead of an errors-worker directory.
+
+The parse/derive stage reproduces the receiver's event normalization
+(reference: warden_receiver.py:460-584):
+- node   = last Node[].Name           (:470)
+- cats   = '+'-joined Category, dots stripped (:507)
+- detect_ts validity window           (:510-517, P10)
+- date   = ISO day string             (:521)
+- end_ts = CeaseTime ?? WinEndTime ?? EventTime ?? DetectTime (:524-531)
+- conns  = ConnCount ?? FlowCount ?? 1 (:534-539)
+and the per-Source.IP4 fan-out (:551-579) as explode() — the UDTF
+shape of SURVEY §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nerd_spark.functions.ip import ipstr2int
+from nerd_spark.functions.timeutil import parse_rfc_time, validity_filter
+from nerd_spark.schemas import IDEA_SCHEMA
+
+
+def read_idea_batch(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.schema(IDEA_SCHEMA)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+
+
+def read_idea_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the spool directory. maxFilesPerTrigger
+    bounds micro-batch size (the reference's queue cap / backpressure,
+    task_queue.py:4-12)."""
+    return (
+        spark.readStream.schema(IDEA_SCHEMA)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("maxFilesPerTrigger", 1000)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Valid rows vs corrupt raw lines (errors-worker equivalent)."""
+    # Spark refuses to query the corrupt column of a raw JSON scan
+    # unless the scan is cached first (documented limitation).
+    df = df.cache()
+    corrupt = df.filter(F.col("_corrupt").isNotNull()).select("ID", "_corrupt")
+    ok = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    return ok, corrupt
+
+
+def parse_idea(df: DataFrame, as_of: Column | None = None) -> DataFrame:
+    """Normalize IDEA messages to flat typed columns + validity filter."""
+    now = as_of if as_of is not None else F.current_timestamp()
+    out = df.select(
+        F.col("ID").alias("id"),
+        F.element_at("Node", -1)["Name"].alias("node"),
+        F.regexp_replace(F.concat_ws("+", "Category"), r"\.", "").alias("cats"),
+        parse_rfc_time("DetectTime").alias("detect_ts"),
+        F.coalesce(
+            parse_rfc_time("CeaseTime"),
+            parse_rfc_time("WinEndTime"),
+            parse_rfc_time("EventTime"),
+            parse_rfc_time("DetectTime"),
+        ).alias("end_ts"),
+        F.coalesce("ConnCount", "FlowCount", F.lit(1)).alias("conns"),
+        F.col("Source"),
+        F.col("Target"),
+        F.col("Description"),
+    )
+    return out.filter(validity_filter("detect_ts", now)).withColumn(
+        "date", F.date_format("detect_ts", "yyyy-MM-dd")
+    )
+
+
+def explode_source_ips(parsed: DataFrame) -> DataFrame:
+    """One row per (event, Source.IP4): the task fan-out unit."""
+    return (
+        parsed.select(
+            "id", "node", "cats", "detect_ts", "end_ts", "conns", "date",
+            F.explode("Source").alias("src"),
+        )
+        .select(
+            "id", "node", "cats", "detect_ts", "end_ts", "conns", "date",
+            F.explode("src.IP4").alias("ip"),
+        )
+        .withColumn("ip_int", ipstr2int("ip"))
+    )
