@@ -20,5 +20,6 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import relational  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
+from nerd_spark.queries import surface  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "ORACLE"]

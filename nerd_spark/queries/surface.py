@@ -1,0 +1,165 @@
+"""Query-surface family: threat categorization (P11), tag rules
+(§2.9 DSL), and the full /ips read path (§3.2) — each as an
+oracle-checked query over the events-derived entity model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerd_spark.functions.ip import ipstr2int
+from nerd_spark.plans import derivations as D
+from nerd_spark.plans.categorization import CategoryRule, categorize
+from nerd_spark.plans.filters import EntityQuery, search
+from nerd_spark.plans.tags_dsl import tag_table
+from nerd_spark.queries.analytics import _REP_SQL
+from nerd_spark.queries.base import query, t
+
+# ---------------------------------------------------------------------------
+# P11 — threat categorization triggers
+# ---------------------------------------------------------------------------
+
+_CAT_RULES = [
+    CategoryRule("volumetric", "value > 150"),
+    CategoryRule("faulty", "event_type == 'error' and value > 50", "event_type"),
+    CategoryRule("suspicious_signup", "event_type matches 'sign.*' and k > 50", "k"),
+]
+
+
+@query(
+    "p11_threat_categorization",
+    """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_id, 'volumetric' AS category, CAST(NULL AS VARCHAR) AS subcategory
+    FROM ev WHERE value > 150
+    UNION ALL
+    SELECT event_id, 'faulty', event_type
+    FROM ev WHERE event_type = 'error' AND value > 50
+    UNION ALL
+    SELECT event_id, 'suspicious_signup', CAST(k AS VARCHAR)
+    FROM ev WHERE regexp_matches(event_type, '^(sign.*)$') AND k > 50
+    """,
+)
+def p11_threat_categorization(spark, sf_dir):
+    # (reference: common/threat_categorization.py:112-195 — per-category
+    # trigger predicates with '->' subcategory extraction, compiled
+    # from config to Column predicates via the tags DSL)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return categorize(ev, _CAT_RULES).select("event_id", "category", "subcategory")
+
+
+# ---------------------------------------------------------------------------
+# Tags DSL — rule-based tags over the entity profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+  profile AS (
+    SELECT user_id AS entity,
+           count(*) AS total,
+           count(*) FILTER (WHERE event_type = 'error') * 1.0 / count(*) AS err_share,
+           list_sort(list_distinct(list(event_type))) AS types
+    FROM events GROUP BY 1
+  )
+"""
+
+_TAGS_CFG = {
+    "heavy": {"condition": "total >= 80", "confidence": "total / 200", "info": "total={total}"},
+    "error_prone": {"condition": "err_share > 0.25", "confidence": "err_share"},
+    "multi_type": {"condition": "'purchase' in types and 'error' in types"},
+}
+
+
+@query(
+    "tags_rules",
+    f"""
+    WITH {_PROFILE_SQL}
+    SELECT entity AS user_id, 'heavy' AS tag,
+           round(total / 200.0, 6) AS confidence,
+           'total=' || total::VARCHAR AS info
+    FROM profile WHERE total >= 80
+    UNION ALL
+    SELECT entity, 'error_prone', round(err_share, 6), CAST(NULL AS VARCHAR)
+    FROM profile WHERE err_share > 0.25
+    UNION ALL
+    SELECT entity, 'multi_type', 1.0, CAST(NULL AS VARCHAR)
+    FROM profile
+    WHERE list_contains(types, 'purchase') AND list_contains(types, 'error')
+    """,
+)
+def tags_rules(spark, sf_dir):
+    # (reference: etc/tags.yml:46-80 tag configs; modules/tags.py
+    # lexer/parser/interpreter — here compiled to Column expressions,
+    # see plans/tags_dsl.py)
+    ev = t(spark, sf_dir, "events")
+    profile = ev.groupBy(F.col("user_id").alias("entity")).agg(
+        F.count("*").alias("total"),
+        (
+            F.count(F.when(F.col("event_type") == "error", 1)) / F.count("*")
+        ).alias("err_share"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+    return tag_table(profile, _TAGS_CFG).select(
+        F.col("entity").alias("user_id"), "tag", "confidence", "info"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 — the full /ips read path: filter builder + sort/limit + joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "read_path_search",
+    f"""
+    WITH {_REP_SQL},
+    snapshot AS (
+      SELECT e.user_id,
+             167772160 + ((e.user_id // 256) % 256) * 256 + (e.user_id % 256) AS ip_int,
+             count(*) AS total,
+             list_sort(list_distinct(list(e.event_type))) AS cats
+      FROM events e GROUP BY 1
+    )
+    SELECT s.user_id, s.ip_int, s.total, coalesce(r.rep_events, 0) AS rep
+    FROM snapshot s LEFT JOIN rep r ON r.entity = s.user_id
+    WHERE s.ip_int BETWEEN 167772160 AND 167772175      -- 10.0.0.0/28
+      AND list_contains(s.cats, 'error')
+      AND coalesce(r.rep_events, 0) >= 0.1
+    ORDER BY rep DESC, s.user_id LIMIT 10
+    """,
+)
+def read_path_search(spark, sf_dir):
+    # The §3.2 read path end to end: entity snapshot + enrichment join
+    # + EntityQuery filter compilation (P2+P5 families) + top-k (W1)
+    # (reference: nerd_main.py:1048-1190).
+    ev = t(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit(10),
+        F.lit(0),
+        ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
+        (F.col("user_id") % 256).cast("string"),
+    )
+    snapshot = ev.groupBy(F.col("user_id").alias("entity")).agg(
+        F.first(ipstr2int(ip)).alias("ip_int"),
+        F.count("*").alias("total"),
+        F.sort_array(F.collect_set("event_type")).alias("cats"),
+    )
+    as_of = ev.agg(F.max("ts").alias("as_of"))
+    rep = D.source_reputation(
+        D.with_as_of(D.daily_rollup(ev, "user_id"), as_of), out="rep_events"
+    )
+    profile = snapshot.join(rep, "entity", "left").withColumn(
+        "rep", F.coalesce("rep_events", F.lit(0.0))
+    )
+    spec = EntityQuery(subnet="10.0.0.0/28", cats_all=["error"], rep_min=0.1)
+    out = search(profile, spec, sort_by="rep", ascending=False, limit=10)
+    return out.select(F.col("entity").alias("user_id"), "ip_int", "total", "rep")

@@ -1,0 +1,71 @@
+"""Unit tests for categorization, entity-query filters and retention."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from nerd_spark.plans.categorization import CategoryRule, categorize
+from nerd_spark.plans.filters import EntityQuery, search
+from nerd_spark.plans.retention import expire_entities, prune_history
+
+
+def test_categorize_multi_match(spark):
+    ev = spark.createDataFrame(
+        [(1, "error", 200.0), (2, "signup", 10.0), (3, "view", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    rules = [
+        CategoryRule("big", "value > 100"),
+        CategoryRule("err", "event_type == 'error'", "event_type"),
+    ]
+    rows = {(r.event_id, r.category, r.subcategory) for r in categorize(ev, rules).collect()}
+    # event 1 matches BOTH rules; 2 and 3 match none
+    assert rows == {(1, "big", None), (1, "err", "error")}
+
+
+def test_entity_query_families(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 167772161, "moc.elpmaxe.vrs"[::-1], "CZ", ["scan"], {"w": 1}, 0.9, "p1"),
+            ("b", 167772400, "gro.tset.liam"[::-1], "DE", [], {}, 0.5, "p2"),
+        ],
+        "entity string, ip_int long, hostname string, ctry string, "
+        "cats array<string>, tags map<string,int>, rep double, bgppref string",
+    )
+    spec = EntityQuery(subnet="10.0.0.0/24", ctry_in=["CZ"], cats_any=["scan"], rep_min=0.5)
+    got = [r.entity for r in df.filter(spec.compile(df)).collect()]
+    assert got == ["a"]
+    # hostname suffix via the reversed-prefix trick
+    spec2 = EntityQuery(hostname_suffix=".com")
+    assert [r.entity for r in df.filter(spec2.compile(df)).collect()] == ["a"]
+    # sort/limit surface
+    out = search(df, EntityQuery(), sort_by="rep", limit=1)
+    assert [r.entity for r in out.collect()] == ["a"]
+
+
+def test_retention_ttl(spark):
+    now = F.to_timestamp(F.lit("2024-03-10 00:00:00"))
+    df = spark.createDataFrame(
+        [
+            ("live", {"warden": datetime(2024, 3, 20)}),
+            ("dead", {"warden": datetime(2024, 3, 1)}),
+            ("immortal", {"*": datetime(1970, 1, 1), "x": datetime(2024, 1, 1)}),
+            ("mixed", {"a": datetime(2024, 3, 1), "b": datetime(2024, 4, 1)}),
+        ],
+        "entity string, _ttl map<string,timestamp>",
+    )
+    out = {r.entity: r["_ttl"] for r in expire_entities(df, now).collect()}
+    assert set(out) == {"live", "immortal", "mixed"}
+    assert set(out["mixed"]) == {"b"}  # expired token dropped
+    assert "*" in out["immortal"]
+
+
+def test_prune_history(spark):
+    now = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    df = spark.createDataFrame(
+        [("2024-05-30",), ("2024-01-01",)], "d string"
+    ).select(F.to_date("d").alias("d"))
+    kept = prune_history(df, now, max_age_days=90).collect()
+    assert [str(r.d) for r in kept] == ["2024-05-30"]

@@ -1,0 +1,130 @@
+"""Tags-DSL compiler tests against the reference coercion truth table
+(SURVEY §2.9: None->0/False, non-number->1 in math, zero-div->0,
+failed comparison->False, truthiness None/False/0/''/[]->False).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nerd_spark.plans.tags_dsl import (
+    condition_column,
+    confidence_column,
+    interpolate_info,
+    parse,
+    tag_table,
+)
+
+
+@pytest.fixture(scope="module")
+def profile(spark):
+    return spark.createDataFrame(
+        [
+            # entity, rep, total, ctry, tags_list, hostname
+            ("a", 0.9, 100, "CZ", ["ssh", "scan"], "srv.example.com"),
+            ("b", 0.2, 5, "DE", [], None),
+            ("c", None, None, None, None, "mail.test.org"),
+        ],
+        "entity string, rep double, total long, ctry string, "
+        "tags_list array<string>, hostname string",
+    )
+
+
+def _eval(df, cond):
+    return {
+        r.entity: r.v
+        for r in df.select("entity", condition_column(cond, df).alias("v")).collect()
+    }
+
+
+def _conf(df, cond):
+    return {
+        r.entity: r.v
+        for r in df.select("entity", confidence_column(cond, df).alias("v")).collect()
+    }
+
+
+def test_comparisons_and_null_coercion(profile):
+    # None comparison -> False (not NULL)
+    assert _eval(profile, "rep > 0.5") == {"a": True, "b": False, "c": False}
+    assert _eval(profile, "rep <= 0.5") == {"a": False, "b": True, "c": False}
+
+
+def test_arithmetic_coercions(profile):
+    # None -> 0 in math; string -> 1 in math
+    assert _eval(profile, "rep + total > 100") == {"a": True, "b": False, "c": False}
+    # ctry is a string: numeric coercion -> 1 when present, 0 when None
+    assert _eval(profile, "ctry + 1 == 2") == {"a": True, "b": True, "c": False}
+
+
+def test_zero_division(profile):
+    # division by zero -> 0, not error/NULL  (c: total None -> 0)
+    assert _eval(profile, "100 / total == 1") == {"a": True, "b": False, "c": False}
+    assert _eval(profile, "100 / total == 0") == {"a": False, "b": False, "c": True}
+
+
+def test_logic_and_truthiness(profile):
+    # arrays: [] and None -> False; non-empty -> True
+    assert _eval(profile, "tags_list") == {"a": True, "b": False, "c": False}
+    assert _eval(profile, "not tags_list") == {"a": False, "b": True, "c": True}
+    assert _eval(profile, "rep > 0.5 and total > 50") == {
+        "a": True,
+        "b": False,
+        "c": False,
+    }
+    assert _eval(profile, "rep > 0.5 or ctry == 'DE'") == {
+        "a": True,
+        "b": True,
+        "c": False,
+    }
+
+
+def test_in_and_matches(profile):
+    assert _eval(profile, "ctry in ['CZ', 'SK']") == {"a": True, "b": False, "c": False}
+    assert _eval(profile, "'ssh' in tags_list") == {"a": True, "b": False, "c": False}
+    assert _eval(profile, "ctry not in ['CZ']") == {"a": False, "b": True, "c": True}
+    assert _eval(profile, r"hostname matches '\.com$'") == {
+        "a": True,
+        "b": False,
+        "c": False,
+    }
+
+
+def test_mismatched_comparison_is_false(profile):
+    # comparing string to number raises in the reference -> False
+    assert _eval(profile, "ctry > 5") == {"a": False, "b": False, "c": False}
+
+
+def test_confidence_semantics(profile):
+    # numeric expression -> its value; boolean -> 1/0
+    assert _conf(profile, "rep * 0.5") == {"a": 0.45, "b": 0.1, "c": 0.0}
+    assert _conf(profile, "total > 50") == {"a": 1.0, "b": 0.0, "c": 0.0}
+
+
+def test_unknown_attr_is_none(profile):
+    assert _eval(profile, "nosuch.attr > 1") == {"a": False, "b": False, "c": False}
+    assert _eval(profile, "nosuch == null") == {"a": True, "b": True, "c": True}
+
+
+def test_parse_precedence():
+    ast = parse("a + b * 2 > 4 and not c == 1")
+    assert ast.op == "and"
+
+
+def test_tag_table(profile):
+    cfg = {
+        "highrep": {"condition": "rep > 0.5", "confidence": "rep", "info": "rep={rep}"},
+        "quiet": {"condition": "not tags_list"},
+    }
+    rows = {(r.entity, r.tag): r for r in tag_table(profile, cfg).collect()}
+    assert set(rows) == {("a", "highrep"), ("b", "quiet"), ("c", "quiet")}
+    assert rows[("a", "highrep")].confidence == 0.9
+    assert rows[("a", "highrep")].info == "rep=0.9"
+
+
+def test_info_interpolation(spark, profile):
+    col = interpolate_info("host {hostname} in {ctry}", profile)
+    out = profile.select(col.alias("s")).collect()[0].s
+    assert out == "host srv.example.com in CZ"
