@@ -22,10 +22,13 @@ def ipstr2int(col: Column | str) -> Column:
     aggregate(octets, acc -> acc*256 + octet) over split('.').
     """
     c = F.col(col) if isinstance(col, str) else col
+    # try_cast: malformed octets yield NULL instead of an ANSI runtime
+    # error (strings reach this expression before upstream filters in
+    # collapsed projections)
     return F.aggregate(
         F.split(c, r"\."),
         F.lit(0).cast("long"),
-        lambda acc, x: acc * 256 + x.cast("long"),
+        lambda acc, x: acc * 256 + x.try_cast("long"),
     )
 
 

@@ -163,3 +163,92 @@ def read_path_search(spark, sf_dir):
     spec = EntityQuery(subnet="10.0.0.0/28", cats_all=["error"], rep_min=0.1)
     out = search(profile, spec, sort_by="rep", ascending=False, limit=10)
     return out.select(F.col("entity").alias("user_id"), "ip_int", "total", "rep")
+
+
+# ---------------------------------------------------------------------------
+# J4 scale path — bucketed range join (same result as j4_range_join)
+# ---------------------------------------------------------------------------
+
+from nerd_spark.operators.rangejoin import bucketed_range_join  # noqa: E402
+from nerd_spark.queries.relational import _J4_BANDS  # noqa: E402
+
+
+@query(
+    "j4_range_join_bucketed",
+    f"""
+    WITH bands(lo, hi, band) AS (
+      VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _J4_BANDS)}
+    )
+    SELECT band, count(*) AS n,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def j4_range_join_bucketed(spark, sf_dir):
+    # The 100 TB variant of J4: ranges expand to fixed-width buckets,
+    # probe equi-joins on bucket id, exact predicate re-checked — a
+    # shuffle hash join instead of a broadcast nested loop (see
+    # operators/rangejoin.py). Same oracle as j4_range_join.
+    from nerd_spark.queries.base import exact_sum
+
+    ev = t(spark, sf_dir, "events")
+    # half-open bands: hi - epsilon turns the closed-interval operator
+    # into [lo, hi); the open-ended top band is clamped to a finite
+    # bound (bucket expansion needs bounded ranges — an unbounded
+    # range would enumerate every bucket)
+    bands = spark.createDataFrame(
+        [(lo, min(hi, 1e5) - 1e-9, b) for lo, hi, b in _J4_BANDS],
+        "lo double, hi double, band string",
+    )
+    joined = bucketed_range_join(ev, bands, "value", "lo", "hi", bucket_width=50)
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"), exact_sum("value", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FMP batch scoring (§3.3): feature assembly + vectorized model UDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fmp_score",
+    """
+    WITH daily AS (
+      SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    as_of AS (SELECT max(ts) AS as_of FROM events),
+    per_day AS (SELECT entity, d, sum(n) AS nd FROM daily GROUP BY 1, 2),
+    feat AS (
+      SELECT entity,
+             CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7 THEN nd ELSE 0 END) AS BIGINT) AS total7,
+             round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
+                   THEN nd * 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS ewma,
+             round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
+                   THEN 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS bin_ewma
+      FROM per_day, as_of GROUP BY 1
+    ),
+    pref AS (
+      SELECT entity // 5 AS prefix,
+             CAST(sum(total7) AS BIGINT) AS prefix_total7,
+             count(*) AS prefix_entities
+      FROM feat GROUP BY 1
+    )
+    SELECT f.entity AS user_id,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.02 * f.total7 + 0.5 * f.ewma
+                 + 1.0 * f.bin_ewma + 0.005 * p.prefix_total7
+                 - 0.05 * p.prefix_entities))), 6) AS fmp
+    FROM feat f JOIN pref p ON f.entity // 5 = p.prefix
+    """,
+)
+def fmp_score(spark, sf_dir):
+    # (reference: NERDd/fmp_updater.py:577-646 — the daily full-
+    # collection pandas pass, rebuilt as distributed feature stages +
+    # an Arrow-batched scoring UDF; the logistic stub stands in for
+    # the XGBoost model so the math is oracle-checkable)
+    from nerd_spark.ml.fmp import fmp_pipeline
+
+    ev = t(spark, sf_dir, "events")
+    return fmp_pipeline(ev).select(F.col("entity").alias("user_id"), "fmp")

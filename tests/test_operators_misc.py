@@ -1,0 +1,91 @@
+"""Tests: as-of join operator, bucketed range join, feed parsers,
+export sinks."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from nerd_spark.operators.rangejoin import asof_join, bucketed_range_join, broadcast_range_join
+from nerd_spark.session import read_table
+from nerd_spark.sources.exports import export_blocklist, export_rep_list
+from nerd_spark.sources.feeds import parse_blacklist, parse_dshield
+
+
+def test_asof_join_matches_join_groupby_impl(spark, sf_dir):
+    """The union+window as-of (scale path) must equal the
+    oracle-checked join+max_by implementation (j5_asof_join)."""
+    from nerd_spark.queries import REGISTRY
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    out = asof_join(p, c, key="user_id", left_ts="ts", right_ts="cts",
+                    value_cols=["click_id"])
+    got = {
+        (r.purchase_id, r.click_id_asof)
+        for r in out.filter(F.col("click_id_asof").isNotNull()).collect()
+    }
+    expected = {
+        (r.purchase_id, r.click_id)
+        for r in REGISTRY["j5_asof_join"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bucketed_equals_broadcast_range_join(spark):
+    probe = spark.createDataFrame([(i, float(i)) for i in range(0, 300, 7)], "id long, v double")
+    dim = spark.createDataFrame(
+        [(0.0, 99.0, "a"), (100.0, 199.0, "b"), (150.0, 260.0, "c")],
+        "lo double, hi double, tag string",
+    )
+    a = {(r.id, r.tag) for r in broadcast_range_join(probe, dim, "v", "lo", "hi").collect()}
+    b = {(r.id, r.tag) for r in bucketed_range_join(probe, dim, "v", "lo", "hi", 64).collect()}
+    assert a == b and len(a) > 0
+    # overlapping ranges produce both matches
+    assert (154, "b") in a and (154, "c") in a
+
+
+def test_parse_blacklist_modes(spark):
+    lines = spark.createDataFrame(
+        [("# comment",), ("",), ("1.2.3.4",), ("5.6.7.8 # trailing",),
+         ("999.1.1.1",), ("bad line",)],
+        "value string",
+    )
+    out = {r.ip for r in parse_blacklist(lines, "bl1").collect()}
+    assert out == {"1.2.3.4", "5.6.7.8"}  # invalid octet + garbage dropped
+    rx_lines = spark.createDataFrame(
+        [('ip="10.0.0.1" attacker',), ('ip="10.0.0.2" and ip="10.0.0.3"',)],
+        "value string",
+    )
+    out2 = {r.ip for r in parse_blacklist(rx_lines, "bl2", regex=r'ip="([^"]+)"').collect()}
+    assert out2 == {"10.0.0.1", "10.0.0.2", "10.0.0.3"}
+
+
+def test_parse_dshield(spark):
+    feed = spark.createDataFrame(
+        [("010.001.2.3", 4, 2), ("10.1.2.3", 3, 1), ("8.8.8.8", 1, 1)],
+        "ip string, reports int, targets int",
+    )
+    rows = {r.ip: (r.reports, r.targets) for r in parse_dshield(feed, min_reports=5).collect()}
+    # leading zeros normalized -> the two rows merge; below-threshold dropped
+    assert rows == {"10.1.2.3": (7, 3)}
+
+
+def test_exports(spark, tmp_path):
+    ents = spark.createDataFrame(
+        [(167772161, 0.9), (167772162, 0.3), (167772163, 0.7)],
+        "ip_int long, rep double",
+    )
+    export_rep_list(ents, str(tmp_path / "rep"))
+    rep_csv = glob.glob(str(tmp_path / "rep" / "*.csv"))[0]
+    lines = open(rep_csv).read().strip().splitlines()
+    assert lines[0] == "ip,rep" and lines[1].startswith("10.0.0.1,0.9")
+    export_blocklist(ents, str(tmp_path / "bl"), rep_threshold=0.5)
+    bl_txt = glob.glob(str(tmp_path / "bl" / "part-*"))[0]
+    assert open(bl_txt).read().split() == ["10.0.0.1", "10.0.0.3"]
