@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the optimizations the engine is
+designed around actually appear in the executed plans (run at any sf:
+`python audits/explain_audit.py [sf_dir]`). See PLANS.md for the
+expected shape of each plan and why it holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+EXPECT = {
+    # scan-side: predicate pushdown + column pruning reach parquet
+    "q1_pricing_summary": ["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+    "s5_point_read": ["PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"],
+    "p1_projection": ["ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"],
+    # top-k never global-sorts; last-N prunes inside the window
+    "w1_topk": ["TakeOrderedAndProject"],
+    "w4_last_n_per_key": ["WindowGroupLimit"],
+    # dimension joins broadcast (no shuffle of the big side)
+    "j2_enrichment_chain": ["BroadcastHashJoin"],
+    "j6_bulk_lookup": ["BroadcastHashJoin"],
+    "a12_refcount_rebuild": ["BroadcastHashJoin"],
+    "j1_equi_join": ["BroadcastHashJoin"],
+    # small-dim range join -> broadcast nested loop with codegen'd BETWEEN
+    "j4_range_join": ["BroadcastNestedLoopJoin"],
+    "a2_window_totals": ["HashAggregate"],
+}
+
+
+def main() -> int:
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain_audit")
+    failures = []
+    for name, marks in EXPECT.items():
+        plan = REGISTRY[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for m in marks:
+            ok = m in plan
+            print(("OK  " if ok else "MISS") + f" {name}: {m}")
+            if not ok:
+                failures.append((name, m))
+    spark.stop()
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    print("all plan audits passed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
