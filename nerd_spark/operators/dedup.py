@@ -36,13 +36,20 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
-def shingle_rows(docs: DataFrame, id_col="doc_id", text_col="text", k=3) -> DataFrame:
-    """Distinct k-word shingles per doc, exploded to rows.
+def shingle_rows(
+    docs: DataFrame, id_col="doc_id", text_col="text", k=3, distinct=True
+) -> DataFrame:
+    """k-word shingles per doc, exploded to rows.
 
     posexplode + window leads instead of array transform: the
     transform lambda re-evaluates the regex split per element (no
     common-subexpression elimination across HOF lambdas), which
     dominated runtime. The generator path splits once per row.
+
+    distinct=False skips the dedup shuffle — downstream consumers
+    whose aggregations are duplicate-insensitive (min-hash,
+    collect_set) reuse the window's hash partitioning on id with no
+    further exchange.
     """
     from pyspark.sql import Window
 
@@ -51,15 +58,15 @@ def shingle_rows(docs: DataFrame, id_col="doc_id", text_col="text", k=3) -> Data
     )
     w = Window.partitionBy("id").orderBy("pos")
     leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
-    return (
+    out = (
         toks.select("id", "tok", *leads)
         .filter(F.col(f"t{k - 1}").isNotNull())
         .select(
             "id",
             F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("s"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -70,9 +77,10 @@ def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     rare by construction, so this is join-two-small-sides work, not
     a re-shuffle of all shingle rows.
     """
-    sets = sh.groupBy("id").agg(
-        F.collect_list("s").alias("ss"), F.count("*").alias("n")
-    )
+    # collect_set dedups inside the aggregation, so callers may pass
+    # raw (non-distinct) shingle rows without an extra shuffle
+    sets = sh.groupBy("id").agg(F.collect_set("s").alias("ss"))
+    sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
     a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
     b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
     c = F.size(F.array_intersect("sa", "sb"))
@@ -103,9 +111,11 @@ def jaccard_dedup(
     acceptable for near-dup detection and essential at scale (the
     hot-shingle join otherwise degenerates to all-pairs).
     """
-    sh = shingle_rows(docs, id_col, text_col, k).cache()
+    sh = shingle_rows(docs, id_col, text_col, k, distinct=False).cache()
     df_ok = (
-        sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh.groupBy("s")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") <= max_df)
     )
     rare = sh.join(df_ok.select("s"), "s").cache()
     cand = (
@@ -139,10 +149,11 @@ def minhash_lsh_dedup(
     random-pair collisions ~j^3.
 
     All band signatures compute as parallel min-aggregates in ONE
-    shuffle over the shingle rows; the bucket self-join sees only
-    (docs x bands) rows. This is the 100 TB dedup path.
+    shuffle over the shingle rows (duplicate shingles don't affect a
+    min, so the dedup shuffle is skipped); the bucket self-join sees
+    only (docs x bands) rows. This is the 100 TB dedup path.
     """
-    sh = shingle_rows(docs, id_col, text_col, k).cache()
+    sh = shingle_rows(docs, id_col, text_col, k, distinct=False).cache()
     n_hashes = n_bands * rows_per_band
     mh_wide = sh.groupBy("id").agg(
         *[

@@ -605,3 +605,53 @@ def f_ip_codec(spark, sf_dir):
         ipstr2int("ip").alias("ip_int"),
         prefix24(ipstr2int("ip")).alias("p24"),
     ).withColumn("ip", int2ipstr("ip_int"))  # round-trip back through int
+
+
+@query(
+    "p8_semijoin",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey =
+        (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+    )
+    """,
+)
+def p8_semijoin(spark, sf_dir):
+    # P8: the ASN->prefix membership semijoin shape (reference:
+    # nerd_main.py:996-1003 — look up the parent record, filter the
+    # fact side on membership) as a left-semi join over broadcast keys.
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    keys = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey")
+    return c.join(
+        F.broadcast(keys), c.c_nationkey == keys.n_nationkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "set_ops_union",
+    """
+    SELECT user_id, why FROM (
+      SELECT DISTINCT user_id, 'big_spender' AS why FROM events
+      WHERE event_type = 'purchase' AND value > 150
+      UNION
+      SELECT DISTINCT user_id, 'error_prone' AS why FROM events
+      WHERE event_type = 'error' AND value > 150
+    )
+    """,
+)
+def set_ops_union(spark, sf_dir):
+    # Set ops (SURVEY §2.7): the blacklist-concat shape
+    # (nerd_main.py:935-939) as union + distinct.
+    ev = t(spark, sf_dir, "events")
+    a = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id", F.lit("big_spender").alias("why"))
+    )
+    b = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select("user_id", F.lit("error_prone").alias("why"))
+    )
+    return a.union(b).distinct()

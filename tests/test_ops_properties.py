@@ -1,0 +1,113 @@
+"""Property-based op-algebra tests (SURVEY §5.4): hypothesis-generated
+op sequences, checking the algebraic laws the engine's columnar fast
+path relies on (pure Python fold — no Spark session needed)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nerd_spark.operators.merge import apply_op, fold_ops
+
+# The commutativity law holds per (key, op-type): a stream of `add`s
+# on one key commutes, as do setmax/setmin/add_to_set streams — but
+# MIXED op types on one key do not (hypothesis found add;setmin !=
+# setmin;add immediately). The columnar fast path aggregates exactly
+# per (key, op-type), so that is the law stated here.
+_OP_TYPE = st.sampled_from(["add", "setmax", "setmin", "add_to_set"])
+_COMMUTING = st.tuples(
+    _OP_TYPE,
+    _OP_TYPE,
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-100, max_value=100),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+
+
+def _apply_all(op_a, op_b, ops):
+    rec: dict = {}
+    for key, v in ops:
+        apply_op(rec, op_a if key == "a" else op_b, key, {"value": v})
+    return rec
+
+
+@given(_COMMUTING, st.randoms())
+@settings(max_examples=200, deadline=None)
+def test_commuting_ops_are_order_insensitive(spec, rnd):
+    op_a, op_b, ops = spec
+    shuffled = list(ops)
+    rnd.shuffle(shuffled)
+    a, b = _apply_all(op_a, op_b, ops), _apply_all(op_a, op_b, shuffled)
+    for key in ("a", "b"):
+        va, vb = a.get(key), b.get(key)
+        if isinstance(va, list) or isinstance(vb, list):
+            assert set(va or []) == set(vb or [])
+        else:
+            assert va == vb
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["set", "add", "remove", "setmax"]),
+            st.sampled_from(["x", "y.z"]),
+            st.integers(min_value=-10, max_value=10),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_fold_is_deterministic_and_pure(ops):
+    """Same ordered sequence -> same record; folding never mutates
+    its inputs across runs (replay determinism)."""
+    triples = [(op, key, {"value": v}) for op, key, v in ops]
+    r1 = fold_ops(None, triples, eid="e")
+    r2 = fold_ops(None, triples, eid="e")
+    assert r1 == r2
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_add_to_set_idempotent(vals):
+    rec: dict = {}
+    for v in vals:
+        apply_op(rec, "add_to_set", "s", {"value": v})
+    once = list(rec["s"])
+    for v in vals:  # replay: no change
+        apply_op(rec, "add_to_set", "s", {"value": v})
+    assert rec["s"] == once
+    assert sorted(set(vals)) == sorted(rec["s"])
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["d1", "d2", "d3"]),
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_array_upsert_equals_groupby_semantics(counts):
+    """A stream of array_upsert {date: d} add n ops must equal the
+    per-date sum — the A1 aggregation-form equivalence (SURVEY §2.4
+    array_upsert -> explode/groupBy/collect rewrite)."""
+    rec: dict = {}
+    stream = [d for d, c in counts.items() for _ in range(c)]
+    random.Random(42).shuffle(stream)
+    for d in stream:
+        apply_op(
+            rec,
+            "array_upsert",
+            "events",
+            {"query": {"date": d}, "ops": [["add", "n", {"value": 1}]]},
+        )
+    got = {e["date"]: e["n"] for e in rec["events"]}
+    assert got == counts
