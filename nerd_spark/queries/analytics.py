@@ -391,7 +391,8 @@ def a12_refcount_rebuild(spark, sf_dir):
     )
     SELECT user_id,
            count(prev_ts) AS n_gaps,
-           round(avg(epoch_us(ts) - epoch_us(prev_ts)) / 1e6, 6) AS avg_gap_s,
+           CAST((2 * CAST(sum(epoch_us(ts) - epoch_us(prev_ts)) AS BIGINT)
+                  + count(prev_ts)) // (2 * count(prev_ts)) AS DOUBLE) / 1e6 AS avg_gap_s,
            round(max(epoch_us(ts) - epoch_us(prev_ts)) / 1e6, 6) AS max_gap_s
     FROM kept GROUP BY 1
     """,
@@ -408,10 +409,23 @@ def a13_intervals(spark, sf_dir):
         .withColumn("prev_ts", F.lag("ts").over(w_asc))
     )
     gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
-    return kept.groupBy("user_id").agg(
+    agg = kept.groupBy("user_id").agg(
         F.count("prev_ts").alias("n_gaps"),
-        F.round(F.avg(gap_us) / 1e6, 6).alias("avg_gap_s"),
-        F.round(F.max(gap_us) / 1e6, 6).alias("max_gap_s"),
+        F.sum(gap_us).alias("_s"),
+        F.max(gap_us).alias("_mx"),
+    )
+    # integer-domain half-up rounding of the mean: (2S + n) div 2n
+    # microseconds. Rounding the double quotient differs between
+    # engines exactly at decimal midpoints (Spark rounds the shortest
+    # decimal repr, DuckDB multiplies the double) — integer arithmetic
+    # sidesteps it; the result is an exact multiple of 1e-6.
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        (F.expr("(2 * _s + n_gaps) div (2 * n_gaps)").cast("double") / 1e6).alias(
+            "avg_gap_s"
+        ),
+        F.round(F.col("_mx") / 1e6, 6).alias("max_gap_s"),
     )
 
 
@@ -536,3 +550,40 @@ def op_merge_snapshot(spark, sf_dir):
         F.array_join("types_arr", "|").alias("types"),
         F.round("last_value", 2).alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (beyond-reference operator; lag-gap + running sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sessionize_stats",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts)) + 500) // 1000 AS DOUBLE)
+             / 1e3 AS duration_s
+    FROM sid GROUP BY 1, 2
+    """,
+)
+def sessionize_stats(spark, sf_dir):
+    # Gap-based sessionization (30-min gap): lag + boundary flag +
+    # running sum, then per-session rollup (operators/sessionize.py).
+    from nerd_spark.operators.sessionize import session_stats
+
+    ev = t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)

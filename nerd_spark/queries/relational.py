@@ -31,7 +31,8 @@ from nerd_spark.queries.base import exact_avg, exact_sum, query, t
            round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                        AS avg_qty,
+           CAST((2 * CAST(sum(l_quantity) AS BIGINT) * 1000000 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 1e6                          AS avg_qty,
            round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
            round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*)                                                         AS count_order
@@ -51,7 +52,13 @@ def q1_pricing_summary(spark, sf_dir):
             exact_sum("l_extendedprice", "sum_base_price"),
             exact_sum(disc_price, "sum_disc_price"),
             exact_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            (
+                F.expr(
+                    "(2 * cast(sum(l_quantity) as bigint) * 1000000 + count(*))"
+                    " div (2 * count(*))"
+                ).cast("double")
+                / 1e6
+            ).alias("avg_qty"),
             exact_avg("l_extendedprice", "avg_price"),
             exact_avg("l_discount", "avg_disc"),
             F.count("*").alias("count_order"),
