@@ -217,30 +217,51 @@ def a6_source_reputation(spark, sf_dir):
 def a7_total_reputation(spark, sf_dir):
     # (reference: reputation.py:100-109 — rep = 1 - prod(1 - r_src*t_src);
     # two pseudo-sources here: all events + error events)
+    #
+    # Single-pass plan: both sources' daily aggregates come out of ONE
+    # scan + one (entity, day) shuffle with conditional aggregation —
+    # the naive two-pipeline version costs 2 scans and 4 shuffles for
+    # identical math. Intermediate reps round to 6 like the oracle's
+    # CTEs before combining.
+    from nerd_spark.functions.mathx import nonlin
+
+    days = 14
+    denom = sum((days - a) / days for a in range(days))
     ev = t(spark, sf_dir, "events")
     as_of = ev.agg(F.max("ts").alias("as_of"))
-    all_rep = D.source_reputation(
-        D.with_as_of(D.daily_rollup(ev, "user_id"), as_of), out="rep_events"
+    age_ev = F.datediff(F.to_date("as_of"), F.to_date("ts"))
+    per_day = (
+        ev.crossJoin(F.broadcast(as_of))
+        .filter(age_ev < days)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("nd"),
+            F.count_distinct("event_type").alias("cats"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("err_nd"),
+            F.first("as_of").alias("as_of"),
+        )
     )
-    err = ev.filter(F.col("event_type") == "error")
-    err_rep = D.source_reputation(
-        D.with_as_of(D.daily_rollup(err, "user_id"), as_of),
-        scale_events=2.0,
-        scale_cats=2.0,
-        out="rep_err",
+    age = F.datediff(F.to_date("as_of"), F.col("d")).cast("double")
+    w = (F.lit(days) - age) / days
+    rep_events = F.round(
+        F.sum(nonlin("nd", 5.0) * nonlin("cats", 2.0) * w) / denom, 6
     )
-    # err_rep's cats dimension is constant (single type) -> nonlin(1,2)
-    # appears in both engines identically through the same formula; see
-    # oracle: it folds nonlin(cats,2) with cats=1.
-    joined = all_rep.join(err_rep, "entity", "left")
-    return joined.select(
-        F.col("entity").alias("user_id"),
-        F.round(
-            1
-            - (1 - F.col("rep_events") * 0.9)
-            * (1 - F.coalesce("rep_err", F.lit(0.0)) * 0.6),
-            6,
-        ).alias("rep"),
+    rep_err = F.round(
+        F.sum(
+            F.when(
+                F.col("err_nd") > 0,
+                nonlin("err_nd", 2.0) * nonlin(F.lit(1), 2.0) * w,
+            ).otherwise(0.0)
+        )
+        / denom,
+        6,
+    )
+    agg = per_day.groupBy("user_id").agg(
+        rep_events.alias("re"), rep_err.alias("rr")
+    )
+    return agg.select(
+        "user_id",
+        F.round(1 - (1 - F.col("re") * 0.9) * (1 - F.col("rr") * 0.6), 6).alias("rep"),
     )
 
 
