@@ -277,12 +277,13 @@ def a7_total_reputation(spark, sf_dir):
     base AS (
       SELECT user_id, event_type AS cat,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-             CAST(ts AS DATE) AS d
+             CAST(ts AS DATE) AS d,
+             (14 - date_diff('day', CAST(ts AS DATE), CAST(as_of AS DATE))) / 14.0 AS w
       FROM events, as_of
       WHERE date_diff('day', CAST(ts AS DATE), CAST(as_of AS DATE)) < 14
     )
     SELECT user_id, cat,
-           round({nonlin_sql("count(*)", 10.0)} * {nonlin_sql("count(DISTINCT d)", 3.0)}, 6) AS conf,
+           round({nonlin_sql("sum(w)", 10.0)} * {nonlin_sql("count(DISTINCT d)", 3.0)}, 6) AS conf,
            array_to_string(list_sort(list_distinct(list(k)))[1:10], '|') AS subcats
     FROM base GROUP BY 1, 2
     """,
@@ -301,13 +302,22 @@ def a8_threat_summary(spark, sf_dir):
             F.col("event_type").alias("cat"),
             F.get_json_object("props", "$.k").cast("bigint").alias("k"),
             F.to_date("ts").alias("d"),
+            # linear-decay weight (reference: threat_category_summary.py:
+            # 40-119 — 14-day linear decay on the report counts feeding
+            # the confidence nonlinearity)
+            (
+                (
+                    F.lit(14)
+                    - F.datediff(F.to_date("as_of"), F.to_date("ts")).cast("double")
+                )
+                / 14.0
+            ).alias("w"),
         )
     )
     from nerd_spark.functions.mathx import nonlin
-
     return base.groupBy("user_id", "cat").agg(
         F.round(
-            nonlin(F.count("*"), scale=10.0) * nonlin(F.count_distinct("d"), scale=3.0),
+            nonlin(F.sum("w"), scale=10.0) * nonlin(F.count_distinct("d"), scale=3.0),
             6,
         ).alias("conf"),
         F.array_join(
@@ -608,3 +618,71 @@ def sessionize_stats(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 array_upsert in aggregation form: rebuild the per-entity
+# `events` array-of-structs exactly as the reference's record carries
+# it (reference: warden_receiver.py:555-558 array_upsert events
+# {date,node,cat} n+=1 — here explode->groupBy->sorted rebuild).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_array_upsert_rebuild",
+    """
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type AS cat,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           array_to_string(
+             list_sort(list(d || '|' || cat || '|' || n::VARCHAR)),
+             ';') AS events_arr,
+           count(*) AS n_buckets
+    FROM daily GROUP BY 1
+    """,
+)
+def op_array_upsert_rebuild(spark, sf_dir):
+    # The aggregation-form rewrite of array_upsert (SURVEY §2.4): the
+    # daily buckets collect back into one deterministic array per
+    # entity — serialized to a string so the oracle hash covers the
+    # array contents, not just its cardinality.
+    ev = t(spark, sf_dir, "events")
+    daily = D.daily_rollup(ev, "user_id")
+    return daily.groupBy(F.col("entity").alias("user_id")).agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(
+                        "|",
+                        F.date_format("d", "yyyy-MM-dd"),
+                        "cat",
+                        F.col("n").cast("string"),
+                    )
+                )
+            ),
+            ";",
+        ).alias("events_arr"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 at scale: approximate distinct (HLL) — rows-only (approx values
+# differ across engines by design; the exact variant is the oracle)
+# ---------------------------------------------------------------------------
+
+
+@query("a2_window_totals_approx")  # rows-only
+def a2_window_totals_approx(spark, sf_dir):
+    # approx_count_distinct replaces count_distinct at the 100 TB
+    # scale point (SURVEY A2 note): HLL sketches merge map-side, so
+    # the distinct computation stays one partial-aggregated shuffle.
+    dwa = _daily_with_asof(spark, sf_dir)
+    age = F.datediff(F.to_date("as_of"), F.col("d"))
+    return dwa.groupBy("entity").agg(
+        F.sum("n").alias("total"),
+        F.approx_count_distinct(F.when(age <= 7, F.col("cat"))).alias("cats_7d_approx"),
+    )
