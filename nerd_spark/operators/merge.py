@@ -126,14 +126,20 @@ def apply_op(rec: dict, op: str, key: str, params: dict) -> None:
         parent, leaf = _walk_parent(rec, key, create=True)
         v = params.get("value")
         cur = parent.get(leaf)
-        if cur is None or (v is not None and v > cur):
-            parent[leaf] = v
+        try:
+            if cur is None or (v is not None and v > cur):
+                parent[leaf] = v
+        except TypeError:
+            pass  # incomparable types: op is isolated as a no-op
     elif op == "setmin":
         parent, leaf = _walk_parent(rec, key, create=True)
         v = params.get("value")
         cur = parent.get(leaf)
-        if cur is None or (v is not None and v < cur):
-            parent[leaf] = v
+        try:
+            if cur is None or (v is not None and v < cur):
+                parent[leaf] = v
+        except TypeError:
+            pass
     elif op == "remove":
         parent, leaf = _walk_parent(rec, key, create=False)
         if parent is not None:

@@ -111,3 +111,51 @@ def test_array_upsert_equals_groupby_semantics(counts):
         )
     got = {e["date"]: e["n"] for e in rec["events"]}
     assert got == counts
+
+
+def test_merge_changelog_equals_sequential_fold(spark):
+    """Distributed merge (cogrouped applyInPandas) == a sequential
+    driver-side fold of the same changelog, for a randomized op mix
+    across many entities — the per-key serialization guarantee."""
+    import json
+    import random
+
+    from nerd_spark.operators.merge import merge_changelog
+
+    rng = random.Random(7)
+    ops_rows = []
+    for seq in range(400):
+        eid = f"e{rng.randrange(12)}"
+        op = rng.choice(
+            ["set", "add", "setmax", "add_to_set", "append", "remove", "*add"]
+        )
+        key = rng.choice(["n", "tags", "meta.x", "meta.y"])
+        if op in ("add_to_set", "append"):
+            key = "tags"
+        params = {"value": rng.randrange(10)}
+        if op == "remove":
+            params = {}
+        ops_rows.append((seq, eid, op, key, json.dumps(params)))
+
+    # sequential truth
+    from nerd_spark.operators.merge import fold_ops
+
+    truth: dict[str, dict | None] = {}
+    by_eid: dict[str, list] = {}
+    for seq, eid, op, key, params in ops_rows:
+        by_eid.setdefault(eid, []).append((seq, op, key, json.loads(params)))
+    for eid, rows in by_eid.items():
+        rows.sort()
+        rec = fold_ops(None, [(o, k, p) for _, o, k, p in rows], eid=eid)
+        if rec is not None:
+            truth[eid] = rec
+
+    entities = spark.createDataFrame([], "eid string, record string")
+    changelog = spark.createDataFrame(
+        ops_rows, "seq long, eid string, op string, key string, params string"
+    )
+    got = {
+        r.eid: json.loads(r.record)
+        for r in merge_changelog(entities, changelog).collect()
+    }
+    assert got == truth
