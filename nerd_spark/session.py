@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size instead of maximizing
+        # parallelism when coalescing (Spark docs' recommendation):
+        # fewer, right-sized tasks at every scale
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -66,6 +70,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # Defensive: queries may run under a caller-owned session (the
+    # driver's oracle harness). The naive-UTC policy and the DuckDB
+    # comparison require session TZ = UTC; both confs are
+    # runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
