@@ -662,3 +662,30 @@ def set_ops_union(spark, sf_dir):
         .select("user_id", F.lit("error_prone").alias("why"))
     )
     return a.union(b).distinct()
+
+
+@query(
+    "w6_rank_lag",
+    """
+    SELECT user_id, event_id,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    QUALIFY rnk <= 5
+    """,
+)
+def w6_rank_lag(spark, sf_dir):
+    # W6 analytic frames: rank within entity by measure + lag delta in
+    # arrival order — two window specs over one shuffle partitioning.
+    ev = t(spark, sf_dir, "events")
+    w_rank = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    w_arr = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.rank().over(w_rank).alias("rnk"),
+            F.round(F.col("value") - F.lag("value").over(w_arr), 2).alias("delta"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
