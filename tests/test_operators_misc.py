@@ -89,3 +89,20 @@ def test_exports(spark, tmp_path):
     export_blocklist(ents, str(tmp_path / "bl"), rep_threshold=0.5)
     bl_txt = glob.glob(str(tmp_path / "bl" / "part-*"))[0]
     assert open(bl_txt).read().split() == ["10.0.0.1", "10.0.0.3"]
+
+
+def test_optimize_layout_roundtrip(spark, sf_dir, tmp_path):
+    """Layout rewrite preserves contents exactly (incl. the events
+    nanos-ts shim) while producing multi-file parallel-scannable
+    tables."""
+    from nerd_spark.sources.layout import optimize_layout
+
+    out = str(tmp_path / "opt")
+    optimize_layout(spark, sf_dir, out, tables=["events", "nation"])
+    src = read_table(spark, sf_dir, "events")
+    dst = read_table(spark, out, "events")
+    assert dst.rdd.getNumPartitions() > 1
+    a = {(r.event_id, r.ts, r.user_id, r.value) for r in src.collect()}
+    b = {(r.event_id, r.ts, r.user_id, r.value) for r in dst.collect()}
+    assert a == b
+    assert read_table(spark, out, "nation").count() == 25
