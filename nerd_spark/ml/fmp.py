@@ -47,10 +47,18 @@ STUB_BIAS = -2.0
 FEATURES = list(STUB_COEF)
 
 
-def assemble_features(events: DataFrame, entity: str = "user_id", prefix_div: int = 5) -> DataFrame:
+def assemble_features(
+    events: DataFrame,
+    entity: str = "user_id",
+    prefix_div: int = 5,
+    as_of: DataFrame | None = None,
+) -> DataFrame:
     """Per-entity feature frame: window totals + EWMA + prefix-group
-    aggregates joined back (the J8 shape, fmp_updater.py:292-355)."""
-    as_of = events.agg(F.max("ts").alias("as_of"))
+    aggregates joined back (the J8 shape, fmp_updater.py:292-355).
+    as_of: optional single-row frame (col ``as_of``) — pass the label
+    cutoff when building training frames."""
+    if as_of is None:
+        as_of = events.agg(F.max("ts").alias("as_of"))
     daily = D.with_as_of(D.daily_rollup(events, entity), as_of)
     totals = D.window_totals(daily, windows=(7,)).select("entity", "total7")
     ewma = D.ewma(daily)
@@ -91,3 +99,28 @@ def score(features: DataFrame) -> DataFrame:
 
 def fmp_pipeline(events: DataFrame, entity: str = "user_id") -> DataFrame:
     return score(assemble_features(events, entity))
+
+
+def training_frame(events: DataFrame, entity: str = "user_id", horizon_hours: int = 24) -> DataFrame:
+    """Feature vectors + future-misbehavior labels for retraining
+    (reference: fmp_updater.py:527-575 — logs each record's features
+    with whether it attacked in the following 24 h).
+
+    Features are computed as of cutoff = max(ts) - horizon using only
+    events before the cutoff; label = entity had any event after it.
+    """
+    cutoff = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {horizon_hours} HOURS")).alias("as_of")
+    )
+    past = events.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("ts") <= F.col("as_of")
+    ).drop("as_of")
+    feats = assemble_features(past, entity, as_of=cutoff)
+    future = (
+        events.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("as_of"))
+        .select(F.col(entity).alias("entity"))
+        .distinct()
+        .withColumn("label", F.lit(1))
+    )
+    return feats.join(future, "entity", "left").na.fill({"label": 0})

@@ -115,3 +115,58 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_pred,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer partitions the
+    corpus into inverted lists; queries scan only their n_probe
+    nearest lists.
+
+    The coarse centroids are the first n_lists corpus vectors —
+    deterministic (no k-means iterations), which keeps the structure
+    oracle-checkable; swap in trained centroids for recall. At scale
+    the corpus is stored bucketed by list id, so a query touches
+    n_probe/n_lists of the data with no shuffle of the corpus.
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    cents = e.filter(F.col("id") < n_lists).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv")
+    )
+    # assign every vector to its nearest centroid (rank 1), queries to
+    # their n_probe nearest lists
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    corpus = ranked.filter(F.col("crank") == 1).select("id", "v", "cid")
+    probes = (
+        ranked.filter(F.col("crank") <= n_probe)
+        .filter(query_pred(F.col("id")))
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    sims = (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))  # dedup: neighbor seen via 2 lists
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

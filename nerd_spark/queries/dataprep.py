@@ -350,3 +350,46 @@ def multimodal_bytes(spark, sf_dir):
     return feats.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_bytes").alias("total_bytes")
     )
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+    scored AS (
+      SELECT e.id, e.v, c.cid,
+             round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      FROM e, cents c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crank
+      FROM scored
+    ),
+    corpus AS (SELECT id, v, cid FROM ranked WHERE crank = 1),
+    probes AS (
+      SELECT id AS query_id, v AS qv, cid FROM ranked
+      WHERE crank <= 2 AND id < 10
+    ),
+    sims AS (
+      SELECT query_id, corpus.id AS neighbor_id,
+             max(round(list_dot_product(qv, corpus.v) /
+                 (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(corpus.v, corpus.v))), 6)) AS sim
+      FROM corpus JOIN probes USING (cid)
+      WHERE corpus.id != probes.query_id
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM sims
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    # IVF-flat ANN: deterministic coarse quantizer (first-8 vectors),
+    # probe the 2 nearest inverted lists (operators/similarity.py).
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, lambda c: c < 10, k=5, n_lists=8, n_probe=2)

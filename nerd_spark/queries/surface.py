@@ -252,3 +252,47 @@ def fmp_score(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return fmp_pipeline(ev).select(F.col("entity").alias("user_id"), "fmp")
+
+
+@query(
+    "fmp_training_frame",
+    """
+    WITH cutoff AS (
+      SELECT max(ts) - INTERVAL 24 HOUR AS as_of FROM events
+    ),
+    past AS (
+      SELECT e.* FROM events e, cutoff WHERE e.ts <= cutoff.as_of
+    ),
+    daily AS (
+      SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM past GROUP BY 1, 2
+    ),
+    per_day AS (SELECT entity, d, sum(n) AS nd FROM daily GROUP BY 1, 2),
+    feat AS (
+      SELECT entity,
+             CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7 THEN nd ELSE 0 END) AS BIGINT) AS total7,
+             round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
+                   THEN nd * 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS ewma
+      FROM per_day, cutoff GROUP BY 1
+    ),
+    future AS (
+      SELECT DISTINCT user_id AS entity FROM events, cutoff WHERE ts > cutoff.as_of
+    )
+    SELECT f.entity AS user_id, f.total7, f.ewma,
+           CAST(CASE WHEN fu.entity IS NOT NULL THEN 1 ELSE 0 END AS INT) AS label
+    FROM feat f LEFT JOIN future fu ON f.entity = fu.entity
+    """,
+)
+def fmp_training_frame(spark, sf_dir):
+    # (reference: fmp_updater.py:527-575 — feature + 24h-label logging
+    # for model retraining; distributed here, see ml/fmp.py)
+    from nerd_spark.ml.fmp import training_frame
+
+    ev = t(spark, sf_dir, "events")
+    out = training_frame(ev)
+    return out.select(
+        F.col("entity").alias("user_id"),
+        "total7",
+        "ewma",
+        F.col("label").cast("int").alias("label"),
+    )
