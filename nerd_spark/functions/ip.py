@@ -17,19 +17,27 @@ from pyspark.sql import functions as F
 
 
 def ipstr2int(col: Column | str) -> Column:
-    """Dotted-quad string -> uint32 (as long).
+    """Dotted-quad string -> uint32 (as long); NULL when malformed.
 
-    aggregate(octets, acc -> acc*256 + octet) over split('.').
+    aggregate(octets, acc -> acc*256 + octet) over split('.'). The
+    reference's ipstr2int raises on malformed input
+    (common/utils.py:9-13 via inet_aton); in a column expression the
+    equivalent is NULL-out — '1.2.3', '1.2.3.4.5', octets > 255 or
+    non-numeric all yield NULL so bad IPs are droppable upstream
+    instead of silently mis-bucketing.
     """
     c = F.col(col) if isinstance(col, str) else col
-    # try_cast: malformed octets yield NULL instead of an ANSI runtime
-    # error (strings reach this expression before upstream filters in
-    # collapsed projections)
-    return F.aggregate(
-        F.split(c, r"\."),
+    octets = F.split(c, r"\.")
+    valid = (F.size(octets) == 4) & F.forall(
+        octets,
+        lambda x: x.rlike(r"^\d{1,3}$") & x.try_cast("long").between(0, 255),
+    )
+    raw = F.aggregate(
+        octets,
         F.lit(0).cast("long"),
         lambda acc, x: acc * 256 + x.try_cast("long"),
     )
+    return F.when(valid, raw)
 
 
 def int2ipstr(col: Column | str) -> Column:

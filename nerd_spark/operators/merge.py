@@ -146,9 +146,21 @@ def apply_op(rec: dict, op: str, key: str, params: dict) -> None:
             parent.pop(leaf, None)
     elif op == "next_step":
         # key = base + ((minimum - base) // step + 1) * step
-        # (next aligned schedule slot strictly after `minimum`)
+        # (next aligned schedule slot strictly after `minimum`).
+        # The reference reads base from the record itself via key_base
+        # ("key_base MUST exist in the record",
+        # update_manager.py:174-179); a literal `base` param remains as
+        # the columnar-path convenience.
         parent, leaf = _walk_parent(rec, key, create=True)
-        base = _num(params.get("base"))
+        if "key_base" in params:
+            base_v = _get_path(rec, params["key_base"])
+            if base_v is None:
+                raise KeyError(
+                    f"next_step: key_base {params['key_base']!r} not in record"
+                )
+            base = _num(base_v)
+        else:
+            base = _num(params.get("base"))
         minimum = _num(params.get("minimum"))
         step = _num(params.get("step")) or 1
         parent[leaf] = base + ((minimum - base) // step + 1) * step

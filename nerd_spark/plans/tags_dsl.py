@@ -356,6 +356,14 @@ class Compiler:
         # comparisons: mismatched/None comparisons -> False
         lc, lk = self.compile(node.left)
         rc, rk = self.compile(node.right)
+        # bool and num are mutually comparable (Python: True == 1);
+        # cast the bool side to int so `flag == 1` behaves as the
+        # reference interpreter does, not as lit(False)
+        if {lk, rk} == {"bool", "num"}:
+            if lk == "bool":
+                lc, lk = lc.cast("int"), "num"
+            else:
+                rc, rk = rc.cast("int"), "num"
         comparable = {lk, rk} <= {"num"} or {lk, rk} <= {"str"} or {lk, rk} <= {"bool"}
         if not comparable:
             # NERD: comparison raising (type mismatch / None) -> False;
@@ -431,6 +439,17 @@ def tag_table(
                 info.alias("info"),
             )
         )
+    if not outs:
+        # empty config -> empty table with the contract schema
+        schema = T.StructType(
+            [
+                T.StructField("entity", df.schema[entity_col].dataType),
+                T.StructField("tag", T.StringType()),
+                T.StructField("confidence", T.DoubleType()),
+                T.StructField("info", T.StringType()),
+            ]
+        )
+        return df.sparkSession.createDataFrame([], schema)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -40,16 +40,25 @@ def streaming_daily_counts(spark, sf_dir):
             F.date_format("w.start", "yyyy-MM-dd").alias("d"), "event_type", "n"
         )
     )
-    name = f"stream_daily_{uuid.uuid4().hex[:8]}"
+    # Update mode + foreachBatch appending to parquet: no complete-mode
+    # state replay and no driver-side materialization — the scale shape
+    # (state bounded by watermark, sink distributed). Counts only grow,
+    # so the final value per window is the max across emitted updates.
+    out_dir = tempfile.mkdtemp(prefix=f"nerd_spark_sdc_{uuid.uuid4().hex[:8]}_")
+
+    def sink(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="nerd_spark_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    # materialize so the result outlives the memory sink
-    rows = spark.table(name).collect()
-    return spark.createDataFrame(rows, spark.table(name).schema)
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("d", "event_type")
+        .agg(F.max("n").alias("n"))
+    )

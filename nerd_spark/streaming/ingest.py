@@ -40,29 +40,82 @@ def facts_from_batch(raw: DataFrame, as_of: Column | None = None) -> DataFrame:
     )
 
 
-def merge_facts(spark: SparkSession, increments: DataFrame, table_path: str) -> None:
+# Upper bound on date partitions one micro-batch may rewrite. The P10
+# acceptance window is [now-7d, now+5min], so a well-formed batch spans
+# <= 9 distinct dates; the slack covers explicit historical replays.
+MAX_TOUCHED_DATES = 64
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """Hadoop FileSystem handle for a path (works for file:// and hdfs://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def merge_facts(
+    spark: SparkSession,
+    increments: DataFrame,
+    table_path: str,
+    max_touched_dates: int = MAX_TOUCHED_DATES,
+) -> None:
     """Additive merge into the date-partitioned fact table.
 
     Parquet has no MERGE; since a micro-batch only touches its events'
     days (7-day acceptance window, P10), we rewrite just the affected
-    date partitions: read them, union the increments, re-aggregate,
-    dynamic-partition overwrite. At scale this is bounded by
-    (entities active in window) x 7 days, never the table's history.
+    date partitions. At scale this is bounded by (entities active in
+    window) x ~9 days, never the table's history — enforced by
+    ``max_touched_dates``.
+
+    Crash safety: the merged partitions are fully materialized into a
+    staging directory *before* anything destructive happens to the live
+    table (the naive read-modify-overwrite of the sole copy could lose
+    partitions on a mid-commit crash). The swap is then one directory
+    rename per touched date — each atomic on HDFS/posix — and a crash
+    mid-swap leaves every partition either old or new, never
+    half-written, with the staging copy intact for recovery. A real
+    deployment would put an ACID table format (Delta/Iceberg) here.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     inc = increments.withColumn("d", F.to_date("date"))
-    try:
-        existing = spark.read.parquet(table_path)
+    fs, live = _fs_and_path(spark, table_path)
+    if fs.exists(live):
+        # existence checked explicitly: any *other* read failure
+        # (corrupt footer, permissions, transient IO) must propagate
+        # rather than silently dropping history (ADVICE r01).
         dates = [r.d for r in inc.select("d").distinct().collect()]
+        if len(dates) > max_touched_dates:
+            raise ValueError(
+                f"merge_facts: batch touches {len(dates)} date partitions "
+                f"(> {max_touched_dates}); events outside the acceptance "
+                "window should have been filtered (P10) or replayed with "
+                "an explicit higher bound"
+            )
         if dates:
+            existing = spark.read.parquet(table_path)
             touched = existing.filter(F.col("d").isin(dates)).select(inc.columns)
             inc = inc.unionByName(touched)
-    except Exception:
-        pass  # first batch: nothing to merge
     merged = inc.groupBy("ip_int", "date", "node", "cats", "d").agg(
         F.sum("n").alias("n"), F.sum("conns").alias("conns")
     )
-    merged.write.mode("overwrite").partitionBy("d").parquet(table_path)
+    staging_path = table_path.rstrip("/") + ".staging"
+    sfs, staging = _fs_and_path(spark, staging_path)
+    if sfs.exists(staging):
+        sfs.delete(staging, True)
+    merged.write.mode("overwrite").partitionBy("d").parquet(staging_path)
+    if not fs.exists(live):
+        fs.rename(staging, live)
+        return
+    jvm = spark._jvm
+    for status in sfs.listStatus(staging):
+        name = status.getPath().getName()
+        if not name.startswith("d="):
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(live, name)
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        fs.rename(status.getPath(), dest)
+    sfs.delete(staging, True)
 
 
 def run_batch(

@@ -111,3 +111,16 @@ def test_text_functions(spark):
 def test_short_doc_shingles_empty(spark):
     df = spark.createDataFrame([("one two",)], ["text"])
     assert df.select(word_shingles("text", 3).alias("s")).first().s == []
+
+
+def test_ipstr2int_malformed_is_null(spark):
+    # reference's ipstr2int raises on malformed input (common/utils.py:9-13);
+    # the column form NULLs out instead of silently mis-bucketing
+    bad = ["1.2.3", "1.2.3.4.5", "1.2.3.256", "a.b.c.d", "", "10..0.1", "1.2.3.04x"]
+    good = {"0.0.0.0": 0, "10.0.0.1": 167772161, "1.2.3.004": 16909060}
+    df = spark.createDataFrame([(ip,) for ip in bad + list(good)], ["ip"])
+    rows = {r.ip: r.i for r in df.select("ip", ipstr2int("ip").alias("i")).collect()}
+    for ip in bad:
+        assert rows[ip] is None, ip
+    for ip, want in good.items():
+        assert rows[ip] == want, ip

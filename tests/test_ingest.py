@@ -114,3 +114,60 @@ def test_stream_matches_batch(spark, spool, tmp_path):
         for r in spark.read.parquet(facts_path).collect()
     }
     assert got == _expected_facts()
+
+
+def test_merge_facts_read_error_propagates_and_history_survives(spark, spool, tmp_path):
+    """A corrupt live table must fail the batch loudly (not silently
+    drop history, ADVICE r01) and leave the existing partitions intact
+    so a retry after the transient error succeeds."""
+    import os
+
+    facts_path = str(tmp_path / "facts")
+    as_of = F.to_timestamp(F.lit(AS_OF))
+    run_batch(spark, spool, facts_path, as_of=as_of)
+    before = {
+        (r.ip_int, r.date, r.node, r.cats, r.n, r.conns)
+        for r in spark.read.parquet(facts_path).collect()
+    }
+    # simulate a transient read failure: drop a corrupt parquet file
+    # into a live partition
+    part_dir = next(
+        d for d in os.listdir(facts_path) if d.startswith("d=2024-03-10")
+    )
+    junk = os.path.join(facts_path, part_dir, "zz-corrupt.parquet")
+    with open(junk, "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        run_batch(spark, spool, facts_path, as_of=as_of)
+    os.remove(junk)
+    # history intact; retry applies exactly one more increment
+    after_retry = run_batch(spark, spool, facts_path, as_of=as_of)
+    got = {
+        (r.ip_int, r.date, r.node, r.cats, r.n, r.conns)
+        for r in spark.read.parquet(facts_path).collect()
+    }
+    assert got == {(i, d, nd, c, n * 2, cn * 2) for i, d, nd, c, n, cn in before}
+
+
+def test_merge_facts_touched_partition_bound(spark, tmp_path):
+    """Batches spanning more dates than the acceptance window allows
+    are rejected with a clear error instead of rewriting the table."""
+    from nerd_spark.streaming.ingest import MAX_TOUCHED_DATES
+
+    facts_path = str(tmp_path / "facts_bound")
+    inc = spark.createDataFrame(
+        [(1, "2024-01-01", "n", "c", 1, 1)],
+        "ip_int long, date string, node string, cats string, n long, conns long",
+    )
+    merge_facts(spark, inc, facts_path)  # creates the table
+    many = spark.createDataFrame(
+        [
+            (1, f"2023-{m:02d}-{d:02d}", "n", "c", 1, 1)
+            for m in range(1, 13)
+            for d in range(1, 7)
+        ],
+        "ip_int long, date string, node string, cats string, n long, conns long",
+    )
+    assert many.select("date").distinct().count() > MAX_TOUCHED_DATES
+    with pytest.raises(ValueError, match="date partitions"):
+        merge_facts(spark, many, facts_path)

@@ -168,3 +168,17 @@ def test_merge_changelog_delete_and_passthrough(spark):
     out = {r.eid: json.loads(r.record) for r in merge_changelog(entities, changelog).collect()}
     assert set(out) == {"keep"}
     assert out["keep"]["n"] == 7
+
+
+def test_next_step_key_base_from_record():
+    # reference reads base from the record itself (update_manager.py:174-179)
+    rec = {"sched": {"base": 100}}
+    apply_op(
+        rec, "next_step", "t", {"key_base": "sched.base", "minimum": 130, "step": 20}
+    )
+    assert rec["t"] == 140
+    # key_base MUST exist in the record
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        apply_op(rec, "next_step", "t", {"key_base": "nosuch", "minimum": 1, "step": 1})

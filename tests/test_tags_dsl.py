@@ -128,3 +128,19 @@ def test_info_interpolation(spark, profile):
     col = interpolate_info("host {hostname} in {ctry}", profile)
     out = profile.select(col.alias("s")).collect()[0].s
     assert out == "host srv.example.com in CZ"
+
+
+def test_empty_config_returns_typed_empty(profile):
+    out = tag_table(profile, {})
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["entity", "tag", "confidence", "info"]
+
+
+def test_bool_num_comparison(spark):
+    # Python semantics: True == 1 -> True, False < 1 -> True (ADVICE r01)
+    df = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", None)], "entity string, flag boolean"
+    )
+    assert _eval(df, "flag == 1") == {"a": True, "b": False, "c": False}
+    assert _eval(df, "flag < 1") == {"a": False, "b": True, "c": False}
+    assert _eval(df, "1 == flag") == {"a": True, "b": False, "c": False}
