@@ -4,14 +4,23 @@ Images/audio/video are carried as BinaryType columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages. The decode libraries (PIL/ffmpeg/...) are NOT in
 this container, so the codec step is stubbed behind
-NotImplementedError with a deterministic fake feature extractor —
-the Spark-side plumbing (schema, batching, partition flow) is real
-and tested.
+NotImplementedError — the Spark-side plumbing (schema, batching,
+partition flow) is real and tested.
+
+Two feature paths:
+
+- ``extract_features`` — pure JVM column expressions (octet_length,
+  hex, aggregate over byte positions). This is the hot path: byte
+  accounting and checksums never need Python, so they stay inside
+  whole-stage codegen with zero serialization cost.
+- ``extract_features_codec`` — the Arrow-batched mapInPandas seam
+  where a real decoder (PIL/ffmpeg) plugs in. Kept as the extension
+  point; produces the same schema so the two are interchangeable.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import pandas as pd
 
@@ -25,8 +34,8 @@ FEATURE_SCHEMA = (
 
 def decode_image(payload: bytes):  # pragma: no cover - stub
     """STUB: real image decode needs PIL/libjpeg, absent here.
-    The plumbing around it (attach_payload -> extract_features) is the
-    tested surface; swap this in a real deployment."""
+    The plumbing around it (attach_payload -> extract_features_codec)
+    is the tested surface; swap this in a real deployment."""
     raise NotImplementedError("image codec not available in this environment")
 
 
@@ -37,26 +46,71 @@ def attach_payload(docs: DataFrame, text_col="text") -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads.
+    """Byte-level payload features as pure JVM column expressions.
 
-    Deterministic fake 'decode': byte length, first-4-bytes hex, and a
-    positional checksum (sum of byte*index mod 2^31) — stands in for
-    width/height/duration. One Arrow batch per partition chunk; no
-    shuffle.
+    n_bytes / head_hex / positional checksum (sum of 1-based-pos *
+    byte, mod 2^31) are all computable without leaving whole-stage
+    codegen: hex() exposes the bytes, aggregate() over a position
+    sequence folds the checksum. No Python, no Arrow transfer — the
+    mapInPandas seam (extract_features_codec) is reserved for real
+    codecs that genuinely need a library.
     """
+    payload = F.col("payload")
+    n = F.octet_length(payload).cast("long")
+    hexs = F.lower(F.hex(payload))
+    # byte at 1-based position i = conv(hex[2i-1 : 2i], 16, 10)
+    checksum = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1).cast("long"), n),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + i * F.conv(F.substr(hexs, (i - 1) * 2 + 1, F.lit(2)), 16, 10).cast(
+                "long"
+            ),
+        )
+        % F.lit(2**31)
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        n.alias("n_bytes"),
+        F.lower(F.hex(F.substr(payload, F.lit(1), F.lit(4)))).alias("head_hex"),
+        checksum.alias("checksum"),
+    )
+
+
+def extract_features_codec(
+    df: DataFrame, decode: Callable[[bytes], dict] | None = None
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — the seam
+    where a real codec (PIL / ffmpeg frame sampling) plugs in.
+
+    `decode(payload) -> {n_bytes, head_hex, checksum}` runs per blob
+    inside an Arrow batch; the default deterministic fake mirrors
+    extract_features exactly (equivalence is tested), standing in for
+    width/height/duration extraction. One Arrow batch per partition
+    chunk; no shuffle.
+    """
+
+    def _fake_decode(b: bytes) -> dict:
+        return {
+            "n_bytes": len(b),
+            "head_hex": bytes(b[:4]).hex(),
+            "checksum": sum((i + 1) * v for i, v in enumerate(b)) % (2**31),
+        }
+
+    dec = decode or _fake_decode
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            feats = pdf["payload"].map(dec)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "source": pdf["source"],
-                    "n_bytes": payloads.map(len),
-                    "head_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
-                    "checksum": payloads.map(
-                        lambda b: sum((i + 1) * v for i, v in enumerate(b)) % (2**31)
-                    ),
+                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
+                    "head_hex": feats.map(lambda d: d["head_hex"]),
+                    "checksum": feats.map(lambda d: d["checksum"]),
                 }
             )
 

@@ -91,6 +91,25 @@ def test_exports(spark, tmp_path):
     assert open(bl_txt).read().split() == ["10.0.0.1", "10.0.0.3"]
 
 
+def test_multimodal_jvm_equals_codec_path(spark):
+    """The JVM column path and the mapInPandas codec seam must produce
+    identical features (incl. empty and non-ascii payloads)."""
+    from nerd_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "a", "hello world"), (2, "a", ""), (3, "b", "café ☃"),
+         (4, "c", "x" * 300)],
+        "doc_id long, source string, text string",
+    )
+    payload = MM.attach_payload(docs)
+    jvm = {tuple(r) for r in MM.extract_features(payload).collect()}
+    codec = {tuple(r) for r in MM.extract_features_codec(payload).collect()}
+    assert jvm == codec
+    by_id = {r[0]: r for r in jvm}
+    assert by_id[2][2] == 0 and by_id[2][4] == 0  # empty payload
+    assert by_id[1][3] == "68656c6c"  # 'hell'
+
+
 def test_optimize_layout_roundtrip(spark, sf_dir, tmp_path):
     """Layout rewrite preserves contents exactly (incl. the events
     nanos-ts shim) while producing multi-file parallel-scannable
