@@ -19,6 +19,7 @@ from nerd_spark.queries.base import ORACLE, REGISTRY
 from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import relational  # noqa: E402,F401
+from nerd_spark.queries import reputationq  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 from nerd_spark.queries import surface  # noqa: E402,F401
 

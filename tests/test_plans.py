@@ -69,3 +69,40 @@ def test_prune_history(spark):
     ).select(F.to_date("d").alias("d"))
     kept = prune_history(df, now, max_age_days=90).collect()
     assert [str(r.d) for r in kept] == ["2024-05-30"]
+
+
+def test_partial_reputation_half_life(spark):
+    """Half-life decay and the nonlin saturation cap, checked against a
+    hand-computed value (reference: reputation.py:16-21,120-136)."""
+    import datetime
+
+    from nerd_spark.plans.reputation import SourceParams, partial_reputation
+
+    daily = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 10), 100), (1, datetime.date(2024, 1, 8), 3)],
+        "entity long, d date, num_events long",
+    )
+    as_of = spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 10, 12, 0),)], "as_of timestamp"
+    )
+    p = SourceParams(scale_events=2.0, date_range=4, time_decay="half_life",
+                     half_life=2.0)
+    [row] = partial_reputation(daily, as_of, p).collect()
+    # weights: age0=1, age2=0.5; denom = 1 + 2^-0.5 + 0.5 + 2^-1.5
+    # day age0: v/s = 50 > 20 -> exactly 1.0 (the cap)
+    denom = 1 + 0.5 ** 0.5 + 0.5 + 0.5 ** 1.5
+    expected = round((1.0 * 1 + (1 - 0.5 ** 1.5) * 0.5) / denom, 6)
+    assert row.rep == expected
+
+
+def test_combine_total_missing_source(spark):
+    """Entities absent from a source contribute rep_src=0 (factor 1),
+    as in the reference's rec.get(f"_rep_{mod}", 0)."""
+    from nerd_spark.plans.reputation import combine_total
+
+    a = spark.createDataFrame([(1, 0.5), (2, 0.2)], "entity long, r double")
+    b = spark.createDataFrame([(1, 0.4)], "entity long, r double")
+    out = {r.entity: r.rep for r in combine_total(
+        [(a, "s1", 1.0), (b, "s2", 0.5)]).collect()}
+    assert out[1] == round(1 - (1 - 0.5) * (1 - 0.4 * 0.5), 6)
+    assert out[2] == round(1 - (1 - 0.2), 6)
