@@ -212,87 +212,44 @@ def j4_range_join_bucketed(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "fmp_score",
-    """
-    WITH daily AS (
-      SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS n
-      FROM events GROUP BY 1, 2
-    ),
-    as_of AS (SELECT max(ts) AS as_of FROM events),
-    per_day AS (SELECT entity, d, sum(n) AS nd FROM daily GROUP BY 1, 2),
-    feat AS (
-      SELECT entity,
-             CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7 THEN nd ELSE 0 END) AS BIGINT) AS total7,
-             round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
-                   THEN nd * 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS ewma,
-             round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
-                   THEN 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS bin_ewma
-      FROM per_day, as_of GROUP BY 1
-    ),
-    pref AS (
-      SELECT entity // 5 AS prefix,
-             CAST(sum(total7) AS BIGINT) AS prefix_total7,
-             count(*) AS prefix_entities
-      FROM feat GROUP BY 1
-    )
-    SELECT f.entity AS user_id,
-           round(1.0 / (1.0 + exp(-(-2.0 + 0.02 * f.total7 + 0.5 * f.ewma
-                 + 1.0 * f.bin_ewma + 0.005 * p.prefix_total7
-                 - 0.05 * p.prefix_entities))), 6) AS fmp
-    FROM feat f JOIN pref p ON f.entity // 5 = p.prefix
-    """,
-)
+def _fmp_oracle(training: bool) -> str:
+    from nerd_spark.ml.fmp import fmp_oracle_sql
+
+    return fmp_oracle_sql(training=training)
+
+
+@query("fmp_score", _fmp_oracle(training=False))
 def fmp_score(spark, sf_dir):
     # (reference: NERDd/fmp_updater.py:577-646 — the daily full-
     # collection pandas pass, rebuilt as distributed feature stages +
-    # an Arrow-batched scoring UDF; the logistic stub stands in for
-    # the XGBoost model so the math is oracle-checkable)
-    from nerd_spark.ml.fmp import fmp_pipeline
+    # an Arrow-batched scoring UDF over the 34-feature parity vector;
+    # the logistic stub stands in for the XGBoost model so the math is
+    # oracle-checkable. The oracle SQL is generated from the same
+    # FEATURE_SPEC that drives the Spark assembly — one source of
+    # truth for features, transforms, and coefficients.)
+    from nerd_spark.ml.fmp import FEATURES, fmp_pipeline
 
     ev = t(spark, sf_dir, "events")
-    return fmp_pipeline(ev).select(F.col("entity").alias("user_id"), "fmp")
-
-
-@query(
-    "fmp_training_frame",
-    """
-    WITH cutoff AS (
-      SELECT max(ts) - INTERVAL 24 HOUR AS as_of FROM events
-    ),
-    past AS (
-      SELECT e.* FROM events e, cutoff WHERE e.ts <= cutoff.as_of
-    ),
-    daily AS (
-      SELECT user_id AS entity, CAST(ts AS DATE) AS d, count(*) AS n
-      FROM past GROUP BY 1, 2
-    ),
-    per_day AS (SELECT entity, d, sum(n) AS nd FROM daily GROUP BY 1, 2),
-    feat AS (
-      SELECT entity,
-             CAST(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7 THEN nd ELSE 0 END) AS BIGINT) AS total7,
-             round(sum(CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) < 7
-                   THEN nd * 0.25 * pow(0.75, date_diff('day', d, CAST(as_of AS DATE))) ELSE 0 END), 6) AS ewma
-      FROM per_day, cutoff GROUP BY 1
-    ),
-    future AS (
-      SELECT DISTINCT user_id AS entity FROM events, cutoff WHERE ts > cutoff.as_of
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    return fmp_pipeline(ev, cust, nat).select(
+        F.col("entity").alias("user_id"), *FEATURES, "fmp"
     )
-    SELECT f.entity AS user_id, f.total7, f.ewma,
-           CAST(CASE WHEN fu.entity IS NOT NULL THEN 1 ELSE 0 END AS INT) AS label
-    FROM feat f LEFT JOIN future fu ON f.entity = fu.entity
-    """,
-)
+
+
+@query("fmp_training_frame", _fmp_oracle(training=True))
 def fmp_training_frame(spark, sf_dir):
     # (reference: fmp_updater.py:527-575 — feature + 24h-label logging
-    # for model retraining; distributed here, see ml/fmp.py)
-    from nerd_spark.ml.fmp import training_frame
+    # for model retraining; here a forward-looking temporal split over
+    # the full 34-feature vector, see ml/fmp.py)
+    from nerd_spark.ml.fmp import FEATURES, training_frame
 
     ev = t(spark, sf_dir, "events")
-    out = training_frame(ev)
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    out = training_frame(ev, cust, nat)
     return out.select(
         F.col("entity").alias("user_id"),
-        "total7",
-        "ewma",
+        *FEATURES,
         F.col("label").cast("int").alias("label"),
     )
