@@ -255,9 +255,16 @@ def merge_changelog(
     changelog: (seq long, eid string, op string,
                 key string, params string)           — ops, JSON params
 
-    Returns the new full entity table (same schema). Keys untouched by
-    the changelog pass through; deleted records are dropped. One
-    shuffle on eid; per-key op order = ``seq`` ascending.
+    Returns the new full entity table (same schema). Per-key op order =
+    ``seq`` ascending.
+
+    O(changed-keys) plan: only entities whose key appears in the
+    changelog enter the Python cogroup — untouched rows pass through
+    JVM-side via an anti-join and never cross the Arrow boundary. With
+    a small changelog AQE turns the semi/anti joins into broadcasts,
+    so the per-micro-batch cost scales with the changelog, not the
+    entity-table cardinality (at 10^8 entities the previous
+    full-cogroup pass re-serialized every record through Python).
     """
 
     def merge_group(state_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -278,11 +285,15 @@ def merge_changelog(
             return pd.DataFrame({"eid": [], "record": []}, dtype=object)
         return pd.DataFrame({"eid": [eid], "record": [json.dumps(record, sort_keys=True)]})
 
-    return (
-        entities.groupBy("eid")
+    changed_keys = changelog.select("eid").distinct()
+    touched = entities.join(changed_keys, "eid", "left_semi")
+    untouched = entities.join(changed_keys, "eid", "left_anti")
+    merged = (
+        touched.groupBy("eid")
         .cogroup(changelog.groupBy("eid"))
         .applyInPandas(merge_group, MERGED_SCHEMA)
     )
+    return untouched.unionByName(merged)
 
 
 # ---------------------------------------------------------------------------

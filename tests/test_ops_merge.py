@@ -182,3 +182,25 @@ def test_next_step_key_base_from_record():
 
     with _pytest.raises(KeyError):
         apply_op(rec, "next_step", "t", {"key_base": "nosuch", "minimum": 1, "step": 1})
+
+
+def test_merge_changelog_untouched_stay_jvm_side(spark):
+    """The O(changed-keys) plan: untouched entities pass through via
+    anti-join; only changelog keys enter the Python cogroup."""
+    import json as _json
+
+    entities = spark.createDataFrame(
+        [(f"e{i}", _json.dumps({"_id": f"e{i}", "v": i})) for i in range(50)],
+        "eid string, record string",
+    )
+    changelog = spark.createDataFrame(
+        [(1, "e3", "add", "v", _json.dumps({"value": 100}))],
+        "seq long, eid string, op string, key string, params string",
+    )
+    out = merge_changelog(entities, changelog)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    rows = {r.eid: _json.loads(r.record) for r in out.collect()}
+    assert len(rows) == 50 and rows["e3"]["v"] == 103
+    # untouched record strings are byte-identical (no re-serialization)
+    assert rows["e7"] == {"_id": "e7", "v": 7}
