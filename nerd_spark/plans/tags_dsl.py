@@ -49,6 +49,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<num>\d+(?:\.\d+)?)
   | (?P<str>"[^"]*"|'[^']*')
+  | (?P<jsonpath>`[^`]*`)
   | (?P<op><=|>=|==|!=|<|>|\+|-|\*|/|\(|\)|\[|\]|,)
   | (?P<word>[A-Za-z_][\w.]*)
     """,
@@ -95,6 +96,14 @@ class Attr:
 @dataclass
 class ListLit:
     items: list
+
+
+@dataclass
+class JPath:
+    """Backtick JSONPath — evaluates to the *list* of matching values
+    (reference: tags.py:386-410 lexeme, :477-492 JSONPathExpr)."""
+
+    expr: str
 
 
 @dataclass
@@ -205,6 +214,9 @@ class Parser:
         if kind == "word":
             self.take()
             return Attr(text)
+        if kind == "jsonpath":
+            self.take()
+            return JPath(text[1:-1])
         if (kind, text) == ("op", "("):
             self.take()
             node = self.or_expr()
@@ -309,6 +321,9 @@ class Compiler:
                 return F.lit(None), "null"
             return F.col(node.path), _field_kind(dtype)
 
+        if isinstance(node, JPath):
+            return self._jsonpath(node.expr)
+
         if isinstance(node, Unary):  # not
             c, k = self.compile(node.operand)
             return ~self.as_bool(c, k), "bool"
@@ -317,6 +332,77 @@ class Compiler:
             return self._binary(node)
 
         raise TypeError(f"unknown AST node {node!r}")
+
+    @staticmethod
+    def _empty_arr() -> Column:
+        return F.array().cast("array<string>")
+
+    def _jsonpath(self, expr: str) -> tuple[Column, str]:
+        """Compile a backtick JSONPath to an array Column — the list of
+        matches, like the reference's jsonpath find (tags.py:477-492):
+        a missing path yields the EMPTY list (never None), so math
+        coercion gives 1 and truthiness gives False, exactly as the
+        interpreter's [] does (:957-971 with evaluate_mathematical).
+
+        Supported grammar (covers the shipped configs, e.g.
+        etc/tags.yml:172,178 ``'white' in `$.misp_events[*].tlp```):
+        ``$.a.b`` scalar path → 0/1-element list; ``$.a[*]`` array
+        projection; ``$.a.b[*].c.d`` field extraction across an array
+        (elements whose field is null are dropped — jsonpath only
+        returns existing values).
+        """
+        if not re.fullmatch(r"\$(?:\.\w+|\[\*\])*", expr):
+            raise ValueError(f"tags DSL: unsupported JSONPath {expr!r}")
+        segs = re.findall(r"\.(\w+)|\[(\*)\]", expr)
+        segs = [name or star for name, star in segs]
+        if segs.count("*") > 1:
+            raise ValueError(f"tags DSL: nested [*] unsupported in {expr!r}")
+        cur: T.DataType = self.schema
+        col: Column | None = None
+        i = 0
+        # struct-field prefix up to the first [*]
+        while i < len(segs) and segs[i] != "*":
+            name = segs[i]
+            if not (isinstance(cur, T.StructType) and name in cur.fieldNames()):
+                return self._empty_arr(), "arr"
+            cur = cur[name].dataType
+            col = F.col(".".join(segs[: i + 1]))
+            i += 1
+        if i == len(segs):  # scalar path -> list of 0/1 matches
+            if col is None:
+                return self._empty_arr(), "arr"
+            return (
+                F.when(col.isNotNull(), F.array(col)).otherwise(
+                    F.array().cast(T.ArrayType(cur))
+                ),
+                "arr",
+            )
+        # the [*] projection
+        if not isinstance(cur, T.ArrayType) or col is None:
+            return self._empty_arr(), "arr"
+        elem_type = cur.elementType
+        suffix = segs[i + 1 :]
+        if "*" in suffix:
+            raise ValueError(f"tags DSL: nested [*] unsupported in {expr!r}")
+        # validate the suffix against the element type
+        for name in suffix:
+            if not (
+                isinstance(elem_type, T.StructType)
+                and name in elem_type.fieldNames()
+            ):
+                return self._empty_arr(), "arr"
+            elem_type = elem_type[name].dataType
+
+        def extract(x: Column) -> Column:
+            for name in suffix:
+                x = x[name]
+            return x
+
+        out = F.filter(
+            F.transform(col, extract) if suffix else col,
+            lambda x: x.isNotNull(),
+        )
+        return F.coalesce(out, F.array().cast(T.ArrayType(elem_type))), "arr"
 
     def _binary(self, node: Binary) -> tuple[Column, str]:
         op = node.op

@@ -62,12 +62,17 @@ def p11_threat_categorization(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _PROFILE_SQL = """
+  per_cat AS (
+    SELECT user_id AS entity, event_type AS cat, count(*) AS n
+    FROM events GROUP BY 1, 2
+  ),
   profile AS (
-    SELECT user_id AS entity,
-           count(*) AS total,
-           count(*) FILTER (WHERE event_type = 'error') * 1.0 / count(*) AS err_share,
-           list_sort(list_distinct(list(event_type))) AS types
-    FROM events GROUP BY 1
+    SELECT entity,
+           CAST(sum(n) AS BIGINT) AS total,
+           sum(CASE WHEN cat = 'error' THEN n ELSE 0 END) * 1.0 / sum(n) AS err_share,
+           list_sort(list_distinct(list(cat))) AS types,
+           list_sort(list({'cat': cat, 'n': n})) AS events
+    FROM per_cat GROUP BY 1
   )
 """
 
@@ -75,6 +80,10 @@ _TAGS_CFG = {
     "heavy": {"condition": "total >= 80", "confidence": "total / 200", "info": "total={total}"},
     "error_prone": {"condition": "err_share > 0.25", "confidence": "err_share"},
     "multi_type": {"condition": "'purchase' in types and 'error' in types"},
+    # backtick JSONPath list variable over the nested events[] array
+    # (reference grammar tags.py:386-410,477-492; shipped usage shape
+    # etc/tags.yml:172,178)
+    "has_signup": {"condition": "'signup' in `$.events[*].cat`"},
 }
 
 
@@ -93,6 +102,9 @@ _TAGS_CFG = {
     SELECT entity, 'multi_type', 1.0, CAST(NULL AS VARCHAR)
     FROM profile
     WHERE list_contains(types, 'purchase') AND list_contains(types, 'error')
+    UNION ALL
+    SELECT entity, 'has_signup', 1.0, CAST(NULL AS VARCHAR)
+    FROM profile WHERE len(list_filter(events, e -> e.cat = 'signup')) > 0
     """,
 )
 def tags_rules(spark, sf_dir):
@@ -100,12 +112,17 @@ def tags_rules(spark, sf_dir):
     # lexer/parser/interpreter — here compiled to Column expressions,
     # see plans/tags_dsl.py)
     ev = t(spark, sf_dir, "events")
-    profile = ev.groupBy(F.col("user_id").alias("entity")).agg(
-        F.count("*").alias("total"),
+    per_cat = ev.groupBy(
+        F.col("user_id").alias("entity"), F.col("event_type").alias("cat")
+    ).agg(F.count("*").alias("n"))
+    profile = per_cat.groupBy("entity").agg(
+        F.sum("n").alias("total"),
         (
-            F.count(F.when(F.col("event_type") == "error", 1)) / F.count("*")
+            F.sum(F.when(F.col("cat") == "error", F.col("n")).otherwise(0))
+            / F.sum("n")
         ).alias("err_share"),
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.sort_array(F.collect_set("cat")).alias("types"),
+        F.sort_array(F.collect_list(F.struct("cat", "n"))).alias("events"),
     )
     return tag_table(profile, _TAGS_CFG).select(
         F.col("entity").alias("user_id"), "tag", "confidence", "info"

@@ -144,3 +144,56 @@ def test_bool_num_comparison(spark):
     assert _eval(df, "flag == 1") == {"a": True, "b": False, "c": False}
     assert _eval(df, "flag < 1") == {"a": False, "b": True, "c": False}
     assert _eval(df, "1 == flag") == {"a": True, "b": False, "c": False}
+
+
+def test_jsonpath_list_semantics(spark):
+    """Backtick JSONPath truth table (reference: tags.py:477-492
+    JSONPathExpr returns the match list; :957-971 [] is falsy;
+    Bop math coercion :550-563 gives any list -> 1)."""
+    from nerd_spark.plans.tags_dsl import condition_column, confidence_column
+
+    df = spark.createDataFrame(
+        [
+            (1, [("a", 1), ("b", 2)], 5),
+            (2, [("c", 3)], 5),
+            (3, [], 5),
+        ],
+        "id long, events array<struct<cat:string,n:long>>, x long",
+    )
+
+    def fire(cond):
+        return {r.id for r in df.filter(condition_column(cond, df)).collect()}
+
+    # membership over the projected list
+    assert fire("'a' in `$.events[*].cat`") == {1}
+    assert fire("'zz' in `$.events[*].cat`") == set()
+    assert fire("'a' not in `$.events[*].cat`") == {2, 3}
+    # list truthiness: empty -> False
+    assert fire("`$.events[*]`") == {1, 2}
+    assert fire("not `$.events[*].cat`") == {3}
+    # scalar path -> 0/1-element list, truthy when present
+    assert fire("`$.x`") == {1, 2, 3}
+    assert fire("5 in `$.x`") == {1, 2, 3}
+    # missing path -> empty list: falsy, but 1 in math (list -> 1)
+    assert fire("`$.nope[*].y`") == set()
+    conf = {
+        r.id: r.c
+        for r in df.select(
+            "id", confidence_column("`$.events[*].cat` + 1", df).alias("c")
+        ).collect()
+    }
+    assert conf == {1: 2.0, 2: 2.0, 3: 2.0}  # list -> 1 in arithmetic
+    # comparison list vs scalar -> False (Python semantics)
+    assert fire("`$.events[*].cat` == 1") == set()
+
+
+def test_jsonpath_rejects_bad_paths(spark):
+    from nerd_spark.plans.tags_dsl import parse, Compiler
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    comp = Compiler(T.StructType([]))
+    with _pytest.raises(ValueError):
+        comp.compile(parse("`events[*]`"))  # must start with $
+    with _pytest.raises(ValueError):
+        comp.compile(parse("`$.a[*].b[*]`"))  # nested [*] unsupported
