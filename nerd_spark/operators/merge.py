@@ -182,6 +182,10 @@ def apply_op(rec: dict, op: str, key: str, params: dict) -> None:
             elem = dict(query)
             arr.append(elem)
         for sub_op, sub_key, sub_params in params.get("ops") or []:
+            # wire format carries nested params JSON-encoded (the
+            # changelog columns are typed strings, e.g. sources/intel.py)
+            if isinstance(sub_params, str):
+                sub_params = json.loads(sub_params)
             apply_op(elem, sub_op, sub_key, sub_params or {})
     elif op == "array_remove":
         parent, leaf = _walk_parent(rec, key, create=False)

@@ -270,3 +270,129 @@ def fmp_training_frame(spark, sf_dir):
         *FEATURES,
         F.col("label").cast("int").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — MISP/OTX threat-intel batch parsers
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_misp_export(spark, sf_dir):
+    """Deterministic MISP event export synthesized from the signup
+    rows of `events`: event id = props.k % 30 (event-level fields are
+    functions of the id), one IP attribute per row with the attribute
+    type cycling through the four forms the receiver parses."""
+    from nerd_spark.functions.ip import int2ipstr
+    from nerd_spark.ml.fmp import IP_BASE, IP_STRIDE
+
+    s = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.get_json_object("props", "$.k").cast("long") % 30).alias("mid"),
+        )
+        .withColumn("ipint", F.lit(IP_BASE) + F.col("user_id") * IP_STRIDE)
+        .withColumn("ipstr", int2ipstr("ipint"))
+        .withColumn("tform", F.col("user_id") % 4)
+    )
+    attr_type = (
+        F.when(F.col("tform") == 0, "ip-src")
+        .when(F.col("tform") == 1, "ip-dst")
+        .when(F.col("tform") == 2, "ip-src|port")
+        .otherwise("domain|ip")
+    )
+    attr_value = (
+        F.when(F.col("tform") == 2, F.concat("ipstr", F.lit("|443")))
+        .when(F.col("tform") == 3, F.concat(F.lit("example.com|"), "ipstr"))
+        .otherwise(F.col("ipstr"))
+    )
+    attrs = F.struct(
+        F.col("event_id").cast("string").alias("id"),
+        attr_type.alias("type"),
+        attr_value.alias("value"),
+        (F.col("user_id") % 10 == 0).alias("deleted"),
+    )
+    mid = F.col("mid")
+    tags = F.when(
+        mid % 3 == 0,
+        F.array(F.struct(F.lit("tlp:white").alias("name"), F.lit("#fff").alias("colour"))),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.concat(F.lit("t"), mid.cast("string")).alias("name"),
+                F.lit("#0f0").alias("colour"),
+            )
+        )
+    )
+    return (
+        s.withColumn("attribute", attrs)
+        .groupBy("mid")
+        .agg(
+            F.min(F.to_date("ts")).alias("date"),
+            F.min(F.unix_timestamp("ts")).alias("timestamp"),
+            F.sort_array(F.collect_list("attribute")).alias("attributes"),
+        )
+        .select(
+            mid.cast("string").alias("id"),
+            F.concat(F.lit("org"), (mid % 5).cast("string")).alias("orgc"),
+            F.concat(F.lit("ev"), mid.cast("string")).alias("info"),
+            "date",
+            "timestamp",
+            (F.lit(1) + mid % 4).cast("string").alias("threat_level_id"),
+            tags.alias("tags"),
+            "attributes",
+        )
+    )
+
+
+@query(
+    "s4_misp_upserts",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CAST(json_extract(props, '$.k') AS BIGINT) % 30 AS mid,
+             167772160 + user_id * 97 AS ipint,
+             user_id % 4 AS tform
+      FROM events WHERE event_type = 'signup'
+    ),
+    ev AS (
+      SELECT mid, min(CAST(ts AS DATE)) AS d,
+             min(CAST(floor(epoch(ts)) AS BIGINT)) AS tstamp
+      FROM s GROUP BY 1
+    )
+    SELECT
+      (ipint // 16777216)::VARCHAR || '.' || ((ipint // 65536) % 256)::VARCHAR
+        || '.' || ((ipint // 256) % 256)::VARCHAR || '.' || (ipint % 256)::VARCHAR AS ip,
+      mid::VARCHAR AS event_id,
+      'org' || (mid % 5)::VARCHAR AS org_created,
+      'ev' || mid::VARCHAR AS info,
+      CASE WHEN tform IN (0, 2) THEN 'src' ELSE 'dst' END AS role,
+      CASE WHEN mid % 3 = 0 THEN 'white' ELSE 'green' END AS tlp,
+      CASE WHEN mid % 3 = 0 THEN '' ELSE 't' || mid::VARCHAR END AS tag_names,
+      CASE (1 + mid % 4) WHEN 1 THEN 'High' WHEN 2 THEN 'Medium'
+           WHEN 3 THEN 'Low' ELSE 'Undefined' END AS threat_level,
+      strftime(ev.d, '%Y-%m-%d') AS date,
+      CAST(to_timestamp(ev.tstamp) AS TIMESTAMP) AS last_change
+    FROM s JOIN ev USING (mid)
+    WHERE user_id % 10 != 0
+    """,
+)
+def s4_misp_upserts(spark, sf_dir):
+    # (reference: NERDd/misp_receiver.py:184-312 — event parse, IP
+    # extraction per attribute type, tlp from tags, threat-level map,
+    # per-IP array_upsert payloads; batch-parsed here from an exported
+    # event frame, see sources/intel.py)
+    from nerd_spark.sources.intel import parse_misp_events
+
+    export = _synthetic_misp_export(spark, sf_dir)
+    out = parse_misp_events(export)
+    return out.select(
+        "ip", "event_id", "org_created", "info", "role", "tlp",
+        F.array_join("tag_names", "|").alias("tag_names"),
+        "threat_level",
+        F.col("date").cast("string").alias("date"),
+        "last_change",
+    )

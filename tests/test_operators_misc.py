@@ -125,3 +125,76 @@ def test_optimize_layout_roundtrip(spark, sf_dir, tmp_path):
     b = {(r.event_id, r.ts, r.user_id, r.value) for r in dst.collect()}
     assert a == b
     assert read_table(spark, out, "nation").count() == 25
+
+
+def test_misp_changelog_merges_into_record(spark):
+    """MISP parse -> wire changelog -> document merge: array_upsert
+    keyed by (misp_instance, event_id) dedups re-received events and
+    updates fields in place; _ttl.misp / last_activity setmax'd."""
+    import json as _json
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.sources.intel import MISP_SCHEMA, misp_changelog
+
+    import datetime as dt
+
+    d = dt.date(2024, 3, 1)
+    export = spark.createDataFrame(
+        [
+            (
+                "101", "orgA", "campaign X", d, 1709290000, "2",
+                [("tlp:white", "#fff")],
+                [("1", "ip-src", "10.0.0.1", False),
+                 ("2", "ip-dst|port", "10.0.0.2|443", False),
+                 ("3", "domain|ip", "evil.example|10.0.0.1", False),
+                 ("4", "ip-src", "10.0.0.9", True)],
+            ),
+            # same event re-received with a new info string
+            (
+                "101", "orgA", "campaign X (updated)", d,
+                1709290001, "2", [], [("1", "ip-src", "10.0.0.1", False)],
+            ),
+        ],
+        MISP_SCHEMA,
+    )
+    ch = misp_changelog(export).withColumn("seq", F.col("seq") + 0)
+    entities = spark.createDataFrame([], "eid string, record string")
+    out = {r.eid: _json.loads(r.record) for r in merge_changelog(entities, ch).collect()}
+    assert set(out) == {"10.0.0.1", "10.0.0.2"}  # deleted attr dropped
+    rec = out["10.0.0.1"]
+    evs = rec["misp_events"]
+    assert len(evs) == 1  # upsert dedup by (misp_instance, event_id)
+    assert evs[0]["event_id"] == "101" and evs[0]["threat_level"] == "Medium"
+    assert rec["_ttl"]["misp"] >= "2024-03-01"
+    # both src (ip-src) and dst (domain|ip) roles observed; last writer
+    # wins on the role field inside the single upserted element
+    assert evs[0]["role"] in ("src", "dst")
+    assert "campaign X" in evs[0]["info"]
+
+
+def test_otx_changelog_merges_into_record(spark):
+    import json as _json
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.sources.intel import OTX_SCHEMA, otx_changelog
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    export = spark.createDataFrame(
+        [
+            (
+                "p1", "ssh scan", "alice", ts, ts,
+                [("10.1.0.1", "IPv4", ts, None, "scanner", "ssh"),
+                 ("10.1.0.2", "IPv4", ts, ts, "scanner", "ssh"),
+                 ("bad.example", "domain", ts, None, "c2", "dns")],
+            ),
+        ],
+        OTX_SCHEMA,
+    )
+    ch = otx_changelog(export)
+    entities = spark.createDataFrame([], "eid string, record string")
+    out = {r.eid: _json.loads(r.record) for r in merge_changelog(entities, ch).collect()}
+    assert set(out) == {"10.1.0.1", "10.1.0.2"}  # non-IPv4 indicator skipped
+    p = out["10.1.0.1"]["otx_pulses"][0]
+    assert p["pulse_id"] == "p1" and p["author_name"] == "alice"
+    assert out["10.1.0.1"]["_ttl"]["otx"] == "2024-03-31"
