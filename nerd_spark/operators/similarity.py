@@ -117,6 +117,60 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iter: int = 5,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> list[list[float]]:
+    """Deterministic spherical-k-means coarse quantizer training.
+
+    Init = first n_lists corpus vectors by id (deterministic, no RNG);
+    each Lloyd iteration assigns every vector to its nearest centroid
+    by cosine (the same metric the IVF search uses) and recomputes
+    centroids as per-dimension means via posexplode + groupBy — fully
+    distributed; only the (n_lists × dim) centroid table ever reaches
+    the driver, broadcast back each round. Empty clusters keep their
+    previous centroid.
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    cents = [
+        list(r.v)
+        for r in e.orderBy("id").limit(n_lists).collect()
+    ]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+        )
+        scored = e.crossJoin(F.broadcast(cdf)).select(
+            "id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("csim")
+        )
+        w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+        assigned = scored.withColumn("crank", F.row_number().over(w)).filter(
+            F.col("crank") == 1
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = dict((r.cid, list(r.cv)) for r in means)
+        cents = [new.get(i, cents[i]) for i in range(n_lists)]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred,
@@ -125,21 +179,29 @@ def ivf_topk(
     n_probe: int = 2,
     id_col="vec_id",
     vec_col="embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a coarse quantizer partitions the
     corpus into inverted lists; queries scan only their n_probe
     nearest lists.
 
-    The coarse centroids are the first n_lists corpus vectors —
-    deterministic (no k-means iterations), which keeps the structure
-    oracle-checkable; swap in trained centroids for recall. At scale
-    the corpus is stored bucketed by list id, so a query touches
-    n_probe/n_lists of the data with no shuffle of the corpus.
+    Default coarse centroids are the first n_lists corpus vectors —
+    deterministic with no training pass, which keeps the structure
+    oracle-checkable; pass ``centroids`` (e.g. from
+    :func:`kmeans_centroids`) for recall. At scale the corpus is
+    stored bucketed by list id, so a query touches n_probe/n_lists of
+    the data with no shuffle of the corpus.
     """
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    cents = e.filter(F.col("id") < n_lists).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv")
-    )
+    if centroids is not None:
+        cents = embeddings.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid long, cv array<double>",
+        )
+    else:
+        cents = e.filter(F.col("id") < n_lists).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        )
     # assign every vector to its nearest centroid (rank 1), queries to
     # their n_probe nearest lists
     scored = e.crossJoin(F.broadcast(cents)).select(
@@ -170,3 +232,19 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Mean per-query recall of `approx` against the exact top-k
+    (both in (query_id, neighbor_id, ...) shape)."""
+    a = approx.select("query_id", "neighbor_id")
+    e = exact.select("query_id", "neighbor_id")
+    hit = a.join(e, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "query_id"
+    ).count().withColumnRenamed("count", "hits")
+    tot = e.groupBy("query_id").count().withColumnRenamed("count", "total")
+    per_q = tot.join(hit, "query_id", "left").select(
+        (F.coalesce("hits", F.lit(0)) / F.col("total")).alias("r")
+    )
+    row = per_q.agg(F.avg("r").alias("recall")).collect()[0]
+    return float(row.recall)

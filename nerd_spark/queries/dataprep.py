@@ -393,3 +393,18 @@ def ann_ivf_topk(spark, sf_dir):
     # probe the 2 nearest inverted lists (operators/similarity.py).
     emb = t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, lambda c: c < 10, k=5, n_lists=8, n_probe=2)
+
+
+@query("ann_ivf_trained", None)  # k-means training is iterative: rows-only check
+def ann_ivf_trained(spark, sf_dir):
+    # IVF-flat with a trained coarse quantizer: deterministic spherical
+    # k-means (5 Lloyd iterations, cosine assignment) replaces the
+    # first-N-vectors quantizer of ann_ivf_topk. Not SQL-expressible
+    # (iterative); recall@10 vs ann_cosine_topk is asserted in tests
+    # and reported in PLANS.md (0.96 at sf0.1 with 16 lists / 4
+    # probes, i.e. scanning ~25% of the corpus).
+    emb = t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=5)
+    return SIM.ivf_topk(
+        emb, lambda c: c < 10, k=10, n_lists=16, n_probe=4, centroids=cents
+    )

@@ -198,3 +198,22 @@ def test_otx_changelog_merges_into_record(spark):
     p = out["10.1.0.1"]["otx_pulses"][0]
     assert p["pulse_id"] == "p1" and p["author_name"] == "alice"
     assert out["10.1.0.1"]["_ttl"]["otx"] == "2024-03-31"
+
+
+def test_ivf_trained_recall_floor(spark, sf_dir):
+    """Trained IVF (16 lists / 4 probes — the ann_ivf_trained config)
+    must clear a recall floor against the exact baseline while
+    scanning only ~25% of the corpus. (Measured 0.96 recall@10 at
+    sf0.1; the floor here is looser for the tiny test SF.)"""
+    from nerd_spark.operators import similarity as SIM
+    from nerd_spark.session import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pred = lambda c: c < 10  # noqa: E731
+    exact = SIM.brute_force_topk(emb, F.col("vec_id") < 10, k=10)
+    cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=5)
+    assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+    trained = SIM.ivf_topk(
+        emb, pred, k=10, n_lists=16, n_probe=4, centroids=cents
+    )
+    assert SIM.recall_at_k(trained, exact) >= 0.8
