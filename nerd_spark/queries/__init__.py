@@ -18,6 +18,7 @@ from nerd_spark.queries.base import ORACLE, REGISTRY
 # Importing the family modules populates the registry.
 from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
+from nerd_spark.queries import recordq  # noqa: E402,F401
 from nerd_spark.queries import relational  # noqa: E402,F401
 from nerd_spark.queries import reputationq  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401

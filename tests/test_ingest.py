@@ -171,3 +171,91 @@ def test_merge_facts_touched_partition_bound(spark, tmp_path):
     assert many.select("date").distinct().count() > MAX_TOUCHED_DATES
     with pytest.raises(ValueError, match="date partitions"):
         merge_facts(spark, many, facts_path)
+
+
+def test_typed_ip_records_match_document_fold(spark, tmp_path):
+    """§3.1 end to end at the typed schema: IDEA JSON files -> parse ->
+    explode -> build_ip_records (typed IP_SCHEMA), cross-checked
+    against the §2.4 document-merge fold of the equivalent
+    array_upsert changelog."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.plans.ip_record import build_ip_records
+    from nerd_spark.sources.idea import (
+        explode_source_ips,
+        parse_idea,
+        read_idea_batch,
+    )
+
+    def idea(i, ips, cats, node, dt, conns=None):
+        return {
+            "ID": f"e{i}",
+            "DetectTime": dt,
+            "Category": cats,
+            "Node": [{"Name": "ignored"}, {"Name": node}],
+            "Source": [{"IP4": ips}],
+            **({"ConnCount": conns} if conns else {}),
+        }
+
+    msgs = [
+        idea(1, ["10.0.0.1"], ["Recon.Scanning"], "cz.n1", "2024-03-10T10:00:00Z", 5),
+        idea(2, ["10.0.0.1", "10.0.0.2"], ["Recon.Scanning"], "cz.n1",
+             "2024-03-10T11:00:00Z"),
+        idea(3, ["10.0.0.1"], ["Attempt.Login"], "cz.n2", "2024-03-11T09:00:00Z", 2),
+        idea(4, ["10.0.0.2"], ["Recon.Scanning"], "cz.n2", "2024-03-12T23:59:00Z"),
+    ]
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for m in msgs:
+        (spool / f"{m['ID']}.json").write_text(json.dumps(m))
+
+    as_of = spark.createDataFrame(
+        [("2024-03-13 00:00:00",)], "as_of string"
+    ).select(F.col("as_of").cast("timestamp"))
+    exploded = explode_source_ips(
+        parse_idea(read_idea_batch(spark, str(spool)), as_of=F.lit("2024-03-13 00:00:00").cast("timestamp"))
+    )
+    recs = {
+        r._id: r
+        for r in build_ip_records(exploded, as_of, profile_min_total=1).collect()
+    }
+
+    # document-merge fold of the same rows (warden_receiver.py:551-578)
+    rows = exploded.collect()
+    ch = []
+    for i, r in enumerate(rows):
+        ch.append((i * 2, str(r.ip_int), "array_upsert", "events", json.dumps({
+            "query": {"date": r.date, "node": r.node, "cat": r.cats},
+            "ops": [["add", "n", {"value": 1}], ["add", "conns", {"value": r.conns}]],
+        })))
+        ch.append((i * 2 + 1, str(r.ip_int), "add", "events_meta.total",
+                   json.dumps({"value": 1})))
+    changelog = spark.createDataFrame(
+        ch, "seq long, eid string, op string, key string, params string"
+    )
+    entities = spark.createDataFrame([], "eid string, record string")
+    folded = {
+        int(r.eid): json.loads(r.record)
+        for r in merge_changelog(entities, changelog).collect()
+    }
+
+    assert set(recs) == set(folded)
+    for eid, rec in recs.items():
+        doc = folded[eid]
+        got = {(e.date, e.node, e.cat, e.n, e.conns) for e in rec.events}
+        want = {
+            (e["date"], e["node"], e["cat"], e["n"], e["conns"])
+            for e in doc["events"]
+        }
+        assert got == want, f"events mismatch for {eid}"
+        assert rec.events_meta.total == doc["events_meta"]["total"]
+    # spot-check the derived meta for 10.0.0.1 (ip_int 167772161):
+    r1 = recs[167772161]
+    assert r1.events_meta.total == 3 and r1.events_meta.total1 == 0
+    assert r1.events_meta.nodes_30d == 2
+    assert r1.events_meta.types == ["AttemptLogin", "ReconScanning"]
+    assert r1._ttl["warden"].strftime("%Y-%m-%d") == "2024-03-25"
+    assert 0.0 < r1.rep < 1.0
