@@ -28,6 +28,14 @@ EXPECT = {
     # small-dim range join -> broadcast nested loop with codegen'd BETWEEN
     "j4_range_join": ["BroadcastNestedLoopJoin"],
     "a2_window_totals": ["HashAggregate"],
+    # round 2: FMP assembly — dims broadcast, prefix join-back hashed,
+    # scoring via Arrow-batched pandas UDF (no row-at-a-time Python)
+    "fmp_score": ["BroadcastHashJoin", "ArrowEvalPython", "HashAggregate"],
+    # multi-source reputation reuses ONE base-rollup exchange across
+    # all five extractor branches
+    "a7_total_multi": ["ReusedExchange", "HashAggregate"],
+    # typed record pipeline: partial/final agg + broadcast as_of
+    "ip_records": ["HashAggregate", "BroadcastNestedLoopJoin"],
 }
 
 
@@ -39,7 +47,10 @@ def main() -> int:
     spark = get_spark(app_name="explain_audit")
     failures = []
     for name, marks in EXPECT.items():
-        plan = REGISTRY[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = REGISTRY[name](spark, sf_dir)
+        df.collect()  # finalize AQE so runtime re-plans (ReusedExchange,
+        # coalesced shuffles, switched join strategies) are visible
+        plan = df._jdf.queryExecution().executedPlan().toString()
         for m in marks:
             ok = m in plan
             print(("OK  " if ok else "MISS") + f" {name}: {m}")

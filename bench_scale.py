@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Two-point scaling curve: replicate the sf dir N× (key-shifted) and
+run the same headline bench at both scale points.
+
+Purpose (PLANS.md "Scaling curve"): separate Spark's fixed per-query
+session floor from the data-dependent cost. If t(sf) ≈ c + m·rows,
+then t(10×) − t(1×) ≈ 9·m·rows — the slope is the number that must
+stay sane at 1000 executors, the constant amortizes away.
+
+Usage: python bench_scale.py [replicas]   (default 10)
+Prints one JSON line per scale point, same shape as bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import HEADLINE  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# key column shifts per replica (others copied verbatim; small dims
+# nation/region/supplier/part stay 1x — they are broadcast sides)
+SHIFTS = {
+    "events": {"event_id": 10**9, "user_id": 10**4},
+    "documents": {"doc_id": 10**7},
+    "embeddings": {"vec_id": 10**6},
+    "lineitem": {"l_orderkey": 10**9},
+    "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
+    "customer": {"c_custkey": 10**7},
+}
+COPY = ["nation", "region", "supplier", "part"]
+
+
+def replicate(spark, src: str, dst: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    from nerd_spark.session import read_table
+
+    for name in COPY:
+        read_table(spark, src, name).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+    for name, shifts in SHIFTS.items():
+        df = read_table(spark, src, name)
+        if "ts_ns" in df.columns:
+            df = df.drop("ts_ns")
+        parts = []
+        for r in range(replicas):
+            p = df
+            for col, step in shifts.items():
+                p = p.withColumn(col, F.col(col) + F.lit(r * step))
+            if name == "documents" and r > 0:
+                # keep replicas textually distinct — exact copies would
+                # make every doc a 10-way near-duplicate and the dedup
+                # measurement would time genuine quadratic OUTPUT
+                # growth instead of scaling on 10x distinct docs
+                p = p.withColumn(
+                    "text", F.concat("text", F.lit(f" replica{r}marker"))
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+
+
+def run_headline(spark, data_dir: str) -> dict[str, float]:
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.session import read_table
+
+    for name in (
+        "lineitem orders customer nation region events documents embeddings".split()
+    ):
+        read_table(spark, data_dir, name).count()
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name](spark, data_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from nerd_spark.session import get_spark
+    from nerd_spark.sources.layout import optimize_layout
+
+    spark = get_spark(app_name="nerd_spark_bench_scale")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    opt1 = tempfile.mkdtemp(prefix="nerd_scale_1x_")
+    optimize_layout(spark, SF_DIR, opt1)
+    t1 = run_headline(spark, opt1)
+    print(json.dumps({"metric": "headline_total", "scale": "1x",
+                      "value": round(sum(t1.values()), 3), "unit": "sec",
+                      "queries": t1}))
+
+    raw = tempfile.mkdtemp(prefix=f"nerd_scale_{replicas}x_raw_")
+    replicate(spark, SF_DIR, raw, replicas)
+    big = tempfile.mkdtemp(prefix=f"nerd_scale_{replicas}x_")
+    # same ingest-time layout pass as the 1x point — otherwise the
+    # replicated tables are N single-row-group files and the scan
+    # parallelism comparison is apples-to-oranges
+    optimize_layout(spark, raw, big, scale=replicas)
+    tN = run_headline(spark, big)
+    print(json.dumps({"metric": "headline_total", "scale": f"{replicas}x",
+                      "value": round(sum(tN.values()), 3), "unit": "sec",
+                      "queries": tN}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -76,3 +76,116 @@ def parse_dshield(feed: DataFrame, min_reports: int = 5) -> DataFrame:
         .filter(F.col("reports") >= min_reports)
         .withColumn("ip_int", ipstr2int("ip"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 second half: fetch + bl[] changelog + refresh scheduling
+# (reference: NERDd/blacklists.py:44-101 download, :150-189 update
+# ops, :283-303 cron scheduling)
+# ---------------------------------------------------------------------------
+
+
+def fetch_blacklist_lines(spark, source: str) -> DataFrame:
+    """Fetch one blacklist feed as a lines DataFrame.
+
+    Local paths/globs read via spark.read.text (the testable path —
+    a cron'd downloader drops files there, exactly like the warden
+    spool). http(s):// URLs fetch via `requests` when available; this
+    container has no network stack for it, so the seam raises with
+    guidance instead of silently returning nothing
+    (reference download_blacklist: blacklists.py:44-58)."""
+    if source.startswith(("http://", "https://")):
+        try:  # pragma: no cover - network path, absent here
+            import requests
+
+            text = requests.get(source, timeout=60).text
+            return spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "value string"
+            )
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "HTTP blacklist fetch needs `requests`; mirror the feed "
+                "to a local file and pass its path instead"
+            ) from e
+    return spark.read.text(source)
+
+
+def blacklist_changelog(
+    parsed: DataFrame, bl_id: str, download_time: str, life_length_days: int = 3
+) -> DataFrame:
+    """Parsed (bl_id, ip, ip_int) rows -> merge wire-format ops
+    (blacklists.py:168-186): per IP
+      setmax _ttl.bl  = download_time + life_length
+      array_upsert bl {n: id} [set v 1, set t download, append h download]
+    so re-fetches flip v back to 1, refresh t, and extend the
+    presence-history array."""
+    ttl = F.to_json(
+        F.struct(
+            (
+                F.to_timestamp(F.lit(download_time))
+                + F.expr(f"INTERVAL {life_length_days} DAYS")
+            )
+            .cast("string")
+            .alias("value")
+        )
+    )
+    upsert = F.to_json(
+        F.struct(
+            F.struct(F.lit(bl_id).alias("n")).alias("query"),
+            F.array(
+                F.array(F.lit("set"), F.lit("v"), F.lit('{"value": 1}')),
+                F.array(
+                    F.lit("set"), F.lit("t"),
+                    F.to_json(F.struct(F.lit(download_time).alias("value"))),
+                ),
+                F.array(
+                    F.lit("append"), F.lit("h"),
+                    F.to_json(F.struct(F.lit(download_time).alias("value"))),
+                ),
+            ).alias("ops"),
+        )
+    )
+    rows = parsed.select(
+        F.col("ip").alias("eid"),
+        F.lit("array_upsert").alias("op"),
+        F.lit("bl").alias("key"),
+        upsert.alias("params"),
+        ttl.alias("p_ttl"),
+    )
+    out = rows.select("eid", "op", "key", "params").unionByName(
+        rows.select(
+            "eid", F.lit("setmax").alias("op"), F.lit("_ttl.bl").alias("key"),
+            F.col("p_ttl").alias("params"),
+        )
+    )
+    return out.withColumn("seq", F.monotonically_increasing_id()).select(
+        "seq", "eid", "op", "key", "params"
+    )
+
+
+def next_refresh_epoch(
+    now_epoch: int, interval_s: int, base_epoch: int = 0
+) -> int:
+    """Next aligned refresh slot strictly after `now` — the next_step
+    op arithmetic (update_manager.py:174-179) applied to feed
+    scheduling, replacing the in-process CronTrigger loop
+    (blacklists.py:283-303); an external cron/Airflow tick fires jobs
+    whose slot has passed."""
+    return base_epoch + ((now_epoch - base_epoch) // interval_s + 1) * interval_s
+
+
+def refresh_plan(
+    feeds: list[dict], now_epoch: int
+) -> list[tuple[str, int]]:
+    """[{id, interval_s, base_epoch?}] -> [(id, next_fire_epoch)],
+    sorted by fire time then id (deterministic)."""
+    plan = [
+        (
+            f["id"],
+            next_refresh_epoch(
+                now_epoch, int(f["interval_s"]), int(f.get("base_epoch", 0))
+            ),
+        )
+        for f in feeds
+    ]
+    return sorted(plan, key=lambda x: (x[1], x[0]))

@@ -37,16 +37,25 @@ _LAYOUT = {
 
 
 def optimize_layout(
-    spark: SparkSession, sf_dir: str, out_dir: str, tables: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    tables: list[str] | None = None,
+    scale: int = 1,
 ) -> None:
     """Rewrite sf_dir tables into out_dir with a parallel-scan-friendly
     layout. out_dir then substitutes for sf_dir everywhere
-    (read_table handles the events nanos column transparently)."""
+    (read_table handles the events nanos column transparently).
+    ``scale`` multiplies the per-table file counts — pass the data
+    multiple when the input is N× the sf0.1 sizing the defaults
+    assume (file size, not file count, is the invariant)."""
     from nerd_spark.session import read_table
 
     os.makedirs(out_dir, exist_ok=True)
     for name in tables or list(_LAYOUT):
         sort_col, n_files = _LAYOUT[name]
+        if n_files > 1:
+            n_files *= max(1, scale)
         df = read_table(spark, sf_dir, name)
         if name == "events" and "ts_ns" in df.columns:
             # keep the storage schema identical to the source (raw

@@ -217,3 +217,47 @@ def test_ivf_trained_recall_floor(spark, sf_dir):
         emb, pred, k=10, n_lists=16, n_probe=4, centroids=cents
     )
     assert SIM.recall_at_k(trained, exact) >= 0.8
+
+
+def test_blacklist_fetch_changelog_and_schedule(spark, tmp_path):
+    """S2 second half: local-file fetch -> parse -> bl[] changelog ->
+    document merge; refresh slots via next_step arithmetic."""
+    import json as _json
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.sources.feeds import (
+        blacklist_changelog,
+        fetch_blacklist_lines,
+        next_refresh_epoch,
+        parse_blacklist,
+        refresh_plan,
+    )
+
+    feed = tmp_path / "tor.txt"
+    feed.write_text("# tor exits\n1.2.3.4\n5.6.7.8\nbadline\n")
+    lines = fetch_blacklist_lines(spark, str(feed))
+    parsed = parse_blacklist(lines, "tor")
+    ch1 = blacklist_changelog(parsed, "tor", "2024-03-01 06:00:00")
+    entities = spark.createDataFrame([], "eid string, record string")
+    state1 = merge_changelog(entities, ch1)
+    # second fetch a day later: same IPs -> v stays 1, t refreshed,
+    # h grows; TTL extends
+    ch2 = blacklist_changelog(parsed, "tor", "2024-03-02 06:00:00")
+    out = {
+        r.eid: _json.loads(r.record)
+        for r in merge_changelog(state1, ch2).collect()
+    }
+    assert set(out) == {"1.2.3.4", "5.6.7.8"}
+    bl = out["1.2.3.4"]["bl"]
+    assert len(bl) == 1 and bl[0]["n"] == "tor" and bl[0]["v"] == 1
+    assert bl[0]["t"].startswith("2024-03-02")
+    assert len(bl[0]["h"]) == 2
+    assert out["1.2.3.4"]["_ttl"]["bl"].startswith("2024-03-05")
+
+    # scheduling: hourly feed, base at :30 -> next slot after 10:45
+    assert next_refresh_epoch(10 * 3600 + 45 * 60, 3600, 1800) == 11 * 3600 + 1800
+    plan = refresh_plan(
+        [{"id": "b", "interval_s": 3600}, {"id": "a", "interval_s": 60}],
+        now_epoch=7200,
+    )
+    assert plan == [("a", 7260), ("b", 10800)]
