@@ -115,3 +115,26 @@ def fingerprint(col: Column | str) -> Column:
     lowercased text. Identical in DuckDB (md5())."""
     c = _c(col)
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_fingerprint(
+    col: Column | str, base: int = 257, mod: int = 2**31 - 1
+) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) of the normalized text:
+    h = fold(chars, h*base + codepoint mod M). Pure column expression
+    (sequence + substr + aggregate) — stays in codegen, and the same
+    fold is expressible in ANSI SQL for the oracle. Unlike the md5
+    fingerprint this is incrementally updatable over a sliding window,
+    the property rolling-hash dedup pipelines rely on."""
+    s = F.regexp_replace(F.lower(F.trim(_c(col))), r"\s+", " ")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("long"),
+    )
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, c: (h * base + c) % F.lit(mod),
+    )
+    # sequence(1, 0) counts DOWN in Spark — guard the empty string
+    return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(folded)

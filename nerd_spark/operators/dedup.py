@@ -215,3 +215,39 @@ def simhash(docs: DataFrame, id_col="doc_id", text_col="text", bits=16) -> DataF
         term = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.select("id", sim.cast("long").alias("simhash"))
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, sim >= t).
+
+    Scale path: sign-LSH buckets (operators/similarity.sign_bucket)
+    make candidate generation an equi self-join on the bucket code —
+    never all-pairs — then exact cosine verifies candidates only.
+    Like any LSH dedup, pairs whose hyperplane signs differ land in
+    different buckets and are unseen (recall grows with band count;
+    the ann_lsh_bucket_topk tradeoff, documented not hidden).
+    """
+    from nerd_spark.operators.similarity import cosine, sign_bucket
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sign_bucket(vec_col, dims).alias("bucket"),
+    )
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a_id"),
+            F.col("y.id").alias("b_id"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("sim"),
+        )
+    )
+    return pairs.filter(F.col("sim") >= threshold)

@@ -408,3 +408,56 @@ def ann_ivf_trained(spark, sf_dir):
     return SIM.ivf_topk(
         emb, lambda c: c < 10, k=10, n_lists=16, n_probe=4, centroids=cents
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+             (CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN embedding[17] >= 0 THEN 2 ELSE 0 END) +
+             (CASE WHEN embedding[33] >= 0 THEN 4 ELSE 0 END) +
+             (CASE WHEN embedding[49] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT x.id AS a_id, y.id AS b_id,
+           round(list_dot_product(x.v, y.v) /
+                 (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+    FROM e x JOIN e y ON x.bucket = y.bucket AND x.id < y.id
+    WHERE round(list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    # Embedding-cosine near-dup: sign-LSH bucketed candidate self-join
+    # + exact cosine verify (operators/dedup.py::embedding_neardup).
+    emb = t(spark, sf_dir, "embeddings")
+    return DD.embedding_neardup(emb, threshold=0.4)
+
+
+@query(
+    "text_fingerprint",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN 0
+                ELSE list_reduce(
+                  list_transform(generate_series(1, length(s)),
+                                 i -> CAST(ord(substr(s, i, 1)) AS BIGINT)),
+                  (a, b) -> (a * 257 + b) % 2147483647) END AS fp
+    FROM n
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    # Rabin-Karp rolling-hash fingerprint (functions/text.py) — the
+    # incremental counterpart of the md5 fingerprint dedup_exact uses.
+    from nerd_spark.functions.text import rolling_fingerprint
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
