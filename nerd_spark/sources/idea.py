@@ -36,14 +36,17 @@ def read_idea_batch(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_idea_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_idea_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1000
+) -> DataFrame:
     """File-source stream over the spool directory. maxFilesPerTrigger
     bounds micro-batch size (the reference's queue cap / backpressure,
-    task_queue.py:4-12)."""
+    task_queue.py:4-12 — 100 tasks/worker; here the bound is per
+    trigger and enforced by the source, tested in test_ingest)."""
     return (
         spark.readStream.schema(IDEA_SCHEMA)
         .option("columnNameOfCorruptRecord", "_corrupt")
-        .option("maxFilesPerTrigger", 1000)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
 

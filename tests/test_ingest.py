@@ -259,3 +259,39 @@ def test_typed_ip_records_match_document_fold(spark, tmp_path):
     assert r1.events_meta.types == ["AttemptLogin", "ReconScanning"]
     assert r1._ttl["warden"].strftime("%Y-%m-%d") == "2024-03-25"
     assert 0.0 < r1.rep < 1.0
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """The spool source must honor the micro-batch cap (the
+    reference's queue-capacity backpressure, task_queue.py:4-12):
+    12 one-event files at maxFilesPerTrigger=5 -> batches of at most
+    5 files, all events delivered exactly once."""
+    import json
+    import tempfile
+
+    from nerd_spark.sources.idea import read_idea_stream
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    for i in range(12):
+        (spool / f"e{i}.json").write_text(json.dumps({
+            "ID": f"e{i}", "DetectTime": "2024-03-10T10:00:00Z",
+            "Category": ["Recon.Scanning"], "Node": [{"Name": "n1"}],
+            "Source": [{"IP4": ["10.0.0.1"]}],
+        }))
+    batch_sizes = []
+
+    def sink(batch_df, epoch_id):
+        batch_sizes.append(batch_df.count())
+
+    q = (
+        read_idea_stream(spark, str(spool), max_files_per_trigger=5)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="nerd_bp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sum(batch_sizes) == 12
+    assert max(batch_sizes) <= 5
+    assert len(batch_sizes) >= 3

@@ -159,3 +159,76 @@ def test_merge_changelog_equals_sequential_fold(spark):
         for r in merge_changelog(entities, changelog).collect()
     }
     assert got == truth
+
+
+# ---------------------------------------------------------------------------
+# Reputation math: Spark column plan == reference-loop fold
+# ---------------------------------------------------------------------------
+
+
+def _ref_partial_reputation(day_data, p):
+    """Direct transcription of the reference loop
+    (reputation.py:111-136): iterate EVERY day of the range,
+    nonlin(events) [* nonlin(detectors)], decay weight, weighted mean
+    over the full-range weight sum."""
+
+    def nonlin(val, scale, coef=0.5, cap=20):
+        vs = float(val) / scale
+        return 1.0 if vs > cap else 1 - coef**vs
+
+    sum_w, rep = 0.0, 0.0
+    for d in range(p.date_range):
+        ne, nd = day_data.get(d, (0, 0))
+        daily = nonlin(ne, p.scale_events, p.coef_events)
+        if p.has_detectors:
+            daily *= nonlin(nd, p.scale_detectors, p.coef_detectors)
+        if p.time_decay == "linear":
+            w = float(p.date_range - d) / p.date_range
+        elif p.time_decay == "half_life":
+            w = 0.5 ** (float(d) / p.half_life)
+        else:
+            w = 1.0
+        sum_w += w
+        rep += daily * w
+    return round(rep / sum_w, 6) if sum_w else 0.0
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=13),
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from(["none", "linear", "half_life"]),
+    st.booleans(),
+    st.floats(min_value=0.5, max_value=50),
+)
+@settings(max_examples=12, deadline=None)
+def test_partial_reputation_matches_reference_loop(
+    spark, day_data, decay, detectors, scale
+):
+    import datetime as dt
+
+    from nerd_spark.plans.reputation import SourceParams, partial_reputation
+
+    p = SourceParams(
+        scale_events=scale, scale_detectors=3.0, date_range=14,
+        time_decay=decay, half_life=2.5, has_detectors=detectors,
+    )
+    anchor = dt.date(2024, 6, 30)
+    rows = [
+        (1, anchor - dt.timedelta(days=age), ne, nd)
+        for age, (ne, nd) in day_data.items()
+    ]
+    daily = spark.createDataFrame(
+        rows, "entity long, d date, num_events long, num_detectors long"
+    )
+    as_of = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 30, 12, 0),)], "as_of timestamp"
+    )
+    [row] = partial_reputation(daily, as_of, p).collect()
+    assert row.rep == _ref_partial_reputation(day_data, p)
