@@ -138,3 +138,18 @@ def rolling_fingerprint(
     )
     # sequence(1, 0) counts DOWN in Spark — guard the empty string
     return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax of per-language marker hits; tie priority en>de>fr>es;
+    'und' when nothing fires. Shared by text_langid and the corpus
+    curation pipeline — keep in lockstep with the SQL CASE chain."""
+    cnt = lang_scores(col)
+    en, de, fr, es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
+    return (
+        F.when(en + de + fr + es == 0, "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )

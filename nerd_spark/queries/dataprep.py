@@ -291,23 +291,11 @@ _LANG_CNT_SQL = {
 def text_langid(spark, sf_dir):
     # n-gram/stopword language-ID heuristic: argmax of per-language
     # marker hits, priority order en>de>fr>es on ties, 'und' when no
-    # marker fires. The Spark when-chain mirrors the SQL CASE exactly.
+    # marker fires (functions/text.predicted_lang mirrors the CASE).
+    from nerd_spark.functions.text import predicted_lang
+
     docs = t(spark, sf_dir, "documents")
-    cnt = {
-        lang: F.size(F.regexp_extract_all(F.col("text"), F.lit(rx), F.lit(0))).cast(
-            "long"
-        )
-        for lang, rx in LANG_MARKERS.items()
-    }
-    en, de, fr, es = cnt["en"], cnt["de"], cnt["fr"], cnt["es"]
-    pred = (
-        F.when(en + de + fr + es == 0, "und")
-        .when((en >= de) & (en >= fr) & (en >= es), "en")
-        .when((de >= fr) & (de >= es), "de")
-        .when(fr >= es, "fr")
-        .otherwise("es")
-    )
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return docs.select("doc_id", predicted_lang("text").alias("pred_lang"))
 
 
 @query(
@@ -461,3 +449,102 @@ def text_fingerprint(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_fingerprint("text").alias("fp"))
+
+
+_LANG_CASE = f"""
+    CASE WHEN {_LANG_CNT_SQL['en']} + {_LANG_CNT_SQL['de']}
+            + {_LANG_CNT_SQL['fr']} + {_LANG_CNT_SQL['es']} = 0 THEN 'und'
+         WHEN {_LANG_CNT_SQL['en']} >= {_LANG_CNT_SQL['de']}
+          AND {_LANG_CNT_SQL['en']} >= {_LANG_CNT_SQL['fr']}
+          AND {_LANG_CNT_SQL['en']} >= {_LANG_CNT_SQL['es']} THEN 'en'
+         WHEN {_LANG_CNT_SQL['de']} >= {_LANG_CNT_SQL['fr']}
+          AND {_LANG_CNT_SQL['de']} >= {_LANG_CNT_SQL['es']} THEN 'de'
+         WHEN {_LANG_CNT_SQL['fr']} >= {_LANG_CNT_SQL['es']} THEN 'fr'
+         ELSE 'es' END
+"""
+
+
+@query(
+    "corpus_curation",
+    rf"""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             len(regexp_extract_all(text, '{STOPWORDS_RE}')) * 1.0
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopw,
+             {_LANG_CASE} AS lang
+      FROM documents
+    ),
+    staged AS (
+      SELECT *,
+             (stopw >= 0.05) AS pass_quality,
+             (lang = 'en') AS pass_lang,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM q
+    ),
+    canon AS (
+      SELECT fp, min(doc_id) AS canonical_id FROM staged
+      WHERE pass_quality AND pass_lang GROUP BY 1
+    ),
+    flagged AS (
+      SELECT s.*,
+             (s.pass_quality AND s.pass_lang
+              AND s.doc_id = c.canonical_id) AS kept
+      FROM staged s LEFT JOIN canon c ON s.fp = c.fp
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE NOT pass_quality) AS BIGINT) AS n_dropped_quality,
+           CAST(count(*) FILTER (WHERE pass_quality AND NOT pass_lang) AS BIGINT) AS n_dropped_lang,
+           CAST(count(*) FILTER (WHERE pass_quality AND pass_lang AND NOT kept) AS BIGINT) AS n_dropped_dup,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE kept), 0) AS BIGINT) AS kept_tokens
+    FROM flagged GROUP BY 1
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    # End-to-end training-corpus curation: quality gate (stopword
+    # ratio) -> language filter (en) -> exact near-dup removal keeping
+    # the canonical doc -> per-source yield accounting. One scan, one
+    # fingerprint shuffle; each stage is the already-oracle-checked
+    # operator composed declaratively.
+    from pyspark.sql import Window as W
+
+    from nerd_spark.functions.text import (
+        fingerprint,
+        predicted_lang,
+        quality_features,
+        token_count,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    qf = quality_features("text")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        (qf["stopword_ratio"] >= 0.05).alias("pass_quality"),
+        (predicted_lang("text") == "en").alias("pass_lang"),
+        fingerprint("text").alias("fp"),
+    )
+    canon = F.min(
+        F.when(F.col("pass_quality") & F.col("pass_lang"), F.col("doc_id"))
+    ).over(W.partitionBy("fp"))
+    flagged = staged.withColumn(
+        "kept",
+        F.col("pass_quality") & F.col("pass_lang") & (F.col("doc_id") == canon),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(~F.col("pass_quality"), 1)).alias("n_dropped_quality"),
+        F.count(F.when(F.col("pass_quality") & ~F.col("pass_lang"), 1)).alias(
+            "n_dropped_lang"
+        ),
+        F.count(
+            F.when(F.col("pass_quality") & F.col("pass_lang") & ~F.col("kept"), 1)
+        ).alias("n_dropped_dup"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0).cast("long")
+        ).alias("kept_tokens"),
+    )
