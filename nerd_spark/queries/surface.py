@@ -396,3 +396,65 @@ def s4_misp_upserts(spark, sf_dir):
         F.col("date").cast("string").alias("date"),
         "last_change",
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scheduled recompute: NRU (next-regular-update) due scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nru_due_selection",
+    """
+    WITH ent AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS added,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS last_act
+      FROM events GROUP BY 1
+    ),
+    anchor AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS now_e FROM events),
+    sched AS (
+      SELECT user_id, added,
+             added + ((last_act - added) // 86400 + 1) * 86400 AS nru_1d
+      FROM ent
+    )
+    SELECT user_id, nru_1d,
+           CAST((now_e - nru_1d) // 86400 AS BIGINT) AS overdue_days
+    FROM sched, anchor
+    WHERE nru_1d <= now_e
+    ORDER BY nru_1d, user_id LIMIT 100000
+    """,
+)
+def nru_due_selection(spark, sf_dir):
+    # (reference: modules/update_planner.py:31-38 — !NEW stamps
+    # _nru1d = ts_added + 1 day; NERDd/updater.py:56-142 — the tick
+    # scans entities with _nru <= now, limit 100k, and advances the
+    # slot with the next_step op, update_manager.py:174-179. Here the
+    # slot is computed with the same next_step arithmetic anchored on
+    # each entity's last activity, and the due set is the updater's
+    # fetch-limited scan.)
+    ev = t(spark, sf_dir, "events")
+    ent = ev.groupBy("user_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("added"),
+        F.unix_timestamp(F.max("ts")).alias("last_act"),
+    )
+    anchor = ev.agg(F.unix_timestamp(F.max("ts")).alias("now_e"))
+    day = 86400
+    nru = F.col("added") + (
+        F.floor((F.col("last_act") - F.col("added")) / day) + 1
+    ) * day
+    sched = ent.crossJoin(F.broadcast(anchor)).select(
+        "user_id", nru.alias("nru_1d"), "now_e"
+    )
+    return (
+        sched.filter(F.col("nru_1d") <= F.col("now_e"))
+        .select(
+            "user_id",
+            "nru_1d",
+            F.floor((F.col("now_e") - F.col("nru_1d")) / day)
+            .cast("long")
+            .alias("overdue_days"),
+        )
+        .orderBy("nru_1d", "user_id")
+        .limit(100000)
+    )
