@@ -314,10 +314,22 @@ def assemble_features(
     )
 
     # ctry badness: known scored entities / dim-total per country
-    # (:161-178); asn badness likewise over entity%20 (:181-215)
-    ctry_known = out.groupBy("ctry").agg(F.count("*").alias("_ck"))
+    # (:161-178); asn badness likewise over entity%20 (:181-215).
+    # The "known" counts need only the entity KEY universe + the
+    # customer dim — aggregate those, not the full feature frame
+    # (which would re-execute the whole join tree once per badness
+    # aggregate; measured 3x the fmp_score runtime before this).
+    keys = ent.select("entity")
+    ctry_known = (
+        keys.join(F.broadcast(cust.select("entity", "ctry")), "entity", "left")
+        .filter(F.col("ctry").isNotNull())
+        .groupBy("ctry")
+        .agg(F.count("*").alias("_ck"))
+    )
     ctry_total = cust.groupBy("ctry").agg(F.count("*").alias("_ct"))
-    asn_known = out.groupBy("asn").agg(F.count("*").alias("_ak"))
+    asn_known = keys.select((F.col("entity") % 20).alias("asn")).groupBy(
+        "asn"
+    ).agg(F.count("*").alias("_ak"))
     asn_total = (
         customer.select((F.col("c_custkey") % 20).alias("asn"))
         .groupBy("asn")
