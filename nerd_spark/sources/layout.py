@@ -67,3 +67,23 @@ def optimize_layout(
             .write.mode("overwrite")
             .parquet(f"{out_dir}/{name}.parquet")
         )
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join/
+    aggregation key — the 100 TB layout for `events` and the entity
+    record table (PLANS.md deployment map): aggregations and joins on
+    the bucket key read pre-partitioned data and plan NO shuffle
+    exchange (verified in tests). Uses saveAsTable (bucket metadata
+    lives in the session catalog / warehouse dir).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -261,3 +261,31 @@ def test_blacklist_fetch_changelog_and_schedule(spark, tmp_path):
         now_epoch=7200,
     )
     assert plan == [("a", 7260), ("b", 10800)]
+
+
+def test_bucketed_layout_removes_shuffle(spark, sf_dir, tmp_path):
+    """The deployment-map claim, executed: a table bucketed by the
+    aggregation key is read pre-partitioned — groupBy(bucket key)
+    plans NO shuffle exchange, while the plain-parquet plan does."""
+    from nerd_spark.sources.layout import write_bucketed
+
+    ev = read_table(spark, sf_dir, "events").drop("ts_ns")
+    write_bucketed(ev.select("user_id", "event_type", "value"),
+                   "ev_bucketed_test", "user_id", n_buckets=8)
+    try:
+        bucketed = spark.table("ev_bucketed_test")
+        agg_b = bucketed.groupBy("user_id").count()
+        agg_b.collect()
+        plan_b = agg_b._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan_b
+
+        agg_p = ev.groupBy("user_id").count()
+        agg_p.collect()
+        plan_p = agg_p._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan_p
+        # values identical either way
+        a = {(r.user_id, r["count"]) for r in agg_b.collect()}
+        b = {(r.user_id, r["count"]) for r in agg_p.collect()}
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
