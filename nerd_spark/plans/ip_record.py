@@ -157,3 +157,32 @@ def build_ip_records(
         )
     )
     return out
+
+
+def refresh_ip_records(
+    exploded: DataFrame,
+    changed_keys: DataFrame,
+    existing_records: DataFrame,
+    as_of: DataFrame,
+    **build_kwargs,
+) -> DataFrame:
+    """O(changed-keys) maintenance of the typed record table: rebuild
+    records only for entities in `changed_keys` (one ip_int column)
+    from their full event history; untouched records pass through
+    JVM-side via an anti-join (same shape as merge_changelog's
+    incremental path — valid because every derived field of a record
+    depends only on that entity's own events + as_of; locality is
+    asserted by test_ip_record_locality).
+
+    Note the recompute is exact, not a delta: the reference's daily
+    tick also recomputes age-dependent fields wholesale per entity
+    (NERDd/updater.py:56-142); here the per-entity cost is one pass
+    over that entity's facts, and with the events table bucketed by
+    entity the semi-join prunes buckets instead of scanning.
+    """
+    touched = exploded.join(changed_keys, "ip_int", "left_semi")
+    rebuilt = build_ip_records(touched, as_of, **build_kwargs)
+    kept = existing_records.join(
+        changed_keys.withColumnRenamed("ip_int", "_id"), "_id", "left_anti"
+    )
+    return kept.unionByName(rebuilt)

@@ -295,3 +295,65 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     assert sum(batch_sizes) == 12
     assert max(batch_sizes) <= 5
     assert len(batch_sizes) >= 3
+
+
+def test_ip_record_locality_and_incremental_refresh(spark, tmp_path):
+    """Per-entity locality: a record's derived fields depend only on
+    that entity's events, so refresh_ip_records (rebuild changed keys,
+    anti-join passthrough for the rest) equals a full rebuild."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nerd_spark.plans.ip_record import build_ip_records, refresh_ip_records
+
+    rng = random.Random(7)
+    rows = [
+        (
+            f"e{i}",
+            f"N{rng.randrange(3)}",
+            rng.choice(["Recon", "Attempt"]),
+            f"2024-03-{rng.randrange(1, 13):02d}",
+            rng.randrange(1, 9),
+            167772160 + rng.randrange(6),
+        )
+        for i in range(300)
+    ]
+    exploded = spark.createDataFrame(
+        rows, "id string, node string, cats string, date string, conns long, ip_int long"
+    ).withColumn("detect_ts", F.to_timestamp(F.concat("date", F.lit(" 10:00:00")))
+    ).withColumn("end_ts", F.col("detect_ts"))
+    as_of = spark.createDataFrame([("2024-03-13 00:00:00",)], "as_of string").select(
+        F.col("as_of").cast("timestamp")
+    )
+    full_before = build_ip_records(exploded, as_of, profile_min_total=1)
+
+    # new events arrive for 2 of the 6 entities
+    extra = spark.createDataFrame(
+        [("x1", "N9", "Recon", "2024-03-12", 3, 167772160),
+         ("x2", "N9", "Attempt", "2024-03-12", 4, 167772163)],
+        "id string, node string, cats string, date string, conns long, ip_int long",
+    ).withColumn("detect_ts", F.to_timestamp(F.concat("date", F.lit(" 11:00:00")))
+    ).withColumn("end_ts", F.col("detect_ts"))
+    all_events = exploded.unionByName(extra)
+    changed = extra.select("ip_int").distinct()
+
+    refreshed = refresh_ip_records(
+        all_events, changed, full_before, as_of, profile_min_total=1
+    )
+    full_after = build_ip_records(all_events, as_of, profile_min_total=1)
+
+    def canon2(df):
+        out = set()
+        for r in df.collect():
+            m = r.events_meta
+            out.add((
+                r._id, tuple(sorted(map(tuple, r.events))),
+                (m.total, m.total1, m.total7, m.total30, m.nodes_1d,
+                 m.nodes_7d, m.nodes_30d, m.ewma, m.bin_ewma,
+                 tuple(m.types)),
+                r.rep, r.last_activity,
+            ))
+        return out
+
+    assert canon2(refreshed) == canon2(full_after)
