@@ -25,26 +25,17 @@ _DAILY = """
 """
 
 
-# Session-scoped memo of the shared (entity, day, cat) rollup: the
-# whole a-family derives from this one frame, so materialize it once
-# per (session, sf_dir) instead of re-scanning events per query — the
-# reference's precomputed-meta-table pattern (SURVEY §4 caching row).
-# Values are deterministic, so reuse cannot change results.
-_DAILY_CACHE: dict[tuple[int, str], object] = {}
-
-
 def _daily_with_asof(spark, sf_dir):
-    key = (id(spark), sf_dir)
-    cached = _DAILY_CACHE.get(key)
-    if cached is None:
-        ev = t(spark, sf_dir, "events")
-        daily = D.daily_rollup(ev, "user_id")
-        as_of = ev.agg(F.max("ts").alias("as_of"))
-        cached = D.with_as_of(daily, as_of).persist()
-        if len(_DAILY_CACHE) >= 4:  # bound memory across sf dirs
-            _DAILY_CACHE.pop(next(iter(_DAILY_CACHE))).unpersist()
-        _DAILY_CACHE[key] = cached
-    return cached
+    # Shared (entity, day, cat) rollup for the a-family. Deliberately
+    # NOT persisted: measured at sf0.1, materializing the cache costs
+    # ~2.3 s while each query recomputes the rollup in ~0.2 s — the
+    # memo only pays once the rollup dominates (PLANS.md "Scaling
+    # curve" notes); at 100 TB the equivalent is the precomputed
+    # summary table written by the ingest job, not a session cache.
+    ev = t(spark, sf_dir, "events")
+    daily = D.daily_rollup(ev, "user_id")
+    as_of = ev.agg(F.max("ts").alias("as_of"))
+    return D.with_as_of(daily, as_of)
 
 
 # ---------------------------------------------------------------------------
