@@ -101,6 +101,39 @@ def main() -> None:
         snap.select(F.col("entity").alias("ip_int"), "rep"), f"{tmp}/bl", 0.4
     )
     print(f"   wrote {tmp}/rep and {tmp}/bl")
+
+    print("== 6. typed ip-record pipeline (round 2): full IP_SCHEMA records")
+    from nerd_spark.plans.ip_record import build_ip_records
+    from nerd_spark.sources.idea import (
+        explode_source_ips,
+        parse_idea,
+        read_idea_batch,
+    )
+
+    exploded = explode_source_ips(
+        parse_idea(read_idea_batch(spark, spool), as_of=as_of_lit)
+    )
+    recs = build_ip_records(exploded, as_of_df, profile_min_total=1)
+    recs.select(
+        "_id", "events_meta.total", "events_meta.types", "rep", "_ttl"
+    ).show(3, truncate=False)
+
+    print("== 7. threat-intel feeds -> document merge (round 2)")
+    import json as _json
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.sources.feeds import blacklist_changelog, parse_blacklist
+
+    bl_lines = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.0.9",), ("# comment",)], "value string"
+    )
+    ch = blacklist_changelog(
+        parse_blacklist(bl_lines, "demo-bl"), "demo-bl", AS_OF.strftime("%Y-%m-%d %H:%M:%S")
+    )
+    empty = spark.createDataFrame([], "eid string, record string")
+    merged = merge_changelog(empty, ch)
+    for r in merged.limit(2).collect():
+        print("  ", r.eid, _json.loads(r.record)["bl"])
     spark.stop()
     print("DEMO OK")
 

@@ -388,13 +388,29 @@ def _stub_score_fn(*cols: pd.Series) -> pd.Series:
     return pd.Series(np.round(1.0 / (1.0 + np.exp(-z)), 6))
 
 
-def score(features: DataFrame) -> DataFrame:
-    """Attach the fmp score. Swap the stub for a broadcast XGBoost
-    predict_batch_udf in a real deployment (HAVE_XGBOOST). The UDF is
-    built lazily — varargs pandas_udf needs an active session to
-    parse its return type."""
-    stub = pandas_udf(_stub_score_fn, "double")
-    return features.withColumn("fmp", stub(*[F.col(c) for c in FEATURES]))
+def score(features: DataFrame, predict=None) -> DataFrame:
+    """Attach the fmp score via an Arrow-batched pandas UDF.
+
+    ``predict(matrix: np.ndarray[rows, 34]) -> np.ndarray[rows]`` is
+    the model seam: pass an XGBoost booster's predict (the reference
+    model, fmp_updater.py:678-683) or any batch scorer; it receives
+    the TRANSFORMED feature matrix in FEATURE_SPEC order, exactly what
+    the reference feeds its DMatrix (:516-518). Default = the
+    deterministic logistic stub so the math stays oracle-checkable.
+    The UDF is built lazily — varargs pandas_udf needs an active
+    session to parse its return type."""
+    if predict is None:
+        fn = _stub_score_fn
+    else:
+
+        def fn(*cols: pd.Series) -> pd.Series:
+            mat = np.column_stack(
+                [_transform_np(s, kind) for s, (_, kind, _) in zip(cols, FEATURE_SPEC)]
+            )
+            return pd.Series(np.asarray(predict(mat), dtype="float64"))
+
+    udf = pandas_udf(fn, "double")
+    return features.withColumn("fmp", udf(*[F.col(c) for c in FEATURES]))
 
 
 def fmp_pipeline(

@@ -106,3 +106,24 @@ def test_combine_total_missing_source(spark):
         [(a, "s1", 1.0), (b, "s2", 0.5)]).collect()}
     assert out[1] == round(1 - (1 - 0.5) * (1 - 0.4 * 0.5), 6)
     assert out[2] == round(1 - (1 - 0.2), 6)
+
+
+def test_fmp_model_seam(spark, sf_dir):
+    """score(predict=...) feeds the transformed 34-feature matrix to a
+    custom batch scorer (the XGBoost seam) — verified with a model
+    that returns the first transformed feature."""
+    import numpy as np
+
+    from nerd_spark.ml.fmp import FEATURES, assemble_features, score
+    from nerd_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    feats = assemble_features(ev, cust, nat)
+
+    out = score(feats, predict=lambda m: m[:, 0])
+    rows = out.select("entity", FEATURES[0], "fmp").collect()
+    assert len(rows) > 0
+    for r in rows:  # transform of alerts_1d is round(ln(1+x), 6)
+        assert abs(r.fmp - round(np.log(1.0 + r[1]), 6)) < 1e-9
