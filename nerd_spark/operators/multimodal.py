@@ -115,3 +115,54 @@ def extract_features_codec(
             )
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, n_bytes long"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, stride: int = 2
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: one input blob ->
+    every `stride`-th fixed-size frame (the 1->N mapInPandas shape a
+    video pipeline needs). The deterministic fake "demuxer" slices
+    byte ranges — a real ffmpeg demux plugs into the same seam with
+    the same output schema. Arrow-batched; no shuffle; output rows
+    carry (doc_id, frame_idx, frame bytes).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_frame, out_n = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    out_id.append(doc_id)
+                    out_idx.append(i)
+                    out_frame.append(fr)
+                    out_n.append(len(fr))
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx,
+                 "frame": out_frame, "n_bytes": out_n}
+            )
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, target_bytes: int = 128) -> DataFrame:
+    """Resize stub: normalize every payload to `target_bytes`
+    (truncate / zero-pad) — stands in for image resizing, keeping the
+    schema/batching contract of a real PIL resize. Pure JVM columns:
+    truncation via substr on binary, padding via rpad on hex."""
+    payload = F.col("payload")
+    n = F.octet_length(payload)
+    truncated = F.substr(payload, F.lit(1), F.lit(target_bytes))
+    padded = F.unhex(
+        F.rpad(F.hex(payload), target_bytes * 2, "00")
+    )
+    return df.withColumn(
+        "payload_resized",
+        F.when(n >= target_bytes, truncated).otherwise(padded),
+    ).withColumn("resized_bytes", F.octet_length("payload_resized"))

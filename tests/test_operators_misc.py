@@ -289,3 +289,29 @@ def test_bucketed_layout_removes_shuffle(spark, sf_dir, tmp_path):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    from nerd_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x" * 200), (2, "a", "y" * 30), (3, "b", "")],
+        "doc_id long, source string, text string",
+    )
+    payload = MM.attach_payload(docs)
+    frames = MM.sample_frames(payload, frame_size=64, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 200 bytes -> frames 0..3, stride 2 -> idx 0 and 2
+    assert [r.frame_idx for r in by_doc[1]] == [0, 2]
+    assert by_doc[1][0].n_bytes == 64 and by_doc[1][1].n_bytes == 64
+    assert [r.frame_idx for r in by_doc[2]] == [0]
+    assert by_doc[2][0].n_bytes == 30
+    assert 3 not in by_doc  # empty payload -> no frames
+
+    resized = {r.doc_id: r for r in MM.resize_payload(payload, 128).collect()}
+    assert all(r.resized_bytes == 128 for r in resized.values())
+    assert bytes(resized[1].payload_resized) == b"x" * 128  # truncated
+    assert bytes(resized[2].payload_resized)[:30] == b"y" * 30  # padded
+    assert bytes(resized[2].payload_resized)[30:] == b"\x00" * 98
