@@ -251,3 +251,47 @@ def embedding_neardup(
         )
     )
     return pairs.filter(F.col("sim") >= threshold)
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs (a_id < b_id, hamming <= k).
+
+    Candidate generation by banding the 16-bit hash into four 4-bit
+    bands: any pair within hamming distance 3 must agree on at least
+    one whole band (pigeonhole), so candidates come from an equi
+    self-join on (band_idx, band_value) — never all-pairs — and
+    bit_count(xor) verifies candidates exactly. The standard
+    hamming-LSH construction; recall is total for k < n_bands.
+    """
+    h = simhash(docs, id_col=id_col, text_col=text_col)
+    bands = None
+    for bi in range(4):
+        b = h.select(
+            "id",
+            "simhash",
+            F.lit(bi).alias("band_idx"),
+            F.shiftright("simhash", bi * 4).bitwiseAND(F.lit(15)).alias("band_val"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a_id"),
+            F.col("y.id").alias("b_id"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a_id",
+        "b_id",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -548,3 +548,38 @@ def corpus_curation(spark, sf_dir):
             F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0).cast("long")
         ).alias("kept_tokens"),
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH dt AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_HEXPARSE} AS hv FROM dt),
+    bits AS (SELECT doc_id, count(*) AS n{_SIMHASH_BITS} FROM h GROUP BY 1),
+    sh AS (SELECT doc_id AS id, CAST({_SIMHASH_VAL} AS BIGINT) AS simhash FROM bits),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT id, simhash, {bi} AS band_idx, (simhash // {16 ** bi}) % 16 AS band_val FROM sh"
+        for bi in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS a_id, y.id AS b_id,
+             x.simhash AS ha, y.simhash AS hb
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.id < y.id
+    )
+    SELECT a_id, b_id, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    # SimHash near-dup pairs via 4x4-bit hamming-LSH banding
+    # (operators/dedup.py::simhash_neardup) — total recall for
+    # hamming <= 3 by pigeonhole; verify on candidates only.
+    docs = t(spark, sf_dir, "documents")
+    return DD.simhash_neardup(docs, max_hamming=3)

@@ -315,3 +315,33 @@ def test_multimodal_frame_sample_and_resize(spark):
     assert bytes(resized[1].payload_resized) == b"x" * 128  # truncated
     assert bytes(resized[2].payload_resized)[:30] == b"y" * 30  # padded
     assert bytes(resized[2].payload_resized)[30:] == b"\x00" * 98
+
+
+def test_simhash_banding_recall_is_total(spark, sf_dir):
+    """Pigeonhole claim, executed: the 4-band hamming-LSH candidate
+    join finds EVERY pair within hamming<=3 (compare against the
+    brute-force cross join on the per-doc hashes)."""
+    from nerd_spark.operators.dedup import simhash, simhash_neardup
+    from nerd_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_neardup(docs, max_hamming=3).collect()
+    }
+    h = simhash(docs)
+    brute = (
+        h.alias("x")
+        .crossJoin(h.alias("y"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a_id"),
+            F.col("y.id").alias("b_id"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {(r.a_id, r.b_id, r.hamming) for r in brute.collect()}
+    assert got == want and len(want) > 0
