@@ -159,29 +159,10 @@ def a5_type_profile(spark, sf_dir):
 # A6/A7 — reputation: per-source weighted decay, then combination
 # ---------------------------------------------------------------------------
 
-_REP_DENOM_14 = sum((14 - a) / 14 for a in range(14))
-
-_REP_SQL = f"""
-  daily AS (
-    SELECT user_id AS entity, CAST(ts AS DATE) AS d, event_type AS cat,
-           count(*) AS n
-    FROM events GROUP BY 1, 2, 3
-  ),
-  as_of AS (SELECT max(ts) AS as_of FROM events),
-  per_day AS (
-    SELECT entity, d, sum(n) AS nd, count(DISTINCT cat) AS cats
-    FROM daily, as_of
-    WHERE date_diff('day', d, CAST(as_of AS DATE)) < 14
-    GROUP BY 1, 2
-  ),
-  rep AS (
-    SELECT entity,
-           round(sum({nonlin_sql("nd", 5.0)} * {nonlin_sql("cats", 2.0)}
-                     * (14 - date_diff('day', d, CAST(as_of AS DATE))) / 14.0)
-                 / {_REP_DENOM_14}, 6) AS rep_events
-    FROM per_day, as_of GROUP BY 1
-  )
-"""
+# _REP_SQL / _REP_DENOM_14 live in base.py so `surface` can use them
+# without importing this module (registration order feeds the driver's
+# 50-entry correctness window — keep family imports independent).
+from nerd_spark.queries.base import _REP_DENOM_14, _REP_SQL  # noqa: E402
 
 
 @query(

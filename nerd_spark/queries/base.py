@@ -37,6 +37,36 @@ def nonlin_sql(v: str, scale: float) -> str:
     return f"least(1.0 - pow(0.5, ({v}) / {scale}), 1.0)"
 
 
+# Shared DuckDB CTE fragment for the A6 per-source reputation (warden
+# extractor): 14-day linear-decay weighted mean of nonlin(events) *
+# nonlin(cats) (reference: NERDd/modules/reputation.py:111-221). Lives
+# here (not in analytics.py) so surface.py's oracles can reuse it
+# without forcing analytics to register first.
+_REP_DENOM_14 = sum((14 - a) / 14 for a in range(14))
+
+_REP_SQL = f"""
+  daily AS (
+    SELECT user_id AS entity, CAST(ts AS DATE) AS d, event_type AS cat,
+           count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+  ),
+  as_of AS (SELECT max(ts) AS as_of FROM events),
+  per_day AS (
+    SELECT entity, d, sum(n) AS nd, count(DISTINCT cat) AS cats
+    FROM daily, as_of
+    WHERE date_diff('day', d, CAST(as_of AS DATE)) < 14
+    GROUP BY 1, 2
+  ),
+  rep AS (
+    SELECT entity,
+           round(sum({nonlin_sql("nd", 5.0)} * {nonlin_sql("cats", 2.0)}
+                     * (14 - date_diff('day', d, CAST(as_of AS DATE))) / 14.0)
+                 / {_REP_DENOM_14}, 6) AS rep_events
+    FROM per_day, as_of GROUP BY 1
+  )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Exact money aggregation: summing 2-decimal doubles in floating point is
 # order-dependent, and groupBy order differs between Spark and DuckDB —

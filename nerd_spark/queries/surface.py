@@ -12,8 +12,7 @@ from nerd_spark.plans import derivations as D
 from nerd_spark.plans.categorization import CategoryRule, categorize
 from nerd_spark.plans.filters import EntityQuery, search
 from nerd_spark.plans.tags_dsl import tag_table
-from nerd_spark.queries.analytics import _REP_SQL
-from nerd_spark.queries.base import query, t
+from nerd_spark.queries.base import _REP_SQL, query, t
 
 # ---------------------------------------------------------------------------
 # P11 — threat categorization triggers
