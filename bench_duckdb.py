@@ -32,7 +32,22 @@ def main() -> None:
         path = f"{data_dir}/{name}.parquet"
         if os.path.isdir(path):  # spark-written directory of part files
             path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+        sel = f"SELECT * FROM '{path}'"
+        if name == "events":
+            cols = dict(
+                (r[0], r[1])
+                for r in con.execute(f"DESCRIBE {sel}").fetchall()
+            )
+            if cols.get("ts") == "BIGINT":
+                # layout-optimized dirs keep the raw TIMESTAMP(NANOS)
+                # value as a nanos long (see session.read_table) —
+                # apply the same truncate-to-us shim DuckDB does when
+                # reading the annotated original
+                sel = (
+                    f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                    f"FROM '{path}'"
+                )
+        con.execute(f"CREATE VIEW {name} AS {sel}")
     timings = {}
     for name in HEADLINE:
         if name not in ORACLE:

@@ -60,10 +60,16 @@ def replicate(spark, src: str, dst: str, replicas: int) -> None:
                 # keep replicas textually distinct — exact copies would
                 # make every doc a 10-way near-duplicate and the dedup
                 # measurement would time genuine quadratic OUTPUT
-                # growth instead of scaling on 10x distinct docs
-                p = p.withColumn(
-                    "text", F.concat("text", F.lit(f" replica{r}marker"))
-                )
+                # growth instead of scaling on 10x distinct docs.
+                # A single appended marker token is NOT enough (r2 bug:
+                # one extra token leaves shingle-Jaccard ~0.99, so the
+                # 10x point timed 250k output pairs vs 256 at 1x); a
+                # per-replica letter rotation rewrites nearly every
+                # token, driving cross-replica Jaccard to ~0 while
+                # preserving byte size and token count.
+                alpha = "etaoinsrhl"
+                rot = alpha[r % len(alpha):] + alpha[: r % len(alpha)]
+                p = p.withColumn("text", F.translate("text", alpha, rot))
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:

@@ -36,50 +36,72 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin small inputs across the cluster before CPU-heavy
+    map work. A corpus that arrives in fewer partitions than cores
+    (one small parquet file at test SF; a handful of coalesced splits
+    after a selective pushed-down filter at 100 TB) would otherwise
+    run the whole shingle+hash stage serially — measured 10x wall on
+    local[32]. At full scale the input already has thousands of
+    splits and this is a no-op (the partition count check costs only
+    plan conversion, no job)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
+def shingle_arrays(
+    docs: DataFrame, id_col="doc_id", text_col="text", k=3
+) -> DataFrame:
+    """(id, sarr: array<string>) — k-word shingles per doc, MAP-ONLY.
+
+    Two projections on purpose: the token split materializes as its
+    own attribute first, and the shingle transform references that
+    attribute many times. CollapseProject refuses to inline a
+    non-cheap multi-referenced expression into the lambda, so the
+    regex split runs once per row (inlining it re-evaluates the split
+    per lambda element — measured 4x slower). Docs with fewer than k
+    tokens keep an empty array; callers filter as needed.
+
+    This replaces a posexplode+window formulation: shingling is now
+    embarrassingly parallel with NO shuffle, which is the difference
+    between a map stage and a full token-row sort at 100 TB.
+    """
+    base = docs.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    n = F.size(F.col("toks")) - (k - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    # sequence(1, n<1) would count DOWN under ANSI — guard to empty.
+    return base.select(
+        "id",
+        F.when(n >= 1, sh).otherwise(F.array().cast("array<string>")).alias("sarr"),
+    )
+
+
 def shingle_rows(
     docs: DataFrame, id_col="doc_id", text_col="text", k=3, distinct=True
 ) -> DataFrame:
-    """k-word shingles per doc, exploded to rows.
-
-    posexplode + window leads instead of array transform: the
-    transform lambda re-evaluates the regex split per element (no
-    common-subexpression elimination across HOF lambdas), which
-    dominated runtime. The generator path splits once per row.
-
-    distinct=False skips the dedup shuffle — downstream consumers
-    whose aggregations are duplicate-insensitive (min-hash,
-    collect_set) reuse the window's hash partitioning on id with no
-    further exchange.
-    """
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
-    out = (
-        toks.select("id", "tok", *leads)
-        .filter(F.col(f"t{k - 1}").isNotNull())
-        .select(
-            "id",
-            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).alias("s"),
-        )
+    """k-word shingles per doc, exploded to rows (map-only explode of
+    `shingle_arrays` — no window/shuffle)."""
+    out = shingle_arrays(docs, id_col, text_col, k).select(
+        "id", F.explode("sarr").alias("s")
     )
     return out.distinct() if distinct else out
 
 
-def _pair_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _pair_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (a_id, b_id) pairs.
 
-    Shingle sets collect to one array row per doc, so verification is
-    an array_intersect over just the candidate pairs — candidates are
-    rare by construction, so this is join-two-small-sides work, not
-    a re-shuffle of all shingle rows.
+    `sets` is (id, ss: array<string> distinct shingles) — computed
+    map-side from shingle arrays. Candidates are rare by
+    construction, so Spark broadcasts `cand` and both joins stream
+    `sets` map-side: verification never shuffles the corpus.
     """
-    # collect_set dedups inside the aggregation, so callers may pass
-    # raw (non-distinct) shingle rows without an extra shuffle
-    sets = sh.groupBy("id").agg(F.collect_set("s").alias("ss"))
     sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
     a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
     b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
@@ -111,7 +133,8 @@ def jaccard_dedup(
     acceptable for near-dup detection and essential at scale (the
     hot-shingle join otherwise degenerates to all-pairs).
     """
-    sh = shingle_rows(docs, id_col, text_col, k, distinct=False).cache()
+    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    sh = sarr.select("id", F.explode("sarr").alias("s"))
     df_ok = (
         sh.groupBy("s")
         .agg(F.count_distinct("id").alias("df"))
@@ -125,7 +148,8 @@ def jaccard_dedup(
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .distinct()
     )
-    return _pair_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
 def minhash_lsh_dedup(
@@ -148,13 +172,22 @@ def minhash_lsh_dedup(
     all-pairs). n_bands=4 x r=3 catches j>=0.5 w.h.p. while keeping
     random-pair collisions ~j^3.
 
-    All band signatures compute as parallel min-aggregates in ONE
-    shuffle over the shingle rows (duplicate shingles don't affect a
-    min, so the dedup shuffle is skipped); the bucket self-join sees
-    only (docs x bands) rows. This is the 100 TB dedup path.
+    All 12 hashes compute as parallel min-aggregates in ONE shuffle
+    over exploded shingle rows (duplicate shingles don't affect a
+    min, so no dedup shuffle; partial aggregation collapses each map
+    partition to one row per doc before the exchange). An
+    alternative map-only formulation (12x transform/array_min over
+    the per-doc shingle array) measured 3x SLOWER: each transform
+    materializes a full md5-string array per doc, while the hash-agg
+    streams shingles through codegen'd min buffers. The only cached
+    artifact is the doc-level shingle array (one row per doc — far
+    smaller than exploded rows), reused map-side for Jaccard verify.
+    This is the 100 TB dedup path: one corpus shuffle for signatures,
+    one band-bucket equi-join, never all-pairs.
     """
-    sh = shingle_rows(docs, id_col, text_col, k, distinct=False).cache()
+    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
     n_hashes = n_bands * rows_per_band
+    sh = sarr.select("id", F.explode("sarr").alias("s"))
     mh_wide = sh.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
@@ -188,7 +221,8 @@ def minhash_lsh_dedup(
         .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
         .distinct()
     )
-    return _pair_jaccard(cand, sh).filter(F.col("jaccard") >= threshold)
+    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text", bits=16) -> DataFrame:

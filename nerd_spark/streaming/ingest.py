@@ -54,6 +54,16 @@ def _fs_and_path(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def _must(ok: bool, what: str, path: str) -> None:
+    """Hadoop FileSystem.rename/delete report many failures (missing
+    parent, cross-FS move, quota) by returning false, not raising — an
+    unchecked false in the partition swap silently drops a live
+    partition, the exact loss the staging design exists to prevent
+    (ADVICE r02). Raising preserves the staging copy for recovery."""
+    if not ok:
+        raise IOError(f"merge_facts: failed to {what}: {path}")
+
+
 def merge_facts(
     spark: SparkSession,
     increments: DataFrame,
@@ -101,10 +111,10 @@ def merge_facts(
     staging_path = table_path.rstrip("/") + ".staging"
     sfs, staging = _fs_and_path(spark, staging_path)
     if sfs.exists(staging):
-        sfs.delete(staging, True)
+        _must(sfs.delete(staging, True), "delete stale staging", staging_path)
     merged.write.mode("overwrite").partitionBy("d").parquet(staging_path)
     if not fs.exists(live):
-        fs.rename(staging, live)
+        _must(fs.rename(staging, live), "promote staging table", table_path)
         return
     jvm = spark._jvm
     for status in sfs.listStatus(staging):
@@ -113,9 +123,9 @@ def merge_facts(
             continue
         dest = jvm.org.apache.hadoop.fs.Path(live, name)
         if fs.exists(dest):
-            fs.delete(dest, True)
-        fs.rename(status.getPath(), dest)
-    sfs.delete(staging, True)
+            _must(fs.delete(dest, True), "remove old partition", str(dest))
+        _must(fs.rename(status.getPath(), dest), "swap in partition", str(dest))
+    _must(sfs.delete(staging, True), "clean staging", staging_path)
 
 
 def run_batch(
