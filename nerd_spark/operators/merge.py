@@ -39,6 +39,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def stable_seq(out: DataFrame) -> DataFrame:
+    """Assign the changelog ``seq`` deterministically from the data.
+
+    ``monotonically_increasing_id`` encodes the partition index, so op
+    order over a union is whatever the scheduler produced that run —
+    re-running (or recomputing a lost stage) can reorder ops for a key
+    and merge duplicate (eid, op) rows differently (ADVICE r02). The
+    fold consumes ``seq`` only *within* an eid group
+    (merge_changelog sorts per key), so a per-eid row_number over the
+    (op, key, params) bytes is a total, run-stable order and scales as
+    a per-key sort — no global exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("eid").orderBy("op", "key", "params")
+    return out.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "seq", "eid", "op", "key", "params"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document-level op application (pure Python; semantics per SURVEY §2.4)
 # ---------------------------------------------------------------------------

@@ -142,6 +142,12 @@ def kmeans_centroids(
         list(r.v)
         for r in e.orderBy("id").limit(n_lists).collect()
     ]
+    # corpora smaller than n_lists yield a short init list; clamp so
+    # the empty-cluster fallback cents[i] below stays in range instead
+    # of raising IndexError mid-Lloyd-loop (ADVICE r02)
+    n_lists = min(n_lists, len(cents))
+    if n_lists == 0:
+        return []
     for _ in range(n_iter):
         cdf = spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"

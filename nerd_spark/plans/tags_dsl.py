@@ -246,6 +246,18 @@ def parse(src: str):
 # ---------------------------------------------------------------------------
 
 
+def _elem_kind_of(dtype: T.DataType) -> str:
+    """Kind of an array's elements, for the `in` comparability guard.
+    Non-scalar elements ('obj') never match a scalar left side."""
+    if isinstance(dtype, T.NumericType):
+        return "num"
+    if isinstance(dtype, T.BooleanType):
+        return "bool"
+    if isinstance(dtype, T.StringType):
+        return "str"
+    return "obj"
+
+
 def _field_kind(dtype: T.DataType) -> str:
     if isinstance(dtype, (T.NumericType,)):
         return "num"
@@ -269,6 +281,7 @@ def _resolve_path(schema: T.StructType, path: str) -> T.DataType | None:
 class Compiler:
     def __init__(self, schema: T.StructType):
         self.schema = schema
+        self._elem_kind = "str"  # element kind of the last-compiled arr
 
     # --- coercion helpers (the NERD truth table) ---
 
@@ -311,14 +324,18 @@ class Compiler:
             return F.lit(node.value), kind
 
         if isinstance(node, ListLit):
-            cols = [self.compile(i)[0] for i in node.items]
-            return F.array(*cols), "arr"
+            pairs = [self.compile(i) for i in node.items]
+            kinds = {k for _, k in pairs}
+            self._elem_kind = pairs[0][1] if len(kinds) == 1 and pairs else "str"
+            return F.array(*[c for c, _ in pairs]), "arr"
 
         if isinstance(node, Attr):
             dtype = _resolve_path(self.schema, node.path)
             if dtype is None:
                 # unknown attribute == record field absent -> None
                 return F.lit(None), "null"
+            if isinstance(dtype, T.ArrayType):
+                self._elem_kind = _elem_kind_of(dtype.elementType)
             return F.col(node.path), _field_kind(dtype)
 
         if isinstance(node, JPath):
@@ -333,8 +350,8 @@ class Compiler:
 
         raise TypeError(f"unknown AST node {node!r}")
 
-    @staticmethod
-    def _empty_arr() -> Column:
+    def _empty_arr(self) -> Column:
+        self._elem_kind = "str"
         return F.array().cast("array<string>")
 
     def _jsonpath(self, expr: str) -> tuple[Column, str]:
@@ -371,6 +388,7 @@ class Compiler:
         if i == len(segs):  # scalar path -> list of 0/1 matches
             if col is None:
                 return self._empty_arr(), "arr"
+            self._elem_kind = _elem_kind_of(cur)
             return (
                 F.when(col.isNotNull(), F.array(col)).otherwise(
                     F.array().cast(T.ArrayType(cur))
@@ -402,6 +420,7 @@ class Compiler:
             F.transform(col, extract) if suffix else col,
             lambda x: x.isNotNull(),
         )
+        self._elem_kind = _elem_kind_of(elem_type)
         return F.coalesce(out, F.array().cast(T.ArrayType(elem_type))), "arr"
 
     def _binary(self, node: Binary) -> tuple[Column, str]:
@@ -426,9 +445,24 @@ class Compiler:
             return F.when(rn == 0.0, 0.0).otherwise(ln / rn), "num"
 
         if op == "in":
-            lc, lk = self.compile(node.left)
+            # right side first: every arr producer records its element
+            # kind in self._elem_kind as it returns (single-level —
+            # no operator yields an array, so nothing overwrites it)
             rc, rk = self.compile(node.right)
+            ek = self._elem_kind if rk == "arr" else None
+            lc, lk = self.compile(node.left)
             if rk != "arr":
+                return F.lit(False), "bool"
+            # comparability guard (ADVICE r02): an ill-typed
+            # array_contains raises AnalysisException at compile time,
+            # where the reference interpreter degrades the mismatch to
+            # False. bool/num are mutually comparable (True == 1).
+            if lk == "bool" and ek == "num":
+                lc, lk = lc.cast("int"), "num"
+            elif lk == "num" and ek == "bool":
+                rc = F.transform(rc, lambda x: x.cast("int"))
+                ek = "num"
+            if lk != ek or lk not in ("num", "str", "bool"):
                 return F.lit(False), "bool"
             return F.coalesce(F.array_contains(rc, lc), F.lit(False)), "bool"
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nerd_spark.functions.ip import ipstr2int
+from nerd_spark.operators.merge import stable_seq
 
 _IP_RE = r"((?:\d{1,3}\.){3}\d{1,3})"
 
@@ -158,9 +159,7 @@ def blacklist_changelog(
             F.col("p_ttl").alias("params"),
         )
     )
-    return out.withColumn("seq", F.monotonically_increasing_id()).select(
-        "seq", "eid", "op", "key", "params"
-    )
+    return stable_seq(out)
 
 
 def next_refresh_epoch(

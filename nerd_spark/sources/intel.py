@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nerd_spark.operators.merge import stable_seq
+
 # Parsed MISP event export (subset the receiver consumes,
 # misp_receiver.py:184-215,226-243)
 MISP_SCHEMA = (
@@ -161,9 +163,7 @@ def misp_changelog(
         F.col("p_act").alias("params"),
     )
     out = upserts.unionByName(ttls).unionByName(acts)
-    return out.withColumn(
-        "seq", F.monotonically_increasing_id()
-    ).select("seq", "eid", "op", "key", "params")
+    return stable_seq(out)
 
 
 def parse_otx_pulses(pulses: DataFrame) -> DataFrame:
@@ -241,6 +241,4 @@ def otx_changelog(
         F.col("p_ttl").alias("params"),
     )
     out = upserts.unionByName(ttls)
-    return out.withColumn(
-        "seq", F.monotonically_increasing_id()
-    ).select("seq", "eid", "op", "key", "params")
+    return stable_seq(out)

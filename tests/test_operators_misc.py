@@ -345,3 +345,51 @@ def test_simhash_banding_recall_is_total(spark, sf_dir):
     )
     want = {(r.a_id, r.b_id, r.hamming) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+def test_changelog_seq_is_run_stable(spark):
+    """seq derives from data, not partition index (ADVICE r02):
+    reshuffling the input must not change the merged record."""
+    import datetime as dt
+    import json as _json
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.sources.intel import MISP_SCHEMA, misp_changelog
+
+    d = dt.date(2024, 3, 1)
+    rows = [
+        ("101", "orgA", "campaign X", d, 1709290000, "2", [],
+         [("1", "ip-src", "10.0.0.1", False)]),
+        # duplicate (ip, event) with a differing set field — the case
+        # where mono-id ordering made the merge nondeterministic
+        ("101", "orgA", "campaign Y", d, 1709290001, "2", [],
+         [("2", "ip-dst|port", "10.0.0.1|443", False)]),
+    ]
+    entities = spark.createDataFrame([], "eid string, record string")
+
+    def merged(export):
+        ch = misp_changelog(export)
+        return {
+            r.eid: _json.loads(r.record)
+            for r in merge_changelog(entities, ch).collect()
+        }
+
+    a = merged(spark.createDataFrame(rows, MISP_SCHEMA))
+    b = merged(spark.createDataFrame(rows, MISP_SCHEMA).repartition(7))
+    c = merged(spark.createDataFrame(list(reversed(rows)), MISP_SCHEMA))
+    assert a == b == c
+
+
+def test_kmeans_clamps_small_corpus(spark):
+    """Corpus smaller than n_lists degrades gracefully instead of
+    IndexError inside the Lloyd loop (ADVICE r02)."""
+    from nerd_spark.operators.similarity import kmeans_centroids
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(e, n_lists=8, n_iter=2)
+    assert 1 <= len(cents) <= 3
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kmeans_centroids(empty, n_lists=4, n_iter=1) == []

@@ -197,3 +197,35 @@ def test_jsonpath_rejects_bad_paths(spark):
         comp.compile(parse("`events[*]`"))  # must start with $
     with _pytest.raises(ValueError):
         comp.compile(parse("`$.a[*].b[*]`"))  # nested [*] unsupported
+
+
+def test_in_type_mismatch_degrades_to_false(spark):
+    """Ill-typed `in` must compile to False, not AnalysisException —
+    the reference interpreter degrades the mismatch (ADVICE r02)."""
+    from nerd_spark.plans.tags_dsl import condition_column
+
+    df = spark.createDataFrame(
+        [
+            (1, [("a", 1), ("b", 2)], [10, 20], [True]),
+            (2, [], [], []),
+        ],
+        "id long, events array<struct<cat:string,n:long>>, "
+        "nums array<bigint>, flags array<boolean>",
+    )
+
+    def fire(cond):
+        return {r.id for r in df.filter(condition_column(cond, df)).collect()}
+
+    # string literal vs numeric element type -> False everywhere
+    assert fire("'x' in `$.events[*].n`") == set()
+    assert fire("'x' in nums") == set()
+    # numeric literal vs the array<string> empty fallback -> False
+    assert fire("5 in `$.nope[*].y`") == set()
+    # struct elements are never scalar-comparable
+    assert fire("'a' in `$.events[*]`") == set()
+    # bool/num remain mutually comparable (True == 1)
+    assert fire("1 in flags") == {1}
+    assert fire("true in nums") == set()  # 10,20 contain no 1
+    # well-typed membership still works
+    assert fire("10 in nums") == {1}
+    assert fire("'a' in `$.events[*].cat`") == {1}
