@@ -36,6 +36,10 @@ EXPECT = {
     "a7_total_multi": ["ReusedExchange", "HashAggregate"],
     # typed record pipeline: partial/final agg + broadcast as_of
     "ip_records": ["HashAggregate", "BroadcastNestedLoopJoin"],
+    # round 3: §3.2 read path composed as ONE plan over the typed
+    # record table — top-k prunes before the broadcast enrichment hops
+    # and the date-by-category pivot
+    "read_path_typed": ["TakeOrderedAndProject", "BroadcastHashJoin"],
 }
 
 

@@ -35,9 +35,10 @@ def _exploded_from_events(spark, sf_dir):
     )
 
 
-@query(
-    "ip_records",
-    f"""
+# Shared DuckDB mirror of build_ip_records (used by ip_records and
+# read_path_typed): fact rollup -> record aggregates -> type profile ->
+# warden reputation, all keyed by the synthetic ip embedding.
+_IPREC_CTES = f"""
     WITH src AS (
       SELECT user_id, ts, event_type, event_id,
              CAST(floor(value) AS BIGINT) AS conns
@@ -107,7 +108,12 @@ def _exploded_from_events(spark, sf_dir):
               / {_DEN_14}, 6) AS rep
       FROM repd, anchor
       WHERE date_diff('day', CAST(date AS DATE), ad) < 14 GROUP BY 1
-    )
+    )"""
+
+
+@query(
+    "ip_records",
+    f"""{_IPREC_CTES}
     SELECT r.id AS _id, v.events_str,
            r.total, r.total1, r.total7, r.total30,
            r.nodes_1d, r.nodes_7d, r.nodes_30d,
@@ -163,4 +169,105 @@ def ip_records(spark, sf_dir):
         F.date_format("ts_added", "yyyy-MM-dd HH:mm:ss").alias("ts_added"),
         F.date_format(F.element_at("_ttl", "warden"), "yyyy-MM-dd HH:mm:ss")
         .alias("ttl_warden"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.2 read path over the typed record table (VERDICT r2 #4)
+# ---------------------------------------------------------------------------
+
+_CATS = ["click", "error", "purchase", "signup", "view"]
+_SUBNET_HI = 167772160 + 100 * 97  # first 100 entities' /25-ish slice
+
+
+@query(
+    "read_path_typed",
+    f"""{_IPREC_CTES},
+    prof AS (
+      SELECT r.id AS _id, coalesce(p.rep, 0.0) AS rep,
+             coalesce(t.types_str, '') AS types_str
+      FROM rec r
+      LEFT JOIN types t ON t.id = r.id
+      LEFT JOIN rep p ON p.id = r.id
+    ),
+    topk AS (
+      SELECT _id, rep FROM prof
+      WHERE _id < {_SUBNET_HI}
+        AND list_contains(string_split(types_str, ','), 'error')
+        AND rep >= 0.01
+      ORDER BY rep DESC, _id LIMIT 15
+    ),
+    enr AS (
+      SELECT k._id, k.rep, c.c_name AS hostname, n.n_name AS ctry
+      FROM topk k
+      LEFT JOIN customer c ON c.c_custkey = (k._id - 167772160) // 97
+      LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    )
+    SELECT e._id, e.rep, e.hostname, e.ctry, d.date,
+      {", ".join(
+        f"CAST(coalesce(sum(d.n) FILTER (WHERE d.cat = '{c}'), 0) AS BIGINT)"
+        f" AS n_{c}" for c in _CATS)}
+    FROM enr e JOIN daily d ON d.id = e._id
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def read_path_typed(spark, sf_dir):
+    """The /ips detail trace (SURVEY §3.2) as ONE plan over the typed
+    record table: EntityQuery-style filter (P2 subnet range + P5
+    multi-value on events_meta.types + rep threshold) -> top-k by
+    reputation (W1, TakeOrderedAndProject) -> J2 enrichment hops to
+    the customer/nation dims (broadcast) -> W5 date-by-category pivot
+    of the selected records' events[] (reference:
+    NERDweb/nerd_main.py:1048-1190 search + :1284-1405 detail page).
+
+    Scale shape: the record build is the §3.1 plan (bounded by live-IP
+    cardinality); filter+top-k prune to 15 records BEFORE any join or
+    explode, so enrichment and pivot touch 15 rows x their events —
+    the same asymmetric fan-in the reference's Mongo query + per-IP
+    detail fetch has, minus the N+1 round trips.
+    """
+    ex = _exploded_from_events(spark, sf_dir)
+    as_of = ex.agg(F.max("detect_ts").alias("as_of"))
+    recs = build_ip_records(ex, as_of)
+    m = F.col("events_meta")
+    top = (
+        recs.filter(
+            (F.col("_id") < _SUBNET_HI)
+            & F.array_contains(m["types"], "error")
+            & (F.col("rep") >= 0.01)
+        )
+        # project away the record's NULL enrichment placeholders —
+        # the J2 hop below supplies hostname/geo (and column pruning
+        # keeps the record build from materializing them at all)
+        .select("_id", "rep", "events")
+        .orderBy(F.col("rep").desc(), "_id")
+        .limit(15)
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity"),
+        F.col("c_name").alias("hostname"),
+        "c_nationkey",
+    )
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("ctry")
+    )
+    enr = (
+        top.withColumn(
+            "entity", ((F.col("_id") - F.lit(167772160)) / 97).cast("long")
+        )
+        .join(F.broadcast(cust), "entity", "left")
+        .join(F.broadcast(nat), "c_nationkey", "left")
+    )
+    piv = (
+        enr.select("_id", "rep", "hostname", "ctry", F.explode("events").alias("e"))
+        .groupBy(
+            "_id", "rep", "hostname", "ctry", F.col("e.date").alias("date")
+        )
+        .pivot("e.cat", _CATS)
+        .sum("e.n")
+        .na.fill(dict.fromkeys(_CATS, 0))
+    )
+    return piv.select(
+        "_id", "rep", "hostname", "ctry", "date",
+        *[F.col(c).cast("long").alias(f"n_{c}") for c in _CATS],
     )
