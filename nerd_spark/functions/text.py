@@ -33,18 +33,27 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (long, to match SQL len())."""
-    return F.size(tokens(col)).cast("long")
+    """Whitespace token count (long, to match SQL len()).
+
+    regexp_count over separator runs instead of size(split(...)):
+    counting matches allocates nothing, where split materializes every
+    token string just to take the array's length (VERDICT r2 #6).
+    Identity: len(split(s, '\\s+')) == (separator runs) + 1, including
+    the empty string (0 runs, split yields ['']).
+    """
+    return (F.regexp_count(F.trim(_c(col)), F.lit(r"\s+")) + 1).cast("long")
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     """BPE-ish subword proxy: count of word/number/punct runs.
 
-    Regex splits on letter-runs, digit-runs and single punctuation,
+    Regex counts letter-runs, digit-runs and single punctuation,
     approximating a byte-pair tokenizer's granularity without a vocab.
+    regexp_count (not size(regexp_extract_all(...))): same number,
+    zero per-token string allocation (VERDICT r2 #6).
     """
-    return F.size(
-        F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    return F.regexp_count(
+        _c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
     ).cast("long")
 
 
