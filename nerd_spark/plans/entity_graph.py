@@ -122,3 +122,94 @@ def ips_in_asn(ip: DataFrame, asn: DataFrame, asn_id: int) -> DataFrame:
         F.explode("bgppref").alias("bgppref")
     )
     return ip.join(F.broadcast(prefs), "bgppref", "left_semi")
+
+
+def cascade_deletes(
+    deleted_ips: DataFrame,
+    bgppref: DataFrame,
+    ipblock: DataFrame,
+    org: DataFrame,
+    asn: DataFrame,
+) -> dict[str, DataFrame]:
+    """Incremental `!DELETE` cascade over the entity graph (reference:
+    NERDd/modules/whois.py:239-296 — record deletion decrements its
+    bgppref/ipblock `_ref_cnt`; a count dropping to zero deletes that
+    whois record, unlinks it from asn pointer arrays, and decrements
+    org, which is itself garbage-collected at zero).
+
+    Inputs: ``deleted_ips`` = the deleted IP records (``bgppref`` /
+    ``ipblock`` fk columns); dim tables with CURRENT counts (e.g. from
+    :func:`rebuild_ref_counts` — equivalence with the rebuild under a
+    random delete sequence is property-tested). Rows whose count was
+    already zero before the cascade are left in place (expiring those
+    is the cleaner's TTL job, not the cascade's).
+
+    Scale: cost is O(|deleted| + |dims|) — the decrement frames group
+    the (small) delete batch and broadcast into the dim joins; the ip
+    table itself is never rescanned. Pointer arrays come back sorted,
+    matching the rebuild's normal form.
+    """
+
+    def dec(table: DataFrame, counts: DataFrame):
+        tx = table.join(
+            F.broadcast(counts.withColumnRenamed("fk", "_id")), "_id", "left"
+        ).withColumn("_new", F.col("_ref_cnt") - F.coalesce("n", F.lit(0)))
+        dead = tx.filter(F.col("n").isNotNull() & (F.col("_new") <= 0))
+        alive = (
+            tx.filter(F.col("n").isNull() | (F.col("_new") > 0))
+            .withColumn("_ref_cnt", F.col("_new"))
+            .drop("n", "_new")
+        )
+        return alive, dead
+
+    def fk_counts(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("fk"))
+            .agg(F.count("*").alias("n"))
+        )
+
+    bgppref_out, dead_bp = dec(bgppref, fk_counts(deleted_ips, "bgppref"))
+    ipblock_out, dead_blk = dec(ipblock, fk_counts(deleted_ips, "ipblock"))
+
+    # unlink dead prefixes from asn pointer arrays: explode ->
+    # anti-join the dead set -> regroup (distributed; no driver list)
+    ptrs = asn.select("_id", F.explode_outer("bgppref").alias("p"))
+    kept = ptrs.join(
+        F.broadcast(dead_bp.select(F.col("_id").alias("p"))), "p", "left_anti"
+    )
+    regrouped = kept.groupBy("_id").agg(
+        F.sort_array(F.collect_list("p")).alias("bgppref"),
+        F.count("p").alias("_n_left"),
+    )
+    lost = (
+        ptrs.join(
+            F.broadcast(dead_bp.select(F.col("_id").alias("p"))), "p", "left_semi"
+        )
+        .groupBy("_id")
+        .agg(F.count("*").alias("_n_lost"))
+    )
+    asn_x = (
+        asn.drop("bgppref")
+        .join(regrouped, "_id", "left")
+        .join(lost, "_id", "left")
+        .na.fill({"_n_left": 0, "_n_lost": 0})
+    )
+    dead_asn = asn_x.filter((F.col("_n_lost") > 0) & (F.col("_n_left") == 0))
+    asn_out = asn_x.filter(
+        (F.col("_n_lost") == 0) | (F.col("_n_left") > 0)
+    ).drop("_n_left", "_n_lost")
+
+    org_dec = (
+        fk_counts(dead_asn, "org")
+        .unionByName(fk_counts(dead_blk, "org"))
+        .groupBy("fk")
+        .agg(F.sum("n").alias("n"))
+    )
+    org_out, _dead_org = dec(org, org_dec)
+    return {
+        "bgppref": bgppref_out,
+        "ipblock": ipblock_out,
+        "asn": asn_out,
+        "org": org_out,
+    }
