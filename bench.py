@@ -38,6 +38,7 @@ HEADLINE = [
     "op_merge_snapshot",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_indexed",
     "text_token_stats",
     "multimodal_bytes",
 ]

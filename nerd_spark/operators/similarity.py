@@ -240,6 +240,107 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    id_col="vec_id",
+    vec_col="embedding",
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Persist the corpus as an on-disk IVF index: every vector
+    assigned to its nearest coarse-centroid list (same assignment rule
+    as :func:`ivf_topk`), written partitioned by list id — one
+    ``cid=<n>/`` directory per inverted list. A probe then reads only
+    its n_probe lists via partition pruning (no corpus shuffle, no
+    full scan); at 100 TB each list is many files and the pruning
+    ratio n_probe/n_lists is the scan-cost ratio.
+
+    The centroid table is written beside the index (``<path>.centroids``)
+    so probes don't need the training corpus.
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if centroids is not None:
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>"
+        )
+    else:
+        cents = e.filter(F.col("id") < n_lists).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    corpus = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("id", "v", "cid")
+    )
+    corpus.write.mode("overwrite").partitionBy("cid").parquet(path)
+    cents.write.mode("overwrite").parquet(path + ".centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Search an on-disk IVF index built by :func:`build_ivf_index`.
+
+    ``queries`` is (query_id, qv array<double>). Each query ranks the
+    (tiny, broadcast) centroid table and probes its n_probe nearest
+    lists. The probed list ids are collected to the driver — bounded
+    by n_lists, not by corpus or query size — so the corpus scan
+    carries a LITERAL ``cid IN (...)`` partition filter Spark prunes
+    at file-listing time: only n_probe/n_lists of the index is read,
+    and the only exchange in the plan is the broadcast of the probe
+    side (plan-asserted in tests).
+
+    Result shape matches :func:`ivf_topk` exactly (same rounding and
+    tie-breaks), so the two are interchangeable and share an oracle.
+    """
+    cents = spark.read.parquet(path + ".centroids")  # n_lists rows
+    q = queries.select("query_id", _as_double("qv").alias("qv"))
+    qscored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    probe_cids = sorted(
+        r.cid for r in probes.select("cid").distinct().collect()
+    )  # ≤ n_lists values — the literal the partition pruner needs
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probe_cids))
+        .withColumn("cid", F.col("cid").cast("long"))
+    )
+    sims = (
+        corpus.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("sim").alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Mean per-query recall of `approx` against the exact top-k
     (both in (query_id, neighbor_id, ...) shape)."""

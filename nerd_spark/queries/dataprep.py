@@ -340,9 +340,11 @@ def multimodal_bytes(spark, sf_dir):
     )
 
 
-@query(
-    "ann_ivf_topk",
-    f"""
+# IVF-flat search with the deterministic first-8-vectors quantizer and
+# queries id<10 probing 2 lists. Shared by ann_ivf_topk (in-memory
+# assignment) and ann_ivf_indexed (on-disk partition-pruned index):
+# both compute the identical result, so they share this oracle.
+_IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
     scored AS (
@@ -374,13 +376,35 @@ def multimodal_bytes(spark, sf_dir):
     )
     SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark, sf_dir):
     # IVF-flat ANN: deterministic coarse quantizer (first-8 vectors),
     # probe the 2 nearest inverted lists (operators/similarity.py).
     emb = t(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, lambda c: c < 10, k=5, n_lists=8, n_probe=2)
+
+
+@query("ann_ivf_indexed", _IVF_ORACLE)
+def ann_ivf_indexed(spark, sf_dir):
+    # The 100 TB IVF path: corpus persisted bucketed-by-list-id
+    # (one cid=<n>/ partition per inverted list), probes read only
+    # n_probe/n_lists of the files via partition pruning — same
+    # result (and oracle) as ann_ivf_topk, different physical plan.
+    import os
+    import tempfile
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"nerd_spark_ivf_{abs(hash(sf_dir)) % 10**8}"
+    )
+    SIM.build_ivf_index(emb, path, n_lists=8)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return SIM.ivf_probe(spark, path, q, k=5, n_probe=2)
 
 
 @query("ann_ivf_trained", None)  # k-means training is iterative: rows-only check

@@ -4,6 +4,7 @@ export sinks."""
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
@@ -393,3 +394,62 @@ def test_kmeans_clamps_small_corpus(spark):
     assert 1 <= len(cents) <= 3
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert kmeans_centroids(empty, n_lists=4, n_iter=1) == []
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The 100 TB IVF layout claim, executed: the corpus persisted
+    partitioned by inverted-list id; a probe's scan carries a literal
+    `cid IN (...)` partition filter and reads only the probed lists'
+    files (n_probe/n_lists of the index), with the corpus never
+    shuffled (broadcast probe join). Results identical to the
+    in-memory ivf_topk."""
+    import re
+
+    from nerd_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, path, n_lists=8)
+    dirs = [d for d in os.listdir(path) if d.startswith("cid=")]
+    assert len(dirs) == 8
+
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        res = SIM.ivf_probe(spark, path, q, k=5, n_probe=2)
+        got = {(r.query_id, r.neighbor_id, r.sim, r.rank) for r in res.collect()}
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # the index scan prunes by literal list ids: 2 queries x 2 probes
+    # -> at most 4 of the 8 lists are listed, the rest never read
+    pf = re.search(r"PartitionFilters: \[cid#\d+ IN \(([\d,]+)\)", plan)
+    assert pf, plan
+    probed = pf.group(1).split(",")
+    assert 0 < len(probed) <= 4
+    leaves = res._jdf.queryExecution().executedPlan().collectLeaves()
+    num_files = {}
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "FileSourceScanExec":
+            num_files[i] = int(leaf.metrics().apply("numFiles").value())
+    # one file per list dir at this scale: the index scan read exactly
+    # the probed lists, not all 8
+    assert max(num_files.values()) == len(probed) < 8
+
+    # corpus is joined via broadcast of the probe side - no shuffle
+    # keyed on the corpus' list id anywhere in the plan
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"Exchange hashpartitioning\(cid", plan)
+
+    # identical results to the in-memory formulation (shared oracle)
+    want = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in SIM.ivf_topk(
+            emb, lambda c: c < 2, k=5, n_lists=8, n_probe=2
+        ).collect()
+    }
+    assert got == want
