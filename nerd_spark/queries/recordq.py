@@ -75,6 +75,8 @@ _IPREC_CTES = f"""
     ),
     -- separate CTE: count(DISTINCT..) FILTER and list(struct) in the
     -- same aggregate trip a DuckDB internal error (shared_ptr NULL)
+    -- in duckdb 1.0.0; pinned by tests/test_duckdb_pin.py, which
+    -- proves value-equivalence if a future engine fixes the bug
     evs AS (
       SELECT id, array_to_string(list_transform(
         list_sort(list({{'date': date, 'node': node, 'cat': cat,
