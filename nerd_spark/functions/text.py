@@ -149,6 +149,38 @@ def rolling_fingerprint(
     return F.when(F.length(s) == 0, F.lit(0).cast("long")).otherwise(folded)
 
 
+# PII patterns for training-data scrubbing. Chosen to mean the same
+# thing in Java regex (Spark) and RE2 (DuckDB oracle): no lookaround,
+# no backrefs. Patterns are mutually non-overlapping (phone excludes
+# '.', so IPs never match it; email domains carry no digit runs the
+# ipv4 pattern accepts), so counting on the raw text and scrubbing in
+# sequence agree.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\b\d[\d()\- ]{6,}\d\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (long), computed on the raw text."""
+    c = _c(col)
+    return {
+        kind: F.regexp_count(c, F.lit(rx)).cast("long")
+        for kind, rx in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder. Pure
+    regexp_replace chain (JVM-side, codegen); order email -> ipv4 ->
+    phone, though the patterns are disjoint by construction."""
+    c = _c(col)
+    for kind, rx in PII_PATTERNS.items():
+        c = F.regexp_replace(c, rx, f"<{kind.upper()}>")
+    return c
+
+
 def predicted_lang(col: Column | str) -> Column:
     """Argmax of per-language marker hits; tie priority en>de>fr>es;
     'und' when nothing fires. Shared by text_langid and the corpus

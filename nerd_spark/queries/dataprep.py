@@ -316,6 +316,155 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# The synthetic corpus carries no PII, so the scrub query plants a
+# deterministic email + ipv4 (every doc) and phone (every 3rd doc)
+# derived from doc_id — mirrored exactly in the oracle — then counts
+# and scrubs with functions.text.PII_PATTERNS. n_residual proves the
+# scrub: every planted match must be gone from the scrubbed text.
+_PII_AUG_SQL = """
+      text || ' contact user' || doc_id::VARCHAR || '@mail.example.com'
+           || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'
+           || (doc_id % 100)::VARCHAR
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' call +1 (555) 010-2030' ELSE '' END
+"""
+
+
+@query(
+    "text_pii_scrub",
+    rf"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS s FROM documents),
+    scrubbed AS (
+      SELECT doc_id, s,
+        regexp_replace(regexp_replace(regexp_replace(s,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IPV4>', 'g'),
+          '\+?\b\d[\d()\- ]{{6,}}\d\b', '<PHONE>', 'g') AS sc
+      FROM aug
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(s, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(s, '\+?\b\d[\d()\- ]{{6,}}\d\b')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(sc, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+         + len(regexp_extract_all(sc, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+         + len(regexp_extract_all(sc, '\+?\b\d[\d()\- ]{{6,}}\d\b')) AS BIGINT) AS n_residual,
+      CAST(length(s) - length(sc) AS BIGINT) AS len_delta
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    from nerd_spark.functions.text import pii_counts, scrub_pii
+
+    docs = t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" call +1 (555) 010-2030")
+            ).otherwise(F.lit("")),
+        ).alias("s"),
+    )
+    cnt = pii_counts("s")
+    residual = pii_counts(scrub_pii("s"))
+    return aug.select(
+        "doc_id",
+        cnt["email"].alias("n_email"),
+        cnt["ipv4"].alias("n_ipv4"),
+        cnt["phone"].alias("n_phone"),
+        (residual["email"] + residual["ipv4"] + residual["phone"]).alias(
+            "n_residual"
+        ),
+        (F.length("s") - F.length(scrub_pii("s"))).cast("long").alias("len_delta"),
+    )
+
+
+@query(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      FROM toks
+    ),
+    big AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, greatest(len(w) - 1, 0)),
+        i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, g, count(*) AS n FROM big GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+             CAST(sum(n) AS BIGINT) AS bigram_total
+      FROM cnt GROUP BY 1
+    )
+    SELECT base.doc_id, n_tokens, n_distinct,
+      round(1.0 - n_distinct * 1.0 / greatest(n_tokens, 1), 6) AS dup_token_ratio,
+      coalesce(top_bigram_n, 0) AS top_bigram_n,
+      coalesce(bigram_total, 0) AS bigram_total,
+      round(coalesce(top_bigram_n * 1.0 / bigram_total, 0), 6) AS top_bigram_ratio
+    FROM base LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    # Gopher/C4-style repetition quality signals: duplicate-token
+    # fraction (map-only column math) and most-frequent-bigram share
+    # (explode -> two-level keyed agg; per-(doc,gram) combine first, so
+    # a long skewed doc partial-aggregates before the per-doc rollup —
+    # the 100 TB-safe formulation, never per-doc in driver memory).
+    from nerd_spark.functions.text import tokens, word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("n_distinct"),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("g")
+    )
+    agg = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_bigram_n"), F.sum("n").alias("bigram_total")
+        )
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_token_ratio"),
+        F.coalesce("top_bigram_n", F.lit(0).cast("long")).alias("top_bigram_n"),
+        F.coalesce("bigram_total", F.lit(0).cast("long")).alias("bigram_total"),
+        F.round(
+            F.coalesce(
+                F.col("top_bigram_n").cast("double")
+                / F.col("bigram_total").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("top_bigram_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary payload + mapInPandas features)
 # ---------------------------------------------------------------------------

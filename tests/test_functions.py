@@ -124,3 +124,39 @@ def test_ipstr2int_malformed_is_null(spark):
         assert rows[ip] is None, ip
     for ip, want in good.items():
         assert rows[ip] == want, ip
+
+
+def test_pii_scrub(spark):
+    from nerd_spark.functions.text import pii_counts, scrub_pii
+
+    cases = [
+        # (text, n_email, n_ipv4, n_phone)
+        ("mail a.b+tag@ex-1.co and c@d.org now", 2, 0, 0),
+        ("host 192.168.0.1 and 10.0.0.255 up", 0, 2, 0),
+        ("call +1 (555) 010-2030 or 0800 123 4567 now", 0, 0, 2),
+        ("plain text, no pii at all", 0, 0, 0),
+        ("x@y.io at 8.8.8.8 ring 555-123-4567", 1, 1, 1),
+        ("", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, *_) in enumerate(cases)], "i long, s string"
+    )
+    cnt = pii_counts("s")
+    res = pii_counts(scrub_pii("s"))
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            cnt["email"].alias("e"),
+            cnt["ipv4"].alias("ip"),
+            cnt["phone"].alias("ph"),
+            (res["email"] + res["ipv4"] + res["phone"]).alias("left"),
+            scrub_pii("s").alias("sc"),
+        ).collect()
+    }
+    for i, (s, e, ip, ph) in enumerate(cases):
+        r = rows[i]
+        assert (r.e, r.ip, r.ph) == (e, ip, ph), (s, r)
+        assert r.left == 0, (s, r.sc)
+    # placeholders actually landed
+    assert rows[4].sc == "<EMAIL> at <IPV4> ring <PHONE>"
