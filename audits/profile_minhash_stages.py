@@ -30,14 +30,22 @@ def main():
 
     n_hashes = 12
     sh = sarr.select("id", F.explode("sarr").alias("s"))
-    mh_wide = sh.groupBy("id").agg(
+    m = F.md5("s")
+    sh2 = sh.select(
+        "id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    mh_wide = sh2.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            F.min((F.col("h1") + i * F.col("h2")) % F.lit(2**32)).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
     band_sigs = [
-        F.md5(F.concat_ws("|", *[f"h{b * 3 + r}" for r in range(3)])).alias(f"sig{b}")
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"h{b * 3 + r}").cast("string") for r in range(3)]
+        )).alias(f"sig{b}")
         for b in range(4)
     ]
     mh = (

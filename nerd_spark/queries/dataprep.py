@@ -88,14 +88,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.jaccard_dedup(docs, threshold=0.8, max_df=20)
 
 
+# 8-hex-digit parse (1-based start) — the oracle's mirror of Spark's
+# conv(substring(md5(s), start, 8), 16, 10)
+def _hex8(col: str, start: int) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {start + p}, 1)) - 1)"
+        f" * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
     WITH {_SH},
+    shm AS (SELECT doc_id, md5(s) AS m FROM sh),
+    sh2 AS (
+      SELECT doc_id, {_hex8('m', 1)} AS h1, {_hex8('m', 9)} AS h2 FROM shm
+    ),
     mh AS (
       SELECT doc_id,
-             {", ".join(f"min(md5('{i}|' || s)) AS h{i}" for i in range(12))}
-      FROM sh GROUP BY 1
+             {", ".join(f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(12))}
+      FROM sh2 GROUP BY 1
     ),
     bsig AS (
       SELECT doc_id,
