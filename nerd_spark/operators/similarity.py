@@ -262,6 +262,7 @@ def build_ivf_index(
     spark = embeddings.sparkSession
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if centroids is not None:
+        n_lists = len(centroids)
         cents = spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>"
         )
@@ -278,6 +279,11 @@ def build_ivf_index(
         .filter(F.col("crank") == 1)
         .select("id", "v", "cid")
     )
+    # cluster the write by list id: without this every upstream task
+    # writes a sliver into every cid dir (tasks x lists tiny files);
+    # with it each list is one file per holding task. At real scale
+    # the key would be (cid, file_group) to hold files at ~128 MB.
+    corpus = corpus.repartition(n_lists, F.col("cid"))
     corpus.write.mode("overwrite").partitionBy("cid").parquet(path)
     cents.write.mode("overwrite").parquet(path + ".centroids")
 
