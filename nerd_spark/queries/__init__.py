@@ -30,4 +30,40 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
+# The inventory (79) exceeds the driver window (50), so the window
+# tail is hand-picked: queries whose implementation CHANGED this round
+# (minhash rewrite, regexp_count token stats, on-disk IVF, PII scrub,
+# repetition quality) plus one representative per remaining family
+# (A-rollup, §2.4 merge, ref-count graph, corpus composite). Unchanged
+# queries that were driver-green in earlier rounds rotate out; every
+# query keeps its full-inventory check in tests/test_oracle_diff.py.
+_WINDOW_TAIL = [
+    "dedup_minhash_lsh",
+    "text_token_stats",
+    "ann_ivf_indexed",
+    "text_pii_scrub",
+    "text_repetition",
+    "a1_daily_rollup",
+    "op_merge_snapshot",
+    "a12_refcount_rebuild",
+    "corpus_curation",
+]
+
+
+def _order_for_window() -> None:
+    missing = [n for n in _WINDOW_TAIL if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"window-tail queries not registered: {missing}")
+    head = [n for n in REGISTRY if n not in _WINDOW_TAIL][: 50 - len(_WINDOW_TAIL)]
+    ordered = head + _WINDOW_TAIL + [
+        n for n in REGISTRY if n not in head and n not in _WINDOW_TAIL
+    ]
+    for reg in (REGISTRY, ORACLE):
+        snap = dict(reg)
+        reg.clear()
+        reg.update((n, snap[n]) for n in ordered if n in snap)
+
+
+_order_for_window()
+
 __all__ = ["REGISTRY", "ORACLE"]
