@@ -46,7 +46,7 @@ _WINDOW_TAIL = [
     "a1_daily_rollup",
     "op_merge_snapshot",
     "a12_refcount_rebuild",
-    "corpus_curation",
+    "dedup_clusters",
 ]
 
 

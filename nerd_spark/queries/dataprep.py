@@ -16,6 +16,7 @@ from nerd_spark.functions.text import (
     quality_features,
     token_count,
 )
+from nerd_spark.operators import components as CCOMP
 from nerd_spark.operators import dedup as DD
 from nerd_spark.operators import multimodal as MM
 from nerd_spark.operators import similarity as SIM
@@ -98,9 +99,11 @@ def _hex8(col: str, start: int) -> str:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
+# Full minhash-LSH pipeline: shingle -> 12 min-hashes (Carter-Wegman
+# family over two md5-derived 32-bit words) -> 4 band signatures ->
+# bucket self-join -> exact-Jaccard verify. Shared by the pair query
+# and the cluster-resolution oracle below.
+_MINHASH_PAIRS = f"""
     WITH {_SH},
     shm AS (SELECT doc_id, md5(s) AS m FROM sh),
     sh2 AS (
@@ -125,11 +128,45 @@ def _hex8(col: str, start: int) -> str:
     ),
     {_JACCARD_VERIFY}
     SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5
-    """,
-)
+    """
+
+
+@query("dedup_minhash_lsh", _MINHASH_PAIRS)
 def dedup_minhash_lsh(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+      UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    cc AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+    SELECT node AS doc_id, root AS cluster_root,
+           count(*) OVER (PARTITION BY root) AS cluster_size
+    FROM cc
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    # Pair list -> duplicate clusters (transitive closure): alternating
+    # large-star/small-star connected components over the Jaccard-
+    # verified minhash pairs; cluster_root (component min) is the
+    # canonical survivor. Oracle closes the same graph with a
+    # recursive CTE — viable at oracle scale only; the star algorithm
+    # is the 100 TB path (operators/components.py).
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
+    return CCOMP.dedup_clusters(pairs)
 
 
 _HEXPARSE = (

@@ -1,0 +1,81 @@
+"""Connected-components operator: property-checked against a driver-
+side union-find on random graphs, plus the worst-case shapes (long
+chain, star, empty)."""
+
+from __future__ import annotations
+
+import random
+
+from nerd_spark.operators.components import connected_components, dedup_clusters
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {(r.node, r.root) for r in connected_components(df).collect()}
+    want = set(_union_find(None, edges).items())
+    assert got == want
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, edges)
+
+
+def test_cc_long_chain(spark):
+    # path graph 0-1-2-...-40: diameter 40 exercises the O(log n)
+    # round convergence (min-label propagation would need 40 rounds)
+    edges = [(i, i + 1) for i in range(40)]
+    _check(spark, edges)
+
+
+def test_cc_two_stars_bridged(spark):
+    # two stars whose leaves share a bridge edge must merge into one
+    # component rooted at the global min
+    edges = [(0, i) for i in range(1, 6)] + [(100, 100 + i) for i in range(1, 6)]
+    edges.append((5, 105))
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    roots = {r.root for r in connected_components(df).collect()}
+    assert roots == {0}
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(df).count() == 0
+
+
+def test_dedup_clusters_sizes(spark):
+    # {1,2,3} via chain, {10,11} pair -> sizes 3 and 2, root = min
+    df = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    rows = {
+        (r.doc_id, r.cluster_root, r.cluster_size)
+        for r in dedup_clusters(df).collect()
+    }
+    assert rows == {
+        (1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2),
+    }
