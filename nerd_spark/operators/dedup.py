@@ -87,11 +87,14 @@ def shingle_rows(
     docs: DataFrame, id_col="doc_id", text_col="text", k=3, distinct=True
 ) -> DataFrame:
     """k-word shingles per doc, exploded to rows (map-only explode of
-    `shingle_arrays` — no window/shuffle)."""
-    out = shingle_arrays(docs, id_col, text_col, k).select(
-        "id", F.explode("sarr").alias("s")
-    )
-    return out.distinct() if distinct else out
+    `shingle_arrays` — no window/shuffle). distinct=True dedups WITHIN
+    each doc via array_distinct before the explode — still map-only;
+    a .distinct() here would shuffle the whole corpus shingle set for
+    a dedup the per-doc array already decides."""
+    arr = shingle_arrays(docs, id_col, text_col, k)
+    if distinct:
+        arr = arr.select("id", F.array_distinct("sarr").alias("sarr"))
+    return arr.select("id", F.explode("sarr").alias("s"))
 
 
 def _pair_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:

@@ -17,6 +17,7 @@ from nerd_spark.functions.text import (
     token_count,
 )
 from nerd_spark.operators import components as CCOMP
+from nerd_spark.operators import contamination as CONTAM
 from nerd_spark.operators import dedup as DD
 from nerd_spark.operators import multimodal as MM
 from nerd_spark.operators import similarity as SIM
@@ -167,6 +168,46 @@ def dedup_clusters(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
     return CCOMP.dedup_clusters(pairs)
+
+
+_CONTAM_N = 8
+_CONTAM_GRAM = " || ' ' || ".join(f"w[i+{j}]" for j in range(_CONTAM_N))
+
+
+@query(
+    "contamination_check",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - {_CONTAM_N - 1}, 0)),
+        i -> {_CONTAM_GRAM}))) AS g
+      FROM toks
+    ),
+    ev AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 = 3),
+    tr AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 <> 3),
+    ev_sizes AS (SELECT doc_id, count(*) AS eval_ngrams FROM ev GROUP BY 1),
+    hits AS (
+      SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+             count(*) AS shared_ngrams
+      FROM tr JOIN ev USING (g) GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id, shared_ngrams, eval_ngrams,
+           round(shared_ngrams * 1.0 / eval_ngrams, 6) AS eval_frac
+    FROM hits JOIN ev_sizes ON ev_sizes.doc_id = hits.eval_id
+    """,
+)
+def contamination_check(spark, sf_dir):
+    # Decontamination sweep: verbatim 8-gram overlap between the
+    # corpus and a deterministic held-out eval slice (doc_id % 19 = 3
+    # stands in for the benchmark suite). Eval n-gram set broadcast;
+    # corpus side is map-only (operators/contamination.py).
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 19 == 3)
+    tr = docs.filter(F.col("doc_id") % 19 != 3)
+    return CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
 
 
 _HEXPARSE = (
