@@ -1,0 +1,127 @@
+"""Train/val splitting and sequence packing — the sampling half of a
+training-data pipeline.
+
+Splitting comes in two shapes:
+- `hash_split`: deterministic md5-threshold assignment, MAP-ONLY.
+  The 100 TB path — no shuffle, no state; quotas hold in expectation.
+- `stratified_split`: exact per-stratum quotas via ranking — one
+  shuffle per stratum column. For when "10% of each language" must
+  be exact, not expected; at scale you run it on the (much smaller)
+  doc-metadata projection, never the text.
+
+Packing (`pack_sequences`) fills fixed token budgets greedily in doc
+order within each group. Greedy fill carries running state that no
+window function expresses (leftover space is discarded at bin
+boundaries), so it is the textbook applyInPandas case: groups pack
+independently, and the Arrow exchange carries ONLY (id, n_tokens) —
+token counting runs JVM-side first and the text never crosses into
+Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nerd_spark.functions.text import token_count
+
+# 32-bit value of the first 8 md5 hex chars of the stringified id,
+# uniform on [0, 2^32). Same expression exists in DuckDB (see the
+# train_val_split oracle), so split assignment is oracle-checkable.
+_HASH_SPAN = float(1 << 32)
+
+
+def _id_hash(id_col: str, salt: str) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_split(
+    docs: DataFrame,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Append a map-only deterministic `split` column ('val' if the
+    id's hash falls under val_frac, else 'train'). Changing `salt`
+    re-rolls the assignment without touching the data."""
+    v = _id_hash(id_col, salt)
+    return docs.withColumn(
+        "split", F.when(v < int(val_frac * _HASH_SPAN), F.lit("val")).otherwise("train")
+    )
+
+
+def stratified_split(
+    docs: DataFrame,
+    strata_col: str,
+    val_frac: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Append `split` with EXACT floor(val_frac * n) val rows per
+    stratum: rank each stratum by id-hash (hash order = unbiased,
+    deterministic) and cut at the quota."""
+    v = _id_hash(id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy(v, F.col(id_col))
+    wall = Window.partitionBy(strata_col)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wall))
+        .withColumn(
+            "split",
+            F.when(
+                F.col("_rk") <= F.floor(F.lit(val_frac) * F.col("_n")), F.lit("val")
+            ).otherwise("train"),
+        )
+        .drop("_rk", "_n")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: within each group, walk docs in id
+    order and fill bins of `budget` whitespace tokens; a doc that
+    doesn't fit starts the next bin (oversized docs get their own).
+    Returns (id, group, n_tokens, bin_idx); bin ids are per-group.
+
+    Group independence is the parallelism: at 100 TB the group key is
+    a hash bucket (or shard id), so every bin-fill scan is one
+    Arrow batch of ints, and no group's packing waits on another."""
+    import pandas as pd
+
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        token_count(text_col).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, cur_bin, fill = [], -1, budget + 1
+        for t in pdf["n_tokens"]:
+            if fill + t > budget:
+                cur_bin += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(cur_bin)
+        pdf["bin_idx"] = bins
+        return pdf
+
+    return (
+        meta.groupBy("grp")
+        .applyInPandas(pack, "doc_id long, grp string, n_tokens long, bin_idx long")
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "bin_idx",
+        )
+    )

@@ -43,10 +43,10 @@ _WINDOW_TAIL = [
     "ann_ivf_indexed",
     "text_pii_scrub",
     "text_repetition",
-    "a1_daily_rollup",
-    "op_merge_snapshot",
-    "a12_refcount_rebuild",
     "dedup_clusters",
+    "contamination_check",
+    "train_val_split",
+    "sequence_packing",
 ]
 
 

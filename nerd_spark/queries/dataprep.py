@@ -20,6 +20,7 @@ from nerd_spark.operators import components as CCOMP
 from nerd_spark.operators import contamination as CONTAM
 from nerd_spark.operators import dedup as DD
 from nerd_spark.operators import multimodal as MM
+from nerd_spark.operators import sampling as SAMP
 from nerd_spark.operators import similarity as SIM
 from nerd_spark.queries.base import query, t
 
@@ -208,6 +209,80 @@ def contamination_check(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % 19 == 3)
     tr = docs.filter(F.col("doc_id") % 19 != 3)
     return CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
+
+
+_SPLIT_FRAC = 0.1
+_SPLIT_CUT = int(_SPLIT_FRAC * (1 << 32))
+
+
+@query(
+    "train_val_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_hex8("md5(CAST(doc_id AS VARCHAR))", 1)} AS v
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h
+    )
+    SELECT doc_id, lang,
+           CASE WHEN v < {_SPLIT_CUT} THEN 'val' ELSE 'train' END AS split_hash,
+           CASE WHEN rk <= floor({_SPLIT_FRAC} * n) THEN 'val' ELSE 'train'
+           END AS split_exact
+    FROM r
+    """,
+)
+def train_val_split(spark, sf_dir):
+    # Both split shapes side by side: the map-only md5-threshold
+    # assignment (scale path — no shuffle) and the exact per-language
+    # quota via stratum ranking (operators/sampling.py).
+    docs = t(spark, sf_dir, "documents")
+    hashed = SAMP.hash_split(docs, val_frac=_SPLIT_FRAC).withColumnRenamed(
+        "split", "split_hash"
+    )
+    exact = SAMP.stratified_split(docs, "lang", val_frac=_SPLIT_FRAC).select(
+        "doc_id", F.col("split").alias("split_exact")
+    )
+    return hashed.select("doc_id", "lang", "split_hash").join(exact, "doc_id")
+
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH RECURSIVE docs2 AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(source, rn, doc_id, n_tokens, bin, fill) AS (
+        SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM docs2 WHERE rn = 1
+      UNION ALL
+        SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.bin ELSE p.bin + 1 END,
+               CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+                    THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        FROM docs2 d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, bin AS bin_idx FROM pack
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    # Greedy 512-token bin packing per source group via a thin
+    # applyInPandas seam (ints only — the text never reaches Python);
+    # the oracle replays the same greedy walk with a recursive CTE,
+    # viable at oracle scale only.
+    docs = t(spark, sf_dir, "documents")
+    return SAMP.pack_sequences(docs, budget=_PACK_BUDGET, group_col="source")
 
 
 _HEXPARSE = (

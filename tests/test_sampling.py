@@ -1,0 +1,63 @@
+"""Splitting and sequence-packing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerd_spark.operators.sampling import hash_split, pack_sequences, stratified_split
+from nerd_spark.session import read_table
+
+
+def test_hash_split_deterministic_and_salted(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.split) for r in hash_split(docs, 0.2).collect()}
+    b = {(r.doc_id, r.split) for r in hash_split(docs, 0.2).collect()}
+    assert a == b  # rerun-stable
+    c = {(r.doc_id, r.split) for r in hash_split(docs, 0.2, salt="2").collect()}
+    assert a != c  # salt re-rolls
+    frac = sum(1 for _, s in a if s == "val") / len(a)
+    assert 0.1 < frac < 0.3  # expectation-level quota at n=150
+
+
+def test_stratified_split_exact_quota(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_split(docs, "lang", val_frac=0.25)
+    got = (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("split") == "val", 1)).alias("nv"),
+        )
+        .collect()
+    )
+    assert got  # non-empty
+    for r in got:
+        assert r.nv == int(0.25 * r.n), (r.lang, r.n, r.nv)
+
+
+def test_pack_sequences_greedy(spark):
+    # budget 10; group g in doc order: 4,5,3,10,2,12,1
+    # fill: [4,5]=9 | [3]+10>10 -> wait: 3 fits (9+... ) walk it:
+    # 4 -> bin0 fill4; 5 -> fill9; 3 -> 12>10 bin1 fill3; 10 -> bin2
+    # fill10; 2 -> bin3 fill2; 12 -> bin4 fill12 (oversized own bin);
+    # 1 -> bin5 fill1
+    rows = [
+        (1, "g", "a a a a"),
+        (2, "g", "b b b b b"),
+        (3, "g", "c c c"),
+        (4, "g", "d d d d d d d d d d"),
+        (5, "g", "e e"),
+        (6, "g", "f f f f f f f f f f f f"),
+        (7, "g", "h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r.bin_idx for r in pack_sequences(df, budget=10).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 5}
+
+
+def test_pack_sequences_groups_independent(spark):
+    rows = [(1, "x", "a a a"), (2, "y", "b b b"), (3, "x", "c c c")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.doc_id): (r.source, r.bin_idx) for r in pack_sequences(df, budget=8).collect()}
+    # each group starts its own bin 0
+    assert out == {1: ("x", 0), 2: ("y", 0), 3: ("x", 0)}
