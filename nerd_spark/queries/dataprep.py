@@ -709,14 +709,21 @@ def ann_ivf_indexed(spark, sf_dir):
     # (one cid=<n>/ partition per inverted list), probes read only
     # n_probe/n_lists of the files via partition pruning — same
     # result (and oracle) as ann_ivf_topk, different physical plan.
+    # The index is ingest-time state: optimize_layout builds it next
+    # to the tables, and a probe only builds its own copy when the
+    # data dir has no prebuilt one (the sf0.01 correctness runs).
     import os
     import tempfile
 
+    from nerd_spark.sources.layout import IVF_INDEX_DIRNAME
+
     emb = t(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(), f"nerd_spark_ivf_{abs(hash(sf_dir)) % 10**8}"
-    )
-    SIM.build_ivf_index(emb, path, n_lists=8)
+    path = os.path.join(sf_dir, IVF_INDEX_DIRNAME)
+    if not os.path.exists(os.path.join(path + ".centroids", "_SUCCESS")):
+        path = os.path.join(
+            tempfile.gettempdir(), f"nerd_spark_ivf_{abs(hash(sf_dir)) % 10**8}"
+        )
+        SIM.build_ivf_index(emb, path, n_lists=8)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

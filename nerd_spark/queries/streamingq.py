@@ -24,6 +24,7 @@ def streaming_daily_counts(spark, sf_dir):
     (SURVEY §2.8 tumbling windows + watermark).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file source wants a directory: scan sf_dir, match only events
     stream = (
@@ -31,7 +32,13 @@ def streaming_daily_counts(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ts arrives as nanos-as-long (legacy nanos files) or as a native
+    # parquet us-timestamp depending on how the testdata was written;
+    # normalize either to a session-UTC TIMESTAMP.
+    if dict(stream.dtypes).get("ts") == "bigint":
+        events = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        events = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         events.withWatermark("ts", "7 days")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")

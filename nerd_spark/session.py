@@ -75,6 +75,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # comparison require session TZ = UTC; both confs are
     # runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # No-tz parquet timestamps must land as TIMESTAMP (session-UTC),
+    # not TIMESTAMP_NTZ: the whole engine (unix_micros/date math) and
+    # the DuckDB naive-UTC comparison assume the classic type. The
+    # inference conf is runtime-settable; the cast below is the
+    # belt-and-braces path for sessions where it is not honored.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -82,8 +88,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

@@ -36,12 +36,16 @@ _LAYOUT = {
 }
 
 
+IVF_INDEX_DIRNAME = "_ivf_embeddings"
+
+
 def optimize_layout(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
     tables: list[str] | None = None,
     scale: int = 1,
+    build_indexes: bool = True,
 ) -> None:
     """Rewrite sf_dir tables into out_dir with a parallel-scan-friendly
     layout. out_dir then substitutes for sf_dir everywhere
@@ -66,6 +70,18 @@ def optimize_layout(
             .sortWithinPartitions(sort_col)
             .write.mode("overwrite")
             .parquet(f"{out_dir}/{name}.parquet")
+        )
+    if build_indexes and (tables is None or "embeddings" in tables):
+        # Derived index structures are ingest-time work too: the IVF
+        # inverted-list layout (corpus partitioned by coarse-centroid
+        # list id) is built once here so ANN probes only ever pay
+        # partition-pruned reads. Same deterministic first-N quantizer
+        # as the ann_ivf_* queries, so results are interchangeable.
+        from nerd_spark.operators import similarity as SIM
+
+        emb = read_table(spark, out_dir, "embeddings")
+        SIM.build_ivf_index(
+            emb, os.path.join(out_dir, IVF_INDEX_DIRNAME), n_lists=8
         )
 
 

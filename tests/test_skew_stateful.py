@@ -34,16 +34,18 @@ def test_salted_rollup_equals_plain(spark, sf_dir):
 
 def test_stateful_running_profiles(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_us = (
+        F.expr("ts div 1000")
+        if dict(static.dtypes).get("ts") == "bigint"
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     stream = (
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select(
-            "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
-            "value",
-        )
+        .select("user_id", ts_us.alias("ts_us"), "value")
     )
     name = f"profiles_{uuid.uuid4().hex[:8]}"
     q = (
@@ -66,7 +68,7 @@ def test_stateful_running_profiles(spark, sf_dir):
         for r in static.groupBy("user_id")
         .agg(
             F.count("*").alias("total"),
-            F.max(F.expr("ts div 1000")).alias("last_us"),
+            F.max(ts_us).alias("last_us"),
             F.max("value").alias("max_value"),
         )
         .collect()
