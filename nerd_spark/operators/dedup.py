@@ -191,14 +191,34 @@ def minhash_lsh_dedup(
     one band-bucket equi-join, never all-pairs.
     """
     sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    mh = minhash_band_table(sarr, n_bands, rows_per_band)
+    mh = mh.cache()  # tiny (docs x bands); self-join below would recompute it
+    cand = (
+        mh.alias("x")
+        .join(mh.alias("y"), ["b", "h"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_band_table(
+    sarr: DataFrame, n_bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """(id, b, h) banded MinHash signatures from per-doc shingle
+    arrays — the persistable LSH index. Carter-Wegman universal
+    family: ONE md5 per shingle, split into two 32-bit halves h1/h2,
+    then g_i = (h1 + i*h2) mod 2^32 — same min-hash guarantees as i
+    independent salted digests at 1/12th the hashing cost (measured:
+    the 12-salted-md5 formulation spent ~2.2 s of the sf0.1 run in
+    this one stage). All n_bands*rows_per_band hashes compute as
+    parallel min-aggregates in ONE shuffle over exploded shingle
+    rows; the hex-parse mirrors in the oracle exactly.
+    """
     n_hashes = n_bands * rows_per_band
     sh = sarr.select("id", F.explode("sarr").alias("s"))
-    # Carter-Wegman universal family: ONE md5 per shingle, split into
-    # two 32-bit halves h1/h2, then g_i = (h1 + i*h2) mod 2^32. Same
-    # min-hash guarantees as i independent salted digests at 1/12th
-    # the hashing cost (measured: the 12-salted-md5 formulation spent
-    # ~2.2 s of the sf0.1 run in this one stage). The hex-parse
-    # mirrors in the oracle exactly (simhash already does the same).
     m = F.md5("s")
     sh2 = sh.select(
         "id",
@@ -223,23 +243,59 @@ def minhash_lsh_dedup(
         ).alias(f"sig{b}")
         for b in range(n_bands)
     ]
-    mh = mh_wide.select("id", *band_sigs).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("b"), F.col(f"sig{b}").alias("h"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("id", F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
-    mh = mh.cache()  # tiny (docs x bands); self-join below would recompute it
+    return (
+        mh_wide.select("id", *band_sigs)
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"sig{b}").alias("h"))
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+        .select("id", F.col("bh.b").alias("b"), F.col("bh.h").alias("h"))
+    )
+
+
+def incremental_minhash_pairs(
+    docs: DataFrame,
+    new_ids,
+    id_col="doc_id",
+    text_col="text",
+    k=3,
+    n_bands=4,
+    rows_per_band=3,
+    threshold=0.5,
+) -> DataFrame:
+    """Dedup an incoming BATCH against the corpus (and itself) —
+    the continuous-ingestion shape of minhash LSH. `new_ids` is a
+    Column predicate over the id marking batch membership. Returns
+    near-dup pairs (a_id < b_id, jaccard >= threshold) where at
+    least one side is new: pairs internal to the old corpus are
+    already resolved and never recomputed.
+
+    Scale shape: in production the corpus band table is the
+    persisted index (minhash_band_table output, bucketed by (b, h));
+    a micro-batch computes signatures for its own docs only and
+    equi-joins the index — the batch side is broadcast (hinted
+    here), so candidate generation never shuffles the corpus, and
+    verification touches only candidate docs' shingle arrays. Cost
+    is O(batch + collisions), independent of corpus size.
+    """
+    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    mh = minhash_band_table(sarr, n_bands, rows_per_band).cache()
+    mh_new = mh.filter(new_ids(F.col("id")))
     cand = (
         mh.alias("x")
-        .join(mh.alias("y"), ["b", "h"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .join(F.broadcast(mh_new.alias("y")), ["b", "h"])
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.least("x.id", "y.id").alias("a_id"),
+            F.greatest("x.id", "y.id").alias("b_id"),
+        )
         .distinct()
     )
     sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))

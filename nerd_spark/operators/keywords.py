@@ -1,0 +1,59 @@
+"""Corpus keyword extraction: per-document top-k terms by TF-IDF.
+
+The classic two-aggregation shape, fully JVM-side:
+- term frequencies: one shuffle on (doc, term) — partial counts
+  collapse map-side, so the exchange carries distinct pairs only;
+- document frequencies: the (doc, term) frame is already distinct,
+  so df = count per term with no second pass over text;
+- idf join: the term-df table is tiny relative to the corpus
+  (vocabulary-sized) and broadcasts;
+- top-k: WindowGroupLimit keeps <= k rows per doc before the window
+  sort — never a global rank of all (doc, term) scores.
+
+At 100 TB the only corpus-sized shuffle is the first groupBy; the
+vocabulary table is the broadcast side by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nerd_spark.functions.text import tokens
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank) — the top-k terms of each doc
+    by tf * ln(n_docs / df), ties broken by term asc. Documents with
+    no tokens produce no rows."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # corpus size as a broadcast single-row frame: no driver collect
+    n_docs = docs.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )

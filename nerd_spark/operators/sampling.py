@@ -79,6 +79,75 @@ def stratified_split(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source mixture resampling, MAP-ONLY — the
+    domain-weighting step of a training-data pipeline (rate 0.25 on a
+    noisy crawl source, 2.5 on a high-quality one). rate < 1
+    downsamples (keep iff the id-hash uniform falls under rate);
+    rate >= 1 emits floor(rate) full copies plus one more with
+    probability frac(rate). Output (id, source, epoch) with epoch in
+    [0, n_copies); re-salting re-rolls every decision. No shuffle,
+    no state, no RNG — reruns and backfills produce identical
+    samples at any scale.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    u = _id_hash("doc_id", salt) / F.lit(_HASH_SPAN)
+    rate_map = (
+        [
+            F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in rates.items() for x in (kv[0], float(kv[1]))]
+                ),
+                F.col("source"),
+            )
+        ]
+        if rates
+        else []
+    )
+    rate = F.coalesce(*rate_map, F.lit(float(default_rate)))
+    n_copies = F.floor(rate) + (u < rate - F.floor(rate)).cast("long")
+    # sequence(0, n-1) counts DOWN for n<=0 under ANSI; guard to an
+    # empty array so rejected docs drop out of the explode.
+    epochs = F.when(
+        F.col("n") >= 1, F.sequence(F.lit(0).cast("long"), F.col("n") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return base.withColumn("n", n_copies).select(
+        "doc_id", "source", F.explode(epochs).alias("epoch")
+    )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-order
+    serialization: shard = id-hash mod n_shards (MAP-ONLY), position
+    = rank of (hash, id) within the shard. Reading shards round-robin
+    replays one fixed pseudo-random permutation of the corpus; the
+    only shuffle is the per-shard ranking window, which at 100 TB
+    runs on the (id, hash) projection — never the payload — and each
+    shard sorts independently."""
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .withColumn("h", _id_hash("doc_id", salt))
+        .withColumn("shard", F.col("h") % n_shards)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 512,

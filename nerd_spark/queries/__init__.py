@@ -30,23 +30,25 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (79) exceeds the driver window (50), so the window
-# tail is hand-picked: queries whose implementation CHANGED this round
-# (minhash rewrite, regexp_count token stats, on-disk IVF, PII scrub,
-# repetition quality) plus one representative per remaining family
-# (A-rollup, §2.4 merge, ref-count graph, corpus composite). Unchanged
-# queries that were driver-green in earlier rounds rotate out; every
-# query keeps its full-inventory check in tests/test_oracle_diff.py.
+# The inventory (83) exceeds the driver window (50), so the window
+# tail is hand-picked: queries NEW or CHANGED this round — the four
+# round-4 operators (mixture sampling, shard assignment, TF-IDF
+# keywords, incremental dedup), the on-disk IVF path (index build
+# moved to the layout pass), and the NTZ-affected queries that lost
+# their r03 rows to the timestamp regression (sessionize, intervals,
+# streaming rollup). Unchanged queries that were driver-green in
+# earlier rounds rotate out; every query keeps its full-inventory
+# check in tests/test_oracle_diff.py.
 _WINDOW_TAIL = [
-    "dedup_minhash_lsh",
-    "text_token_stats",
+    "mixture_sample",
+    "shard_assign",
+    "tfidf_top_terms",
+    "dedup_incremental",
     "ann_ivf_indexed",
-    "text_pii_scrub",
-    "text_repetition",
-    "dedup_clusters",
-    "contamination_check",
-    "train_val_split",
-    "sequence_packing",
+    "dedup_minhash_lsh",
+    "sessionize_stats",
+    "a13_intervals",
+    "streaming_daily_counts",
 ]
 
 

@@ -19,6 +19,7 @@ from nerd_spark.functions.text import (
 from nerd_spark.operators import components as CCOMP
 from nerd_spark.operators import contamination as CONTAM
 from nerd_spark.operators import dedup as DD
+from nerd_spark.operators import keywords as KW
 from nerd_spark.operators import multimodal as MM
 from nerd_spark.operators import sampling as SAMP
 from nerd_spark.operators import similarity as SIM
@@ -101,12 +102,13 @@ def _hex8(col: str, start: int) -> str:
     )
 
 
-# Full minhash-LSH pipeline: shingle -> 12 min-hashes (Carter-Wegman
-# family over two md5-derived 32-bit words) -> 4 band signatures ->
-# bucket self-join -> exact-Jaccard verify. Shared by the pair query
-# and the cluster-resolution oracle below.
-_MINHASH_PAIRS = f"""
-    WITH {_SH},
+# Banded MinHash signature table: shingle -> 12 min-hashes
+# (Carter-Wegman family over two md5-derived 32-bit words) -> 4 band
+# signatures, exploded long. Shared by the self-join pair query, the
+# cluster-resolution oracle, and the incremental (batch-vs-corpus)
+# variant.
+_MINHASH_BANDS = f"""
+    {_SH},
     shm AS (SELECT doc_id, md5(s) AS m FROM sh),
     sh2 AS (
       SELECT doc_id, {_hex8('m', 1)} AS h1, {_hex8('m', 9)} AS h2 FROM shm
@@ -123,7 +125,11 @@ _MINHASH_PAIRS = f"""
     ),
     blong AS (
       {" UNION ALL ".join(f"SELECT doc_id, {b} AS b, sig{b} AS h FROM bsig" for b in range(4))}
-    ),
+    )
+"""
+
+_MINHASH_PAIRS = f"""
+    WITH {_MINHASH_BANDS},
     cand AS (
       SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
       FROM blong x JOIN blong y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
@@ -283,6 +289,126 @@ def sequence_packing(spark, sf_dir):
     # viable at oracle scale only.
     docs = t(spark, sf_dir, "documents")
     return SAMP.pack_sequences(docs, budget=_PACK_BUDGET, group_col="source")
+
+
+# Per-source mixture rates exercised by the query + oracle: down- and
+# up-sampling plus a fractional rate, everything else at 1.0.
+_MIX_RATES = {"src0": 2.0, "src1": 0.5, "src2": 0.25, "src3": 1.5}
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + " ELSE 1.0 END"
+)
+
+
+@query(
+    "mixture_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             {_hex8("md5('mix' || CAST(doc_id AS VARCHAR))", 1)} AS v
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, {_MIX_CASE} AS rate, v / 4294967296.0 AS u
+      FROM h
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+      FROM r
+    )
+    SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch
+    FROM n
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    # Domain-weighted mixture resampling (operators/sampling.py):
+    # map-only deterministic per-source down/up-sampling — the data-
+    # curation step that turns raw domain proportions into a training
+    # mixture. Rates < 1 drop docs by id-hash; rates > 1 emit epoch
+    # copies (fractional part hash-sampled).
+    docs = t(spark, sf_dir, "documents")
+    return SAMP.mixture_sample(docs, rates=_MIX_RATES, salt="mix")
+
+
+@query(
+    "shard_assign",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_hex8("md5('shard' || CAST(doc_id AS VARCHAR))", 1)} AS v
+      FROM documents
+    )
+    SELECT doc_id, v % 8 AS shard,
+           row_number() OVER (PARTITION BY v % 8 ORDER BY v, doc_id) - 1 AS pos
+    FROM h
+    """,
+)
+def shard_assign(spark, sf_dir):
+    # Deterministic global shuffle -> training shards
+    # (operators/sampling.py): shard by id-hash (map-only), position
+    # by per-shard hash rank. Replays one fixed permutation of the
+    # corpus on any rerun.
+    docs = t(spark, sf_dir, "documents")
+    return SAMP.shard_assign(docs, n_shards=8, salt="shard")
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln(n_docs * 1.0 / df), 6) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    # Per-doc top-3 keywords by TF-IDF (operators/keywords.py): one
+    # corpus shuffle for term frequencies, broadcast vocabulary join,
+    # WindowGroupLimit top-k.
+    docs = t(spark, sf_dir, "documents")
+    return KW.tfidf_top_terms(docs, k=3)
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH {_MINHASH_BANDS},
+    cand AS (
+      SELECT DISTINCT least(x.doc_id, y.doc_id) AS a_id,
+                      greatest(x.doc_id, y.doc_id) AS b_id
+      FROM blong x JOIN blong y ON x.b = y.b AND x.h = y.h
+      WHERE x.doc_id != y.doc_id AND y.doc_id % 5 = 4
+    ),
+    {_JACCARD_VERIFY}
+    SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    # Continuous-ingestion dedup (operators/dedup.py): the batch
+    # (doc_id % 5 = 4 stands in for an arriving micro-batch) checks
+    # itself and the existing corpus via the persisted band index;
+    # old-old pairs are never recomputed, batch side broadcasts.
+    docs = t(spark, sf_dir, "documents")
+    return DD.incremental_minhash_pairs(docs, lambda c: c % 5 == 4)
 
 
 _HEXPARSE = (

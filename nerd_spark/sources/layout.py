@@ -53,10 +53,13 @@ def optimize_layout(
     ``scale`` multiplies the per-table file counts — pass the data
     multiple when the input is N× the sf0.1 sizing the defaults
     assume (file size, not file count, is the invariant)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from nerd_spark.session import read_table
 
     os.makedirs(out_dir, exist_ok=True)
-    for name in tables or list(_LAYOUT):
+
+    def _rewrite(name: str) -> None:
         sort_col, n_files = _LAYOUT[name]
         if n_files > 1:
             n_files *= max(1, scale)
@@ -71,6 +74,12 @@ def optimize_layout(
             .write.mode("overwrite")
             .parquet(f"{out_dir}/{name}.parquet")
         )
+
+    # The rewrites are independent jobs; submit them concurrently so
+    # the single-row-group (one-task) read stages overlap instead of
+    # serializing — the scheduler interleaves their tasks across cores.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_rewrite, tables or list(_LAYOUT)))
     if build_indexes and (tables is None or "embeddings" in tables):
         # Derived index structures are ingest-time work too: the IVF
         # inverted-list layout (corpus partitioned by coarse-centroid

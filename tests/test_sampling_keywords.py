@@ -1,0 +1,87 @@
+"""Unit tests: mixture sampling, shard assignment, TF-IDF keywords,
+incremental minhash dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerd_spark.operators import dedup as DD
+from nerd_spark.operators.keywords import tfidf_top_terms
+from nerd_spark.operators.sampling import mixture_sample, shard_assign
+from nerd_spark.session import read_table
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    rates = {"src0": 3.0, "src1": 0.0}
+    out = mixture_sample(docs, rates=rates).cache()
+    per_src = {
+        r.source: (r.n, r.max_epoch)
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.max("epoch").alias("max_epoch"))
+        .collect()
+    }
+    n0 = docs.filter(F.col("source") == "src0").count()
+    # integer rate 3.0: exactly 3 copies of every doc, epochs 0..2
+    assert per_src["src0"] == (3 * n0, 2)
+    # rate 0.0 drops the source entirely
+    assert "src1" not in per_src
+    # unlisted sources keep exactly one copy
+    n2 = docs.filter(F.col("source") == "src2").count()
+    assert per_src["src2"] == (n2, 0)
+    # deterministic: same salt -> same sample
+    again = mixture_sample(docs, rates=rates)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_mixture_fractional_rate_bounds(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, rates={}, default_rate=0.5)
+    n, kept = docs.count(), out.count()
+    # hash-uniform keep: expectation n/2, bound loosely (binomial tail)
+    assert 0.25 * n < kept < 0.75 * n
+
+
+def test_shard_assign_partition_and_positions(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = shard_assign(docs, n_shards=4).cache()
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    stats = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    )
+    for r in stats.collect():
+        assert 0 <= r.shard < 4
+        # positions are a dense 0..n-1 sequence per shard
+        assert (r.lo, r.hi) == (0, r.n - 1)
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=2).cache()
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.filter(F.col("count") > 2).count() == 0
+    # rank 1 score >= rank 2 score within a doc
+    bad = (
+        out.groupBy("doc_id")
+        .pivot("rank", [1, 2])
+        .agg(F.first("score"))
+        .filter(F.col("1") < F.col("2"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_incremental_subset_of_full_pairs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    full = {
+        (r.a_id, r.b_id)
+        for r in DD.minhash_lsh_dedup(spark, docs, threshold=0.5).collect()
+    }
+    inc = {
+        (r.a_id, r.b_id)
+        for r in DD.incremental_minhash_pairs(docs, lambda c: c % 5 == 4).collect()
+    }
+    # incremental pairs = exactly the full pairs touching the batch
+    expect = {p for p in full if p[0] % 5 == 4 or p[1] % 5 == 4}
+    assert inc == expect
