@@ -1,0 +1,72 @@
+"""Model-based document quality filtering.
+
+The modern curation step between heuristics and training: a logistic
+scorer over the cheap JVM-side quality features (functions/text.py)
+gates every document. Weights are injectable — ship defaults give a
+reasonable fastText-style "keep" prior over the synthetic corpus;
+production weights come from ml/train.logistic_fit on labeled docs
+(the same distributed trainer the FMP seam uses, proven in
+tests/test_fmp_train.py).
+
+Everything is a closed-form column expression — no UDF, no model
+server: score = sigmoid(w·x) composes from exp/ln inside whole-stage
+codegen, so the filter runs at scan speed and pushes down with the
+rest of the plan. An ANSI-SQL oracle computes the identical score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nerd_spark.functions.text import quality_features
+
+# bias + weights over (ln(1+n_tokens), punct_ratio, stopword_ratio,
+# mean_token_len) — the feature order is the contract with any
+# trained replacement.
+DEFAULT_WEIGHTS = {
+    "bias": -2.0,
+    "log_tokens": 0.6,
+    "punct_ratio": -8.0,
+    "stopword_ratio": 2.5,
+    "mean_token_len": -0.3,
+}
+
+
+def quality_scores(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, q_score) — logistic quality score per document."""
+    w = dict(DEFAULT_WEIGHTS, **(weights or {}))
+    q = quality_features(text_col)
+    z = (
+        F.lit(float(w["bias"]))
+        + F.lit(float(w["log_tokens"])) * F.log(F.lit(1.0) + q["n_tokens"])
+        + F.lit(float(w["punct_ratio"])) * q["punct_ratio"]
+        + F.lit(float(w["stopword_ratio"])) * q["stopword_ratio"]
+        + F.lit(float(w["mean_token_len"])) * q["mean_token_len"]
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.round(score, 6).alias("q_score")
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append (q_score, kept) to every doc; downstream stages filter
+    on `kept` (materializing the flag instead of dropping rows keeps
+    the rejection set auditable — the curation-pipeline norm)."""
+    scored = quality_scores(docs, weights, id_col, text_col)
+    return docs.join(scored, on=docs[id_col] == scored["doc_id"]).select(
+        docs["*"],
+        scored["q_score"],
+        (scored["q_score"] >= threshold).alias("kept"),
+    )

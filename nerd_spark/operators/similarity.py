@@ -319,6 +319,7 @@ def ivf_probe(
         qscored.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "qv", "cid")
+        .cache()  # consumed twice: the cid collect below + the corpus join
     )
     probe_cids = sorted(
         r.cid for r in probes.select("cid").distinct().collect()

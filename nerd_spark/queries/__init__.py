@@ -44,6 +44,7 @@ _WINDOW_TAIL = [
     "shard_assign",
     "tfidf_top_terms",
     "dedup_incremental",
+    "quality_model_filter",
     "ann_ivf_indexed",
     "dedup_minhash_lsh",
     "sessionize_stats",

@@ -20,6 +20,7 @@ from nerd_spark.operators import components as CCOMP
 from nerd_spark.operators import contamination as CONTAM
 from nerd_spark.operators import dedup as DD
 from nerd_spark.operators import keywords as KW
+from nerd_spark.ml import quality as QM
 from nerd_spark.operators import multimodal as MM
 from nerd_spark.operators import sampling as SAMP
 from nerd_spark.operators import similarity as SIM
@@ -409,6 +410,41 @@ def dedup_incremental(spark, sf_dir):
     # old-old pairs are never recomputed, batch side broadcasts.
     docs = t(spark, sf_dir, "documents")
     return DD.incremental_minhash_pairs(docs, lambda c: c % 5 == 4)
+
+
+@query(
+    "quality_model_filter",
+    rf"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '{STOPWORDS_RE}')) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -2.0 + 0.6 * ln(1.0 + n_tokens)
+                  + -8.0 * (n_punct * 1.0 / greatest(n_chars, 1))
+                  + 2.5 * (n_stop * 1.0 / greatest(n_tokens, 1))
+                  + -0.3 * ((n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1))
+               AS z
+      FROM feat
+    )
+    SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS q_score,
+           round(1.0 / (1.0 + exp(-z)), 6) >= 0.32 AS kept
+    FROM z
+    """,
+)
+def quality_model_filter(spark, sf_dir):
+    # Model-based quality gating (ml/quality.py): logistic score over
+    # the JVM-side quality features as a closed-form column expression
+    # — no UDF; trained weights drop in via ml/train.logistic_fit
+    # (tests/test_fmp_train.py proves the fit seam).
+    docs = t(spark, sf_dir, "documents")
+    scored = QM.quality_filter(docs, threshold=0.32)
+    return scored.select("doc_id", "q_score", "kept")
 
 
 _HEXPARSE = (
