@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 # (sort column, file count) per table; counts sized for ~100k rows or
 # a few MB per file at sf0.1 — scale up with data.
@@ -37,6 +37,8 @@ _LAYOUT = {
 
 
 IVF_INDEX_DIRNAME = "_ivf_embeddings"
+SUMMARY_DAILY_DIRNAME = "_summary_daily.parquet"
+SUMMARY_ASOF_DIRNAME = "_summary_asof.parquet"
 
 
 def optimize_layout(
@@ -91,6 +93,25 @@ def optimize_layout(
         emb = read_table(spark, out_dir, "embeddings")
         SIM.build_ivf_index(
             emb, os.path.join(out_dir, IVF_INDEX_DIRNAME), n_lists=8
+        )
+    if build_indexes and (tables is None or "events" in tables):
+        # Precomputed summary table (the reference's cron-refreshed
+        # meta tables, scripts/update_db_meta_info.js): the (entity,
+        # day, category) base rollup every A-family aggregation starts
+        # from, plus the as-of anchor. The additive measure is exact
+        # DECIMAL, so the parquet round-trip is bit-identical to
+        # recomputing — queries read it when present and fall back to
+        # the raw scan otherwise. At 100 TB the ingest job maintains
+        # this incrementally (merge per micro-batch); here it is one
+        # extra aggregation over the just-rewritten events.
+        from nerd_spark.plans import derivations as D
+
+        ev = read_table(spark, out_dir, "events")
+        D.daily_rollup(ev, "user_id").write.mode("overwrite").parquet(
+            os.path.join(out_dir, SUMMARY_DAILY_DIRNAME)
+        )
+        ev.agg(F.max("ts").alias("as_of")).write.mode("overwrite").parquet(
+            os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
         )
 
 
