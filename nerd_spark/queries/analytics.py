@@ -383,10 +383,12 @@ def a10_prefix_summary(spark, sf_dir):
 )
 def a11_distinct_pair_counts(spark, sf_dir):
     # (reference: scripts/update_db_meta_info.js:2-6 — n_ip_by_cat:
-    # $unwind + $group x2 == distinct pairs then count per category)
-    ev = t(spark, sf_dir, "events")
+    # $unwind + $group x2 == distinct pairs then count per category.
+    # A pair is distinct iff the rollup has a row for it on any day,
+    # so this derives from the summary table when present.)
     return (
-        ev.select("user_id", "event_type")
+        _daily(spark, sf_dir)
+        .select(F.col("entity").alias("user_id"), F.col("cat").alias("event_type"))
         .distinct()
         .groupBy("event_type")
         .agg(F.count("*").alias("n_entities"))

@@ -18,6 +18,7 @@ _QUERIES = [
     "a3_ewma",
     "a7_total_reputation",
     "op_array_upsert_rebuild",
+    "a11_distinct_pair_counts",
 ]
 
 
