@@ -57,3 +57,38 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "score", "rank")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — mean unigram log-probability
+    of each document under the corpus's own unigram model, the
+    perplexity-proxy quality signal (fluency filtering à la KenLM,
+    reduced to its distributable core: low avg logprob = rare-token
+    soup = drop candidate).
+
+    Two shuffles total, both on small frames: token frequencies over
+    the corpus (vocabulary-sized result, broadcast back), then the
+    per-doc mean. p(t) = count(t) / total_tokens; no OOV mass is
+    needed because the model scores the corpus it was counted on. In
+    a train/apply split the vocabulary table persists like the
+    minhash band index and scoring is map-only."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.select(F.count("*").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

@@ -447,6 +447,31 @@ def quality_model_filter(spark, sf_dir):
     return scored.select("doc_id", "q_score", "kept")
 
 
+@query(
+    "lm_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logprob
+    FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def lm_unigram_logprob(spark, sf_dir):
+    # Perplexity-proxy quality signal (operators/keywords.py): mean
+    # unigram log-probability per doc under the corpus's own unigram
+    # model — rare-token soup scores low. Vocabulary broadcast;
+    # scoring map-side.
+    docs = t(spark, sf_dir, "documents")
+    return KW.unigram_logprob(docs)
+
+
 _HEXPARSE = (
     "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 + "
     "(strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 + "
