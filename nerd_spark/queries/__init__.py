@@ -53,6 +53,7 @@ _WINDOW_PRIORITY = [
     "dedup_incremental",
     "quality_model_filter",
     "lm_unigram_logprob",
+    "dedup_best_of_cluster",
     # 3 — changed / NTZ-recovered this round
     "ann_ivf_indexed",
     "dedup_minhash_lsh",

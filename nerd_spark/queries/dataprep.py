@@ -447,6 +447,88 @@ def quality_model_filter(spark, sf_dir):
     return scored.select("doc_id", "q_score", "kept")
 
 
+# Quality z-score CTEs, shared by quality_model_filter and the
+# best-of-cluster survivor selection below.
+_QUALITY_Z = rf"""
+    feat AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '{STOPWORDS_RE}')) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -2.0 + 0.6 * ln(1.0 + n_tokens)
+                  + -8.0 * (n_punct * 1.0 / greatest(n_chars, 1))
+                  + 2.5 * (n_stop * 1.0 / greatest(n_tokens, 1))
+                  + -0.3 * ((n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1))
+               AS z
+      FROM feat
+    )
+"""
+
+
+@query(
+    "dedup_best_of_cluster",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+      UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    cc AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+    {_QUALITY_Z},
+    scored AS (
+      SELECT cc.node, cc.root,
+             round(1.0 / (1.0 + exp(-z.z)), 6) AS q_score,
+             count(*) OVER (PARTITION BY cc.root) AS cluster_size
+      FROM cc JOIN z ON z.doc_id = cc.node
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY root ORDER BY q_score DESC, node) AS rk
+      FROM scored
+    )
+    SELECT root AS cluster_root, node AS keep_id, q_score AS keep_score,
+           cluster_size
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_best_of_cluster(spark, sf_dir):
+    # Survivor selection: near-dup clusters (minhash pairs -> connected
+    # components) keep their HIGHEST-QUALITY member (ml/quality.py
+    # logistic score), not the arbitrary min-id — the curation-grade
+    # dedup policy. One plan composes both operator families; the
+    # oracle replays it with the recursive-CTE closure.
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
+    clusters = CCOMP.dedup_clusters(pairs)
+    scored = clusters.join(QM.quality_scores(docs), "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.col("q_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_root",
+            F.col("doc_id").alias("keep_id"),
+            F.col("q_score").alias("keep_score"),
+            "cluster_size",
+        )
+    )
+
+
 @query(
     "lm_unigram_logprob",
     """
