@@ -107,12 +107,62 @@ def optimize_layout(
         from nerd_spark.plans import derivations as D
 
         ev = read_table(spark, out_dir, "events")
-        D.daily_rollup(ev, "user_id").write.mode("overwrite").parquet(
-            os.path.join(out_dir, SUMMARY_DAILY_DIRNAME)
-        )
+        D.daily_rollup(ev, "user_id").write.mode("overwrite").partitionBy(
+            "d"
+        ).parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
         ev.agg(F.max("ts").alias("as_of")).write.mode("overwrite").parquet(
             os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
         )
+
+
+def update_daily_summary(
+    spark: SparkSession,
+    summary_path: str,
+    new_events,
+    entity: str = "user_id",
+    max_touched_dates: int = 64,
+) -> None:
+    """Incremental maintenance of the daily summary table — what a
+    production ingest job runs per micro-batch instead of the full
+    rebuild in :func:`optimize_layout`.
+
+    The batch rolls up to (entity, d, cat) rows, merges additively
+    with ONLY its touched date partitions, and dynamic-partition-
+    overwrites those partitions: cost is O(batch + touched-partition
+    rows), never O(summary history). Same bounded-touch guard as the
+    fact-table merge (streaming/ingest.py::merge_facts): a batch
+    spanning more dates than the acceptance window allows is a bug
+    upstream, not a bigger rewrite.
+    """
+    from nerd_spark.plans import derivations as D
+
+    batch = D.daily_rollup(new_events, entity)
+    dates = [r.d for r in batch.select("d").distinct().collect()]
+    if len(dates) > max_touched_dates:
+        raise ValueError(
+            f"update_daily_summary: batch touches {len(dates)} date "
+            f"partitions (> {max_touched_dates}); filter to the "
+            "acceptance window first (P10)"
+        )
+    if os.path.exists(os.path.join(summary_path, "_SUCCESS")):
+        existing = (
+            spark.read.parquet(summary_path)
+            .filter(F.col("d").isin(dates))
+            .select(batch.columns)
+        )
+        batch = batch.unionByName(existing)
+    merged = batch.groupBy("entity", "d", "cat").agg(
+        F.sum("n").alias("n"),
+        # keep the store schema identical to daily_rollup's output
+        # (sum widens decimal precision; values stay exact)
+        F.sum("val_dec").cast("decimal(28,4)").alias("val_dec"),
+    )
+    # per-write option, NOT the session conf: session-wide dynamic
+    # mode suppresses the root _SUCCESS marker on every later
+    # partitioned overwrite, breaking the summary-presence checks
+    merged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("d").parquet(summary_path)
 
 
 def write_bucketed(
