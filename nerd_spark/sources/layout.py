@@ -107,9 +107,13 @@ def optimize_layout(
         from nerd_spark.plans import derivations as D
 
         ev = read_table(spark, out_dir, "events")
-        D.daily_rollup(ev, "user_id").write.mode("overwrite").partitionBy(
-            "d"
-        ).parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
+        # cluster by day before the partitioned write: without it every
+        # shuffle partition drops a sliver file into every date dir
+        # (days x partitions tiny files) and scan/listing cost eats the
+        # summary's benefit. At 100 TB the key becomes (d, file_group).
+        D.daily_rollup(ev, "user_id").repartition("d").write.mode(
+            "overwrite"
+        ).partitionBy("d").parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
         ev.agg(F.max("ts").alias("as_of")).write.mode("overwrite").parquet(
             os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
         )
@@ -159,8 +163,9 @@ def update_daily_summary(
     )
     # per-write option, NOT the session conf: session-wide dynamic
     # mode suppresses the root _SUCCESS marker on every later
-    # partitioned overwrite, breaking the summary-presence checks
-    merged.write.mode("overwrite").option(
+    # partitioned overwrite, breaking the summary-presence checks.
+    # repartition by day keeps one file per touched partition.
+    merged.repartition("d").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("d").parquet(summary_path)
 
