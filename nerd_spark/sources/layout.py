@@ -170,6 +170,34 @@ def update_daily_summary(
     ).partitionBy("d").parquet(summary_path)
 
 
+def prune_summary(
+    spark: SparkSession,
+    summary_path: str,
+    keep_days: int = 90,
+    as_of=None,
+) -> list[str]:
+    """History pruning on the date-partitioned summary = deleting
+    expired partition directories (the §2.8 retention pass,
+    reference: modules/cleaner.py:64-202 max_event_history) — no
+    rewrite, no scan of surviving data. Returns the dropped
+    partition names. ``as_of`` defaults to the newest partition."""
+    import datetime as _dt
+    import shutil
+
+    days = sorted(
+        d for d in os.listdir(summary_path) if d.startswith("d=")
+    )
+    if not days:
+        return []
+    anchor = as_of or _dt.date.fromisoformat(days[-1][2:])
+    dropped = []
+    for d in days:
+        if (anchor - _dt.date.fromisoformat(d[2:])).days > keep_days:
+            shutil.rmtree(os.path.join(summary_path, d))
+            dropped.append(d)
+    return dropped
+
+
 def write_bucketed(
     df,
     table: str,

@@ -1,0 +1,36 @@
+"""Trained-quantizer IVF on disk: build_ivf_index with k-means
+centroids + ivf_probe returns exactly what the in-memory trained
+ivf_topk returns — the full 100 TB ANN story (trained coarse
+quantizer, corpus bucket-stored by list id, partition-pruned probes)
+executed end to end."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from nerd_spark.operators import similarity as SIM
+from nerd_spark.session import read_table
+
+
+def test_trained_index_probe_equals_in_memory(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=5)
+    want = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in SIM.ivf_topk(
+            emb, lambda c: c < 10, k=10, n_lists=16, n_probe=4, centroids=cents
+        ).collect()
+    }
+
+    path = tempfile.mkdtemp(prefix="nerd_ivf_trained_") + "/ivf"
+    SIM.build_ivf_index(emb, path, centroids=cents)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = {
+        (r.query_id, r.neighbor_id, r.sim, r.rank)
+        for r in SIM.ivf_probe(spark, path, q, k=10, n_probe=4).collect()
+    }
+    assert got == want and len(want) > 0

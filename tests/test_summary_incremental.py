@@ -37,6 +37,27 @@ def test_incremental_updates_equal_full_rebuild(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_prune_summary_drops_expired_partitions(spark, sf_dir):
+    import datetime as dt
+
+    from nerd_spark.sources.layout import prune_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    path = os.path.join(tempfile.mkdtemp(prefix="nerd_summary_prune_"), "summary")
+    update_daily_summary(spark, path, ev)
+    days = sorted(d for d in os.listdir(path) if d.startswith("d="))
+    assert len(days) >= 3
+    anchor = dt.date.fromisoformat(days[-1][2:])
+    keep = 2
+    dropped = prune_summary(spark, path, keep_days=keep, as_of=anchor)
+    left = sorted(d for d in os.listdir(path) if d.startswith("d="))
+    assert set(dropped) == set(days) - set(left)
+    for d in left:
+        assert (anchor - dt.date.fromisoformat(d[2:])).days <= keep
+    # surviving data still reads cleanly
+    assert spark.read.parquet(path).count() > 0
+
+
 def test_untouched_partitions_not_rewritten(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
