@@ -148,7 +148,13 @@ def update_daily_summary(
             f"partitions (> {max_touched_dates}); filter to the "
             "acceptance window first (P10)"
         )
-    if os.path.exists(os.path.join(summary_path, "_SUCCESS")):
+    # presence = any partition directory, NOT the root _SUCCESS marker:
+    # dynamic-partition-overwrite commits never write one (observed:
+    # an _SUCCESS check here made every merge miss the existing rows
+    # and silently drop them on overlapping dates)
+    if os.path.isdir(summary_path) and any(
+        f.startswith("d=") for f in os.listdir(summary_path)
+    ):
         existing = (
             spark.read.parquet(summary_path)
             .filter(F.col("d").isin(dates))
@@ -161,6 +167,13 @@ def update_daily_summary(
         # (sum widens decimal precision; values stay exact)
         F.sum("val_dec").cast("decimal(28,4)").alias("val_dec"),
     )
+    # MATERIALIZE before overwriting: the merge plan reads the very
+    # partitions the write replaces; without cutting that lineage the
+    # overwrite races its own input (observed: batches whose dates
+    # fully overlap the existing summary lose rows). localCheckpoint
+    # is eager and O(touched rows). The staging-rename pattern of
+    # merge_facts is the crash-safe production variant.
+    merged = merged.localCheckpoint()
     # per-write option, NOT the session conf: session-wide dynamic
     # mode suppresses the root _SUCCESS marker on every later
     # partitioned overwrite, breaking the summary-presence checks.
@@ -168,6 +181,9 @@ def update_daily_summary(
     merged.repartition("d").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("d").parquet(summary_path)
+    # restore the root marker the dynamic commit omits, so readers
+    # (queries/analytics._daily) recognize a stream-maintained summary
+    open(os.path.join(summary_path, "_SUCCESS"), "a").close()
 
 
 def prune_summary(

@@ -37,6 +37,37 @@ def test_incremental_updates_equal_full_rebuild(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_streamed_summary_equals_full_rebuild(spark, sf_dir):
+    from nerd_spark.streaming.summary_stream import stream_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="nerd_summary_stream_")
+    src = os.path.join(base, "incoming")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream_summary(
+            spark,
+            stream,
+            summary_path=os.path.join(base, "summary"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = _rows(spark.read.parquet(os.path.join(base, "summary")))
+    want = _rows(D.daily_rollup(ev, "user_id"))
+    assert got == want and len(want) > 0
+
+
 def test_prune_summary_drops_expired_partitions(spark, sf_dir):
     import datetime as dt
 
