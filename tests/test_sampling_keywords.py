@@ -72,6 +72,50 @@ def test_tfidf_top_terms_shape(spark, sf_dir):
     assert bad == 0
 
 
+def test_mixture_sample_properties(spark, sf_dir):
+    """Property sweep over rate shapes: per-doc copy counts respect
+    floor(rate) <= n <= ceil(rate); integer rates are exact."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    for rates in (
+        {"src0": 0.3, "src1": 1.7, "src2": 4.0},
+        {"src0": 0.999, "src3": 2.5},
+        {},
+    ):
+        out = (
+            mixture_sample(docs, rates=rates, salt=f"s{len(rates)}")
+            .groupBy("doc_id", "source")
+            .agg(F.count("*").alias("copies"), F.max("epoch").alias("max_e"))
+        )
+        joined = docs.join(out, ["doc_id", "source"], "left").fillna(
+            0, subset=["copies"]
+        )
+        for r in joined.collect():
+            rate = rates.get(r.source, 1.0)
+            assert math.floor(rate) <= r.copies <= math.ceil(rate), (
+                r.source,
+                rate,
+                r.copies,
+            )
+            if r.copies:
+                assert r.max_e == r.copies - 1  # dense epochs 0..n-1
+
+
+def test_shard_assign_deterministic_and_balanced(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.shard, r.pos) for r in shard_assign(docs, 8).collect()}
+    b = {(r.doc_id, r.shard, r.pos) for r in shard_assign(docs, 8).collect()}
+    assert a == b
+    sizes = [
+        r["count"]
+        for r in shard_assign(docs, 8).groupBy("shard").count().collect()
+    ]
+    n = docs.count()
+    # hash balance: no shard more than 2x the fair share
+    assert max(sizes) <= 2 * n / 8
+
+
 def test_incremental_subset_of_full_pairs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     full = {
