@@ -20,6 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Round-4 additions, timed as their own group so the HEADLINE list
+# stays comparable round-over-round.
+EXTENDED = [
+    "mixture_sample",
+    "shard_assign",
+    "tfidf_top_terms",
+    "dedup_incremental",
+    "quality_model_filter",
+    "lm_unigram_logprob",
+    "dedup_best_of_cluster",
+]
+
 # Representative cut across operator families; excludes the
 # deliberately quadratic-ish jaccard candidate path (minhash LSH is
 # the scale-path dedup entry).
@@ -93,6 +105,13 @@ def main() -> None:
         fn(spark, data_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_total",
@@ -103,6 +122,8 @@ def main() -> None:
         "layout_optimization_sec": layout_sec,
         "warm_total": round(sum(warm.values()), 3),
         "warm_queries": warm,
+        "extended_total": round(sum(extended.values()), 3),
+        "extended_queries": extended,
     }
     print(json.dumps(out))
     spark.stop()
