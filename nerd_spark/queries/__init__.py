@@ -54,6 +54,7 @@ _WINDOW_PRIORITY = [
     "quality_model_filter",
     "lm_unigram_logprob",
     "dedup_best_of_cluster",
+    "leakage_safe_split",
     # 3 — changed / NTZ-recovered this round
     "ann_ivf_indexed",
     "dedup_minhash_lsh",

@@ -530,6 +530,53 @@ def dedup_best_of_cluster(spark, sf_dir):
 
 
 @query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS}),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+      UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    cc AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, coalesce(cc.root, d.doc_id) AS unit
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    )
+    SELECT doc_id, unit,
+           CASE WHEN {_hex8("md5('leak' || CAST(unit AS VARCHAR))", 1)}
+                     < {_SPLIT_CUT} THEN 'val' ELSE 'train' END AS split
+    FROM assigned
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    # Leakage-safe train/val split: the assignment unit is the
+    # near-dup CLUSTER (minhash pairs -> connected components;
+    # singletons are their own unit), so near-duplicates can never
+    # straddle the split boundary and leak eval content into
+    # training — the group-aware split a curation pipeline needs
+    # after dedup finds (but keeps) near-dup families.
+    docs = t(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
+    clusters = CCOMP.dedup_clusters(pairs)
+    assigned = docs.join(
+        clusters.select("doc_id", "cluster_root"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_root", "doc_id").alias("unit"),
+    )
+    hashed = SAMP.hash_split(
+        assigned, val_frac=_SPLIT_FRAC, id_col="unit", salt="leak"
+    )
+    return hashed.select("doc_id", "unit", "split")
+
+
+@query(
     "lm_unigram_logprob",
     """
     WITH toks AS (

@@ -116,6 +116,25 @@ def test_shard_assign_deterministic_and_balanced(spark, sf_dir):
     assert max(sizes) <= 2 * n / 8
 
 
+def test_leakage_safe_split_keeps_pairs_together(spark, sf_dir):
+    """The property the operator exists for: no near-dup pair may
+    straddle the train/val boundary."""
+    from nerd_spark.queries import REGISTRY
+
+    split = {
+        r.doc_id: r.split
+        for r in REGISTRY["leakage_safe_split"](spark, sf_dir).collect()
+    }
+    pairs = DD.minhash_lsh_dedup(spark, read_table(spark, sf_dir, "documents"))
+    straddlers = [
+        (r.a_id, r.b_id)
+        for r in pairs.collect()
+        if split[r.a_id] != split[r.b_id]
+    ]
+    assert straddlers == []
+    assert "val" in split.values() and "train" in split.values()
+
+
 def test_incremental_subset_of_full_pairs(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     full = {
