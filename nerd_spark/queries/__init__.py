@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (90) exceeds the driver's 50-entry correctness
+# The inventory (91) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round:
 # 1. queries that FAILED last round (the r03 fmp pair — the NTZ
 #    regression — must show green driver rows this round),
