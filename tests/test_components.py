@@ -79,3 +79,19 @@ def test_dedup_clusters_sizes(spark):
     assert rows == {
         (1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2),
     }
+
+
+def test_cc_multi_partition_contraction(spark, monkeypatch):
+    # Force the p>1 path: shrink the per-partition edge budget so the
+    # contraction spans several partitions and the star loop has to
+    # finish the merge across partial (partition-local) star forests.
+    import nerd_spark.operators.components as C
+
+    monkeypatch.setattr(C, "_EDGES_PER_PARTITION", 8)
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # duplicates on purpose: entry no longer dedups
+    edges += edges[:15]
+    _check(spark, edges)
