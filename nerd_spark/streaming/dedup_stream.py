@@ -2,11 +2,12 @@
 arriving documents, each micro-batch checked against (and added to) a
 persisted MinHash LSH index.
 
-State is two append-only parquet tables, not the streaming state
-store (the entity-table pattern of streaming/ingest.py):
-- ``<index>/bands``:    (id, b, h) band signatures — the LSH index
-- ``<index>/shingles``: (id, ss)   distinct shingle arrays — the
-                        verification payload
+State is two parquet tables, not the streaming state store (the
+entity-table pattern of streaming/ingest.py), each laid out as one
+subdirectory per micro-batch epoch:
+- ``<index>/bands/epoch=N``:    (id, b, h) band signatures — the LSH index
+- ``<index>/shingles/epoch=N``: (id, ss)   distinct shingle arrays — the
+                                verification payload
 
 Per micro-batch: signatures for the batch ONLY (map work O(batch)),
 candidates = batch bands ⋈ (index ∪ batch bands) — the batch side
@@ -16,11 +17,21 @@ Cumulative emitted pairs equal the one-shot batch dedup over
 everything ingested so far (proven in tests/test_dedup_stream.py):
 every pair is found exactly when its second member arrives.
 
-At 100 TB the two state tables are date-partitioned and bucketed by
-(b, h) / id respectively; a micro-batch touches O(batch + collisions)
-rows of either. The shingle store is the large one — production
-variants replace it with fixed-width signature sketches; the seam is
-the same.
+Exactly-once under foreachBatch's at-least-once replay: every write —
+the emitted pairs AND the index absorption — targets the batch's own
+``epoch=N`` subdirectory with mode=overwrite, so a replayed epoch
+rewrites its own output instead of double-appending; the candidate
+join reads the index EXCLUDING the current epoch, so a crash that
+landed between the pairs write and the index write (or mid-index
+write) replays against exactly the pre-batch index state. Pairs are
+durable on disk before the index mutates, so no cached plan can ever
+be recomputed against an already-absorbed index.
+
+At 100 TB the two state tables are additionally date-partitioned and
+bucketed by (b, h) / id respectively; a micro-batch touches
+O(batch + collisions) rows of either. The shingle store is the large
+one — production variants replace it with fixed-width signature
+sketches; the seam is the same.
 """
 
 from __future__ import annotations
@@ -36,10 +47,38 @@ from nerd_spark.operators.dedup import (
 )
 
 
+def _epochs(root: str) -> list[int]:
+    """Committed epoch ids under a state-table root (driver-side
+    directory listing — bounded by batch count, not data)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_index(spark, root: str, exclude_epoch: int) -> DataFrame | None:
+    """Read all committed epochs of a state table except `exclude_epoch`
+    (the in-flight batch's own — excluded so at-least-once replay sees
+    exactly the pre-batch index even after a partial absorption)."""
+    eps = [e for e in _epochs(root) if e != exclude_epoch]
+    if not eps:
+        return None
+    paths = [os.path.join(root, f"epoch={e}") for e in eps]
+    return spark.read.option("basePath", root).parquet(*paths).drop("epoch")
+
+
 def process_batch(
     spark,
     batch_docs: DataFrame,
     index_dir: str,
+    epoch_id: int | None = None,
+    pairs_dir: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
@@ -49,21 +88,25 @@ def process_batch(
 ) -> DataFrame:
     """Dedup one arriving batch against the index, then absorb it.
     Returns the new near-dup pairs (a_id < b_id, at least one side in
-    the batch). Usable directly, or as the foreachBatch body via
-    :func:`stream_dedup`."""
+    the batch). Usable directly (epoch auto-assigned), or as the
+    foreachBatch body via :func:`stream_dedup` (epoch = the stream's
+    epoch_id, making replays idempotent)."""
     bands_path = os.path.join(index_dir, "bands")
     sets_path = os.path.join(index_dir, "shingles")
-    have_index = os.path.exists(os.path.join(bands_path, "_SUCCESS"))
+    if epoch_id is None:
+        known = _epochs(bands_path)
+        epoch_id = (known[-1] + 1) if known else 0
 
     sarr = shingle_arrays(batch_docs, id_col, text_col, k).cache()
     batch_bands = minhash_band_table(sarr, n_bands, rows_per_band).cache()
     batch_sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
 
-    if have_index:
-        all_bands = spark.read.parquet(bands_path).unionByName(batch_bands)
-        all_sets = spark.read.parquet(sets_path).unionByName(batch_sets)
-    else:
-        all_bands, all_sets = batch_bands, batch_sets
+    idx_bands = _read_index(spark, bands_path, epoch_id)
+    idx_sets = _read_index(spark, sets_path, epoch_id)
+    all_bands = (
+        idx_bands.unionByName(batch_bands) if idx_bands is not None else batch_bands
+    )
+    all_sets = idx_sets.unionByName(batch_sets) if idx_sets is not None else batch_sets
 
     cand = (
         all_bands.alias("x")
@@ -76,12 +119,31 @@ def process_batch(
         .distinct()
     )
     pairs = _pair_jaccard(cand, all_sets).filter(F.col("jaccard") >= threshold)
-    # Materialize pairs BEFORE appending the batch to the index (the
-    # candidate join must not see the batch twice on the index side).
-    out = pairs.cache()
-    out.count()
-    batch_bands.write.mode("append").parquet(bands_path)
-    batch_sets.write.mode("append").parquet(sets_path)
+
+    # Durability order: pairs FIRST, then the index absorption, each
+    # into this epoch's own overwritten subdir. A crash at any point
+    # replays the epoch against the pre-batch index (own epoch is
+    # excluded from reads) and rewrites both outputs identically.
+    if pairs_dir is not None:
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch={epoch_id}")
+        )
+        out = spark.read.option("basePath", pairs_dir).parquet(
+            os.path.join(pairs_dir, f"epoch={epoch_id}")
+        ).drop("epoch")
+    else:
+        # Direct-API path: pin the result before the index mutates.
+        # localCheckpoint (not cache) — eviction would otherwise let
+        # the plan recompute against the absorbed index.
+        out = pairs.localCheckpoint()
+    batch_bands.write.mode("overwrite").parquet(
+        os.path.join(bands_path, f"epoch={epoch_id}")
+    )
+    batch_sets.write.mode("overwrite").parquet(
+        os.path.join(sets_path, f"epoch={epoch_id}")
+    )
+    sarr.unpersist()
+    batch_bands.unpersist()
     return out
 
 
@@ -94,13 +156,14 @@ def stream_dedup(
     **kw,
 ):
     """Wire :func:`process_batch` as a foreachBatch sink: every
-    micro-batch's new pairs append to ``pairs_dir``. availableNow /
-    continuous triggers both work; per-key ordering is irrelevant
+    micro-batch's new pairs land in ``pairs_dir/epoch=N``. availableNow
+    / continuous triggers both work; per-key ordering is irrelevant
     (pair discovery is commutative across batches)."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        pairs = process_batch(spark, batch_df, index_dir, **kw)
-        pairs.write.mode("append").parquet(pairs_dir)
+        process_batch(
+            spark, batch_df, index_dir, epoch_id=epoch_id, pairs_dir=pairs_dir, **kw
+        )
 
     return (
         docs_stream.writeStream.outputMode("append")
