@@ -29,10 +29,12 @@ def tfidf_top_terms(
 ) -> DataFrame:
     """(doc_id, term, tf, score, rank) — the top-k terms of each doc
     by tf * ln(n_docs / df), ties broken by term asc. Documents with
-    no tokens produce no rows."""
+    no tokens produce no rows (split of empty/whitespace-only text
+    yields [''], which would otherwise pollute the vocabulary with a
+    bogus '' term — filtered right after the explode)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    )
+    ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # corpus size as a broadcast single-row frame: no driver collect
     n_docs = docs.select(
@@ -75,10 +77,12 @@ def unigram_logprob(
     per-doc mean. p(t) = count(t) / total_tokens; no OOV mass is
     needed because the model scores the corpus it was counted on. In
     a train/apply split the vocabulary table persists like the
-    minhash band index and scoring is map-only."""
+    minhash band index and scoring is map-only. Empty/whitespace-only
+    documents contribute no tokens (and produce no row) — the ''
+    artifact of split() is filtered out of the vocabulary."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    )
+    ).filter(F.col("term") != "")
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     total = toks.select(F.count("*").alias("total"))
     return (

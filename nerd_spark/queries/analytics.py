@@ -25,6 +25,28 @@ _DAILY = """
 """
 
 
+def _summary_fresh(sf_dir, dirname):
+    """True iff the derived summary under `dirname` exists, committed
+    (_SUCCESS), and is no older than the raw events it summarizes.
+    The mtime probe is the cheap staleness guard the advisor asked
+    for: rewriting/appending files under events.parquet bumps the
+    directory mtime past the summary's commit marker, so a summary
+    that was not re-maintained after an events change is ignored and
+    the query falls back to the raw scan (exact, just slower). A
+    production deployment records a source fingerprint in the commit
+    instead; same seam."""
+    import os
+
+    success = os.path.join(sf_dir, dirname, "_SUCCESS")
+    if not os.path.exists(success):
+        return False
+    events = os.path.join(sf_dir, "events.parquet")
+    try:
+        return os.path.getmtime(events) <= os.path.getmtime(success)
+    except OSError:
+        return True
+
+
 def _daily(spark, sf_dir):
     """The A1 base rollup. When the data dir carries the ingest-written
     summary table (sources/layout.py writes it during the layout pass —
@@ -32,14 +54,17 @@ def _daily(spark, sf_dir):
     scripts/update_db_meta_info.js), read that instead of re-scanning
     raw events: the measure is exact DECIMAL, so the parquet round-trip
     is bit-identical to recomputing. Raw dirs (the driver's sf0.01
-    correctness runs) fall back to the scan."""
+    correctness runs) and stale summaries fall back to the scan. The
+    summary read is normalized to the raw path's column order (the
+    partitioned store puts d last) so positional consumers can't
+    diverge between the two paths."""
     import os
 
     from nerd_spark.sources.layout import SUMMARY_DAILY_DIRNAME
 
     p = os.path.join(sf_dir, SUMMARY_DAILY_DIRNAME)
-    if os.path.exists(os.path.join(p, "_SUCCESS")):
-        return spark.read.parquet(p)
+    if _summary_fresh(sf_dir, SUMMARY_DAILY_DIRNAME):
+        return spark.read.parquet(p).select("entity", "d", "cat", "n", "val_dec")
     return D.daily_rollup(t(spark, sf_dir, "events"), "user_id")
 
 
@@ -49,7 +74,7 @@ def _as_of(spark, sf_dir):
     from nerd_spark.sources.layout import SUMMARY_ASOF_DIRNAME
 
     p = os.path.join(sf_dir, SUMMARY_ASOF_DIRNAME)
-    if os.path.exists(os.path.join(p, "_SUCCESS")):
+    if _summary_fresh(sf_dir, SUMMARY_ASOF_DIRNAME):
         return spark.read.parquet(p)
     return t(spark, sf_dir, "events").agg(F.max("ts").alias("as_of"))
 

@@ -359,11 +359,12 @@ def shard_assign(spark, sf_dir):
 @query(
     "tfidf_top_terms",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '\\s+')) AS term
       FROM documents
     ),
+    toks AS (SELECT * FROM toks0 WHERE term != ''),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
     dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
     nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
@@ -579,11 +580,12 @@ def leakage_safe_split(spark, sf_dir):
 @query(
     "lm_unigram_logprob",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '\\s+')) AS term
       FROM documents
     ),
+    toks AS (SELECT * FROM toks0 WHERE term != ''),
     vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
     tot AS (SELECT count(*) AS total FROM toks)
     SELECT doc_id, count(*) AS n_tokens,

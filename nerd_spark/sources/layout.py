@@ -36,9 +36,13 @@ _LAYOUT = {
 }
 
 
-IVF_INDEX_DIRNAME = "_ivf_embeddings"
-SUMMARY_DAILY_DIRNAME = "_summary_daily.parquet"
-SUMMARY_ASOF_DIRNAME = "_summary_asof.parquet"
+# No leading underscore: Spark's hidden-path filter ignores _-prefixed
+# dirs in any glob/recursive listing ("All paths were ignored" in the
+# r4 bench tail); explicitly-specified roots only work by accident of
+# the root-bypass, so derived state lives under ordinary names.
+IVF_INDEX_DIRNAME = "ivf_embeddings.index"
+SUMMARY_DAILY_DIRNAME = "summary_daily.parquet"
+SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 
 
 def optimize_layout(
@@ -174,6 +178,16 @@ def update_daily_summary(
     # is eager and O(touched rows). The staging-rename pattern of
     # merge_facts is the crash-safe production variant.
     merged = merged.localCheckpoint()
+    # Crash-atomicity: the dynamic-partition overwrite below is NOT
+    # atomic across partitions — a failure mid-commit can leave some
+    # touched date dirs new and some old. Readers gate on the root
+    # _SUCCESS marker, so drop it BEFORE the overwrite and re-create
+    # it only after the commit succeeds: a torn write leaves no
+    # marker and readers fall back to the raw-events scan instead of
+    # serving corrupt partitions.
+    success = os.path.join(summary_path, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
     # per-write option, NOT the session conf: session-wide dynamic
     # mode suppresses the root _SUCCESS marker on every later
     # partitioned overwrite, breaking the summary-presence checks.
@@ -183,7 +197,7 @@ def update_daily_summary(
     ).partitionBy("d").parquet(summary_path)
     # restore the root marker the dynamic commit omits, so readers
     # (queries/analytics._daily) recognize a stream-maintained summary
-    open(os.path.join(summary_path, "_SUCCESS"), "a").close()
+    open(success, "a").close()
 
 
 def prune_summary(
