@@ -20,8 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Round-4 additions, timed as their own group so the HEADLINE list
-# stays comparable round-over-round.
+# Round-4/5 additions, timed as their own group so the HEADLINE list
+# stays comparable round-over-round. corpus_curation_v2 is the
+# round-5 flagship: the whole curation funnel (quality gate ->
+# decontamination -> LSH near-dup clusters -> mixture -> split/shard)
+# as one number.
 EXTENDED = [
     "mixture_sample",
     "shard_assign",
@@ -30,6 +33,7 @@ EXTENDED = [
     "quality_model_filter",
     "lm_unigram_logprob",
     "dedup_best_of_cluster",
+    "corpus_curation_v2",
 ]
 
 # Representative cut across operator families; excludes the

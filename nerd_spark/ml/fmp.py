@@ -1,4 +1,4 @@
-"""FMP batch scoring: 34-feature parity assembly + vectorized scoring.
+"""FMP batch scoring: 39-feature parity assembly + vectorized scoring.
 
 The reference pulls the whole `ip` collection into one pandas frame
 daily and assembles a 39-dim feature vector per record — event-window
@@ -21,7 +21,7 @@ computes every block as a distributed aggregation:
   prefix meta       the same 8 counts + 3 EWMAs   :292-355 (J8 join-back)
                     + distinct-IP counts, per /24
                     prefix = shiftright(ip, 8)    :224-226
-  blacklists        5 presence flags              :371-382,465-472
+  blacklists        10 presence flags             :371-382,465-472
   hostname tags     exists/dynamic-static/dsl/    :474-504;
                     ip-in-hostname                etc/nerd.yml:172-186
   geo               ctry_badness, asn_badness     :161-215,506-514
@@ -29,10 +29,10 @@ computes every block as a distributed aggregation:
 Mapping onto the synthetic tables (deterministic, oracle-mirrored):
 entity = events.user_id; ip_int = 167772160 + entity*97 (so /24
 prefixes group ~2.6 entities); node = event_type; conns =
-floor(value); blacklist id = props.k % 5; the customer dim supplies
-the hostname analog (c_name; "hostname missing" when c_acctbal < 0)
-and nation the country. The reference's 10 named blacklists collapse
-to the 5 ids the synthetic data carries — 34 of 39 features.
+floor(value); blacklist id = props.k % 10 (one id per reference
+blacklist, fmp_updater.py:23-32); the customer dim supplies the
+hostname analog (c_name; "hostname missing" when c_acctbal < 0) and
+nation the country — the full 39-feature reference vector.
 
 Transforms (:410,419,429,463) — log1p on count blocks, exp(-x) on
 ages/intervals, passthrough on flags/badness — run inside the scoring
@@ -92,6 +92,11 @@ FEATURE_SPEC: list[tuple[str, str, float]] = [
     ("bl_2", "ident", 0.15),
     ("bl_3", "ident", 0.3),
     ("bl_4", "ident", 0.1),
+    ("bl_5", "ident", 0.22),
+    ("bl_6", "ident", 0.35),
+    ("bl_7", "ident", 0.08),
+    ("bl_8", "ident", 0.17),
+    ("bl_9", "ident", 0.28),
     ("hostname_exists", "ident", -0.1),
     ("dynamic_static", "ident", -0.15),
     ("dsl", "ident", 0.12),
@@ -119,7 +124,7 @@ def assemble_features(
     as_of: DataFrame | None = None,
     entity: str = "user_id",
 ) -> DataFrame:
-    """Per-entity raw 34-feature frame. as_of: optional broadcastable
+    """Per-entity raw 39-feature frame. as_of: optional broadcastable
     single-row frame (col ``as_of``) — pass the label cutoff when
     building training frames; defaults to max(ts)."""
     if as_of is None:
@@ -133,7 +138,7 @@ def assemble_features(
         "ts",
         "event_id",
         F.floor("value").alias("conns"),
-        (k % 5).alias("bl"),
+        (k % 10).alias("bl"),
     )
     lvl = (
         base.groupBy("entity", "d", "cat")
@@ -160,7 +165,7 @@ def assemble_features(
                 1,
             ).otherwise(0)
         ).alias(f"bl_{b}")
-        for b in range(5)
+        for b in range(10)
     ]
     ent = lvl.groupBy("entity").agg(
         _win(age <= 1, F.col("n")).alias("alerts_1d"),
@@ -484,6 +489,11 @@ def fmp_oracle_sql(training: bool = False) -> str:
   anchor AS (SELECT max(ts) AS ao, CAST(max(ts) AS DATE) AS ad FROM src),"""
     age = "date_diff('day', d, ad)"
     ewma_w = f"0.25 * pow(0.75, {age})"
+    bl_sql = ",\n      ".join(
+        f"max(CASE WHEN cat = 'error' AND {age} <= 7 AND bl = {b}"
+        f" THEN 1 ELSE 0 END) AS bl_{b}"
+        for b in range(10)
+    )
     wins = f"""
     CAST(coalesce(count(*) FILTER (WHERE {age} <= 1), 0) AS BIGINT) AS alerts_1d,
     CAST(coalesce(sum(conns) FILTER (WHERE {age} <= 1), 0) AS BIGINT) AS conns_1d,
@@ -501,17 +511,13 @@ WITH {src}
   base AS (
     SELECT user_id AS entity, CAST(ts AS DATE) AS d, event_type AS cat, ts,
            event_id, CAST(floor(value) AS BIGINT) AS conns,
-           CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS bl,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bl,
            (167772160 + user_id * 97) // 256 AS prefix
     FROM src
   ),
   ent AS (
     SELECT entity, {wins},
-      max(CASE WHEN cat = 'error' AND {age} <= 7 AND bl = 0 THEN 1 ELSE 0 END) AS bl_0,
-      max(CASE WHEN cat = 'error' AND {age} <= 7 AND bl = 1 THEN 1 ELSE 0 END) AS bl_1,
-      max(CASE WHEN cat = 'error' AND {age} <= 7 AND bl = 2 THEN 1 ELSE 0 END) AS bl_2,
-      max(CASE WHEN cat = 'error' AND {age} <= 7 AND bl = 3 THEN 1 ELSE 0 END) AS bl_3,
-      max(CASE WHEN cat = 'error' AND {age} <= 7 AND bl = 4 THEN 1 ELSE 0 END) AS bl_4,
+      {bl_sql},
       round((epoch_us(any_value(ao)) - epoch_us(max(ts))) / 86400e6, 6) AS last_alert_age
     FROM base, anchor GROUP BY 1
   ),
@@ -599,7 +605,7 @@ WITH {src}
       p.prefix_alerts_1d, p.prefix_conns_1d, p.prefix_ips_1d, p.prefix_nodes_1d,
       p.prefix_alerts_7d, p.prefix_conns_7d, p.prefix_ips_7d, p.prefix_nodes_7d,
       pw.prefix_alerts_ewma, pw.prefix_conns_ewma, pw.prefix_binalerts_ewma,
-      e.bl_0, e.bl_1, e.bl_2, e.bl_3, e.bl_4,
+      {", ".join(f"e.bl_{b}" for b in range(10))},
       t.hostname_exists, t.dynamic_static, t.dsl, t.ip_in_hostname,
       CASE WHEN t.ctry IS NOT NULL AND ctt.ct > 0
            THEN round(ctk.ck * 1.0 / ctt.ct, 6) ELSE 0.0 END AS ctry_badness,

@@ -21,7 +21,7 @@ The fitted model plugs into :func:`nerd_spark.ml.fmp.score` through
 the same ``predict(matrix)`` seam an XGBoost booster would use.
 
 Scale: n_iter scans of the cached frame, each a map + tree-aggregate
-with a 35-value result; at 10^8 entities × 34 features that is the
+with a 40-value result; at 10^8 entities × 39 features that is the
 textbook full-batch LR on Spark (MLlib's LogisticRegression does the
 same shape of work per iteration — not imported here to keep the
 engine dependency-light and the math transparent).

@@ -2,10 +2,13 @@
 
 Images/audio/video are carried as BinaryType columns; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. The decode libraries (PIL/ffmpeg/...) are NOT in
-this container, so the codec step is stubbed behind
-NotImplementedError — the Spark-side plumbing (schema, batching,
-partition flow) is real and tested.
+mapInPandas stages. The heavyweight decode libraries (PIL/ffmpeg/...)
+are NOT in this container, so `decode_image` ships a pure-numpy
+decoder for the two header-only formats that need no codec library —
+PPM (P6) and uncompressed 24-bit BMP — and raises for formats that
+genuinely require one (JPEG/PNG/video). The Spark-side plumbing
+(schema, batching, partition flow) is real and processes real pixels
+through `extract_image_features`.
 
 Two feature paths:
 
@@ -32,11 +35,101 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decode needs PIL/libjpeg, absent here.
-    The plumbing around it (attach_payload -> extract_features_codec)
-    is the tested surface; swap this in a real deployment."""
-    raise NotImplementedError("image codec not available in this environment")
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to {format, width, height, mean_luma}.
+
+    Pure-numpy decode for the library-free formats:
+
+    - **PPM (P6)**: ASCII header ``P6 <w> <h> <maxval>`` (whitespace/
+      comment separated) + raw interleaved RGB.
+    - **BMP**: ``BM`` file header; uncompressed 24-bpp DIB with
+       4-byte-padded bottom-up rows (the classic Windows 3.x layout).
+
+    mean_luma is Rec.601 (0.299 R + 0.587 G + 0.114 B) averaged over
+    all pixels. Compressed formats (JPEG/PNG) need a real codec
+    library and raise NotImplementedError — in a deployment, PIL
+    plugs into the same seam with the same return contract.
+    """
+    import numpy as np
+
+    b = bytes(payload)
+    if b[:2] == b"P6":
+        # header tokens: magic, width, height, maxval; '#' comments
+        # run to end-of-line; a single whitespace byte ends the header.
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        rgb = px.reshape(h, w, 3).astype(np.float64) * (255.0 / maxval)
+    elif b[:2] == b"BM":
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h_raw = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        h = abs(h_raw)
+        row_bytes = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_bytes * h, offset=data_off
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if h_raw > 0:  # bottom-up storage
+            rows = rows[::-1]
+        rgb = rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
+    else:
+        raise NotImplementedError(
+            "only PPM(P6)/BMP24 decode without a codec library"
+        )
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    return {
+        "format": "ppm" if b[:2] == b"P6" else "bmp",
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": float(luma.mean()),
+    }
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, source string, format string, width int, height int,"
+    " mean_luma double"
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """Real-pixel feature extraction: decode each binary payload with
+    `decode_image` inside an Arrow-batched mapInPandas stage and emit
+    (format, width, height, mean_luma). Map-only — no shuffle; the
+    payload bytes never leave the executor. This is the deployed shape
+    of the codec seam; `extract_features_codec` below remains the
+    codec-free equivalence harness."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "format": feats.map(lambda d: d["format"]),
+                    "width": feats.map(lambda d: d["width"]),
+                    "height": feats.map(lambda d: d["height"]),
+                    "mean_luma": feats.map(lambda d: d["mean_luma"]),
+                }
+            )
+
+    return df.mapInPandas(fn, IMAGE_FEATURE_SCHEMA)
 
 
 def attach_payload(docs: DataFrame, text_col="text") -> DataFrame:

@@ -30,48 +30,76 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (91) exceeds the driver's 50-entry correctness
-# window, so the window front is hand-prioritized each round:
-# 1. queries that FAILED last round (the r03 fmp pair — the NTZ
-#    regression — must show green driver rows this round),
-# 2. queries NEW this round (the six round-4 operators),
-# 3. queries whose implementation CHANGED this round (minhash band
-#    refactor, prebuilt-index IVF, the summary-table A-family
-#    rewrites) and the NTZ-recovered ones that lost their r03 rows,
-# 4. the flagship §3 pipelines,
-# then the S/P/J/W relational core in registration order. Unchanged
-# queries green in earlier rounds rotate out; every query keeps its
+# The inventory (92) exceeds the driver's 50-entry correctness
+# window, so the window front is hand-prioritized each round.
+# Round-5 rotation:
+# 1. queries NEW or CHANGED this round — corpus_curation_v2 (new
+#    flagship), the fmp pair (now the full 39-feature/10-blacklist
+#    vector), streaming_daily_counts (gained a real SQL oracle), the
+#    cluster-consuming trio (components.py contraction rewrite), the
+#    keyword pair (empty-term filter), and the A-family heads (the
+#    summary staleness-guard rewrite of _daily),
+# 2. every query WITHOUT a CORRECTNESS_r04 row (rotated out last
+#    round — none may age past two rounds without a fresh driver
+#    row). The two forever-rows-only approximate queries
+#    (a2_window_totals_approx, ann_ivf_trained) rotate out instead;
+#    their accuracy evidence is pytest-side.
+# Everything else was driver-green in r4 and keeps its
 # full-inventory check in tests/test_oracle_diff.py.
 _WINDOW_PRIORITY = [
-    # 1 — r03 failures, fixed this round
+    # 1 — new / changed this round
+    "corpus_curation_v2",
     "fmp_score",
     "fmp_training_frame",
-    # 2 — new this round
-    "mixture_sample",
-    "shard_assign",
-    "tfidf_top_terms",
-    "dedup_incremental",
-    "quality_model_filter",
-    "lm_unigram_logprob",
+    "streaming_daily_counts",
+    "dedup_clusters",
     "dedup_best_of_cluster",
     "leakage_safe_split",
-    # 3 — changed / NTZ-recovered this round
-    "ann_ivf_indexed",
-    "dedup_minhash_lsh",
+    "tfidf_top_terms",
+    "lm_unigram_logprob",
     "a1_daily_rollup",
     "a7_total_reputation",
-    "a11_distinct_pair_counts",
-    "op_array_upsert_rebuild",
-    "sessionize_stats",
-    "a13_intervals",
-    "streaming_daily_counts",
-    # 4 — flagship §3 pipelines
-    "ip_records",
-    "read_path_typed",
-    "read_path_search",
-    "s4_misp_upserts",
-    "nru_due_selection",
-    "q1_pricing_summary",
+    # 2 — no r4 driver row (r1–r3 green; re-cover now)
+    "set_ops_union",
+    "w6_rank_lag",
+    "a6_rep_dshield",
+    "a6_rep_blacklists",
+    "a7_total_multi",
+    "p11_threat_categorization",
+    "tags_rules",
+    "j4_range_join_bucketed",
+    "a2_window_totals",
+    "a3_ewma",
+    "a5_type_profile",
+    "a6_source_reputation",
+    "a8_threat_summary",
+    "a10_prefix_summary",
+    "a12_refcount_rebuild",
+    "a14_feed_rollup",
+    "a16_rollup_revenue",
+    "op_merge_snapshot",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "contamination_check",
+    "train_val_split",
+    "sequence_packing",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "emb_centroids",
+    "text_quality",
+    "text_langid",
+    "text_token_stats",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_fingerprint",
+    "multimodal_bytes",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "corpus_curation",
+    # slot 50 filler (r4-green; keeps the window exactly full)
+    "mixture_sample",
 ]
 
 

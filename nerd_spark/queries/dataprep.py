@@ -1248,3 +1248,159 @@ def dedup_simhash_pairs(spark, sf_dir):
     # hamming <= 3 by pigeonhole; verify on candidates only.
     docs = t(spark, sf_dir, "documents")
     return DD.simhash_neardup(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the whole curation funnel as ONE measured, oracle-checked
+# query (examples/curation_pipeline.py is the narrated version)
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE_TPL = """
+    WITH RECURSIVE feat AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '{STOPWORDS_RE}')) AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             -2.0 + 0.6 * ln(1.0 + n_tokens)
+                  + -8.0 * (n_punct * 1.0 / greatest(n_chars, 1))
+                  + 2.5 * (n_stop * 1.0 / greatest(n_tokens, 1))
+                  + -0.3 * ((n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1))
+               AS z
+      FROM feat
+    ),
+    q AS (
+      SELECT d.* FROM documents d JOIN z USING (doc_id)
+      WHERE round(1.0 / (1.0 + exp(-z.z)), 6) >= 0.32
+    ),
+    qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM q),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - {CN1}, 0)),
+        i -> {CONTAM_GRAM}))) AS g
+      FROM qt
+    ),
+    ev AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 = 3),
+    trn AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 <> 3),
+    evs AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+    hits AS (
+      SELECT trn.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS shared
+      FROM trn JOIN ev USING (g) GROUP BY 1, 2
+    ),
+    contam AS (
+      SELECT DISTINCT train_id AS doc_id
+      FROM hits JOIN evs ON evs.doc_id = hits.eval_id
+      WHERE shared * 1.0 / evs.n >= 0.5
+    ),
+    d2 AS (
+      SELECT q.* FROM q
+      WHERE q.doc_id % 19 <> 3
+        AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    {BANDS_D2},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM blong x JOIN blong y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+    ),
+    {JACCARD_VERIFY},
+    pairs AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+      UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    cc AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM cc WHERE node <> root),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    mixh AS (
+      SELECT doc_id, source,
+             {MIX_HASH} AS v
+      FROM d3
+    ),
+    mixn AS (
+      SELECT doc_id, source,
+             CAST(floor({MIX_CASE}) AS BIGINT)
+               + CASE WHEN v / 4294967296.0 < {MIX_CASE} - floor({MIX_CASE})
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM mixh
+    ),
+    kept AS (SELECT doc_id, source, n_copies FROM mixn WHERE n_copies >= 1),
+    sp AS (SELECT doc_id, {SPLIT_HASH} AS sv FROM kept),
+    shn AS (SELECT doc_id, ({SHARD_HASH}) % 4 AS shard FROM kept)
+    SELECT k.doc_id, k.source, k.n_copies,
+           CASE WHEN sp.sv < {SPLIT_CUT} THEN 'val' ELSE 'train' END AS split,
+           shn.shard
+    FROM kept k JOIN sp USING (doc_id) JOIN shn USING (doc_id)
+"""
+
+_CURATION_ORACLE = _CURATION_ORACLE_TPL.format(
+    STOPWORDS_RE=STOPWORDS_RE,
+    CN1=_CONTAM_N - 1,
+    CONTAM_GRAM=_CONTAM_GRAM,
+    BANDS_D2=_MINHASH_BANDS.replace("FROM documents", "FROM d2").strip(),
+    JACCARD_VERIFY=_JACCARD_VERIFY.strip().rstrip(),
+    MIX_HASH=_hex8("md5('mix' || CAST(doc_id AS VARCHAR))", 1),
+    MIX_CASE=_MIX_CASE,
+    SPLIT_HASH=_hex8("md5(CAST(doc_id AS VARCHAR))", 1),
+    SHARD_HASH=_hex8("md5('shard' || CAST(doc_id AS VARCHAR))", 1),
+    SPLIT_CUT=_SPLIT_CUT,
+)
+
+
+@query("corpus_curation_v2", _CURATION_ORACLE)
+def corpus_curation_v2(spark, sf_dir):
+    """The LLM-pipeline story as one measured number: quality gate ->
+    benchmark decontamination -> MinHash-LSH near-dup removal (keep
+    each cluster's canonical root) -> domain-weighted mixture ->
+    train/val split + shard assignment, all composed from the
+    individually-oracled operators (reference for the funnel order:
+    examples/curation_pipeline.py). Every stage is the scale path —
+    map-only gates, banded LSH (never all-pairs), star-contraction
+    clustering, hash-deterministic sampling — so the one number is
+    the 100 TB shape, not a toy. Output: the surviving corpus with
+    its per-doc mixture copy count, split, and shard."""
+    docs = t(spark, sf_dir, "documents")
+    q = (
+        QM.quality_filter(docs, threshold=0.32)
+        .filter("kept")
+        .drop("q_score", "kept")
+    )
+    ev = q.filter(F.col("doc_id") % 19 == 3)
+    tr = q.filter(F.col("doc_id") % 19 != 3)
+    contaminated = (
+        CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
+        .filter(F.col("eval_frac") >= 0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    d2 = tr.join(contaminated, "doc_id", "left_anti")
+    pairs = DD.minhash_lsh_dedup(
+        spark, d2, n_bands=4, rows_per_band=3, threshold=0.5
+    )
+    losers = (
+        CCOMP.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_root"))
+        .select("doc_id")
+    )
+    d3 = d2.join(losers, "doc_id", "left_anti")
+    kept = (
+        SAMP.mixture_sample(d3, rates=_MIX_RATES, salt="mix")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    split = SAMP.hash_split(kept, val_frac=_SPLIT_FRAC)
+    shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
+        "doc_id", "shard"
+    )
+    return split.join(shards, "doc_id").select(
+        "doc_id", "source", "n_copies", "split", "shard"
+    )

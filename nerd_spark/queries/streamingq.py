@@ -1,8 +1,12 @@
-"""Structured Streaming query paths. No SQL oracle (the driver records
-rows-only checks): streaming semantics aren't expressible in DuckDB,
-but the aggregation bodies are the same ones the batch family
-hash-checks (a1/a2), and tests/test_ingest.py proves batch==stream
-for the ingest pipeline.
+"""Structured Streaming query paths.
+
+`streaming_daily_counts` carries a real SQL oracle: with an
+availableNow trigger draining the whole (static) file set, every
+event is on time, so the streamed tumbling-window result must equal
+the plain batch daily rollup — the same invariant
+tests/test_ingest.py proves for the ingest pipeline. The oracle is
+that batch rollup in DuckDB, so the driver hash-checks the streaming
+path instead of recording a rows-only row.
 """
 
 from __future__ import annotations
@@ -15,7 +19,13 @@ from pyspark.sql import functions as F
 from nerd_spark.queries.base import query
 
 
-@query("streaming_daily_counts")  # rows-only: streaming op
+@query(
+    "streaming_daily_counts",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
 def streaming_daily_counts(spark, sf_dir):
     """The A1 daily rollup as a Structured Streaming job: file source
     over the events parquet, 7-day watermark (the P10 late-data

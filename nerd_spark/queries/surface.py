@@ -238,7 +238,7 @@ def _fmp_oracle(training: bool) -> str:
 def fmp_score(spark, sf_dir):
     # (reference: NERDd/fmp_updater.py:577-646 — the daily full-
     # collection pandas pass, rebuilt as distributed feature stages +
-    # an Arrow-batched scoring UDF over the 34-feature parity vector;
+    # an Arrow-batched scoring UDF over the 39-feature parity vector;
     # the logistic stub stands in for the XGBoost model so the math is
     # oracle-checkable. The oracle SQL is generated from the same
     # FEATURE_SPEC that drives the Spark assembly — one source of
@@ -257,7 +257,7 @@ def fmp_score(spark, sf_dir):
 def fmp_training_frame(spark, sf_dir):
     # (reference: fmp_updater.py:527-575 — feature + 24h-label logging
     # for model retraining; here a forward-looking temporal split over
-    # the full 34-feature vector, see ml/fmp.py)
+    # the full 39-feature vector, see ml/fmp.py)
     from nerd_spark.ml.fmp import FEATURES, training_frame
 
     ev = t(spark, sf_dir, "events")

@@ -109,7 +109,7 @@ def test_combine_total_missing_source(spark):
 
 
 def test_fmp_model_seam(spark, sf_dir):
-    """score(predict=...) feeds the transformed 34-feature matrix to a
+    """score(predict=...) feeds the transformed 39-feature matrix to a
     custom batch scorer (the XGBoost seam) — verified with a model
     that returns the first transformed feature."""
     import numpy as np
