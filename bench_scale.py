@@ -38,7 +38,15 @@ SHIFTS = {
 COPY = ["nation", "region", "supplier", "part"]
 
 
-def replicate(spark, src: str, dst: str, replicas: int) -> None:
+def replicate(
+    spark, src: str, dst: str, replicas: int, hot_keys: int = 0
+) -> None:
+    """hot_keys > 0 builds the deliberately-skewed variant: ~50% of
+    all events are remapped onto `hot_keys` user ids (the scanners-
+    hitting-every-sensor shape of security telemetry), the rest keep
+    their replica-shifted ids. Used by --skew to measure that the
+    salted rollup + AQE hold the aggregation families flat under a
+    1%-of-keys-own-half-the-rows distribution."""
     from pyspark.sql import functions as F
 
     from nerd_spark.session import read_table
@@ -74,6 +82,14 @@ def replicate(spark, src: str, dst: str, replicas: int) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if name == "events" and hot_keys > 0:
+            coin = F.pmod(F.hash("event_id"), F.lit(2)) == 0  # ~half the rows
+            out = out.withColumn(
+                "user_id",
+                F.when(coin, F.pmod("user_id", F.lit(hot_keys))).otherwise(
+                    F.col("user_id")
+                ),
+            )
         out.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
 
 
@@ -95,20 +111,76 @@ def run_headline(spark, data_dir: str) -> dict[str, float]:
     return timings
 
 
+def run_skew(spark, replicas: int) -> None:
+    """--skew: same replica count twice — uniform keys vs 1% of keys
+    owning ~50% of events — timing the aggregation family on the RAW
+    (summary-free) path so the measurement exercises the shuffle agg
+    itself, plus the explicit salted two-phase rollup
+    (operators/skew.py). Healthy result: skewed/unskewed ≤ ~1.5×."""
+    from pyspark.sql import functions as F
+
+    from nerd_spark.operators.skew import salted_rollup
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.session import read_table
+
+    n_users = read_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    hot = max(1, n_users * replicas // 100)  # 1% of the scaled key space
+
+    dirs = {}
+    for label, hk in (("uniform", 0), ("skewed", hot)):
+        d = tempfile.mkdtemp(prefix=f"nerd_skew_{label}_{replicas}x_")
+        replicate(spark, SF_DIR, d, replicas, hot_keys=hk)
+        dirs[label] = d
+
+    for label, d in dirs.items():
+        ev = read_table(spark, d, "events")
+        timings = {}
+        for name in ("a1_daily_rollup", "a2_window_totals"):
+            t0 = time.perf_counter()
+            REGISTRY[name](spark, d).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        salted_rollup(
+            ev.select("user_id", F.to_date("ts").alias("d"), "value"),
+            ["user_id", "d"],
+            sums=["value"],
+        ).write.format("noop").mode("overwrite").save()
+        timings["salted_rollup"] = round(time.perf_counter() - t0, 3)
+        top = (
+            ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(1).first()
+        )
+        total = ev.count()
+        print(json.dumps({
+            "metric": "skew_bench", "variant": label, "replicas": replicas,
+            "hot_keys": hot if label == "skewed" else 0,
+            "hottest_key_share": round(top["count"] / total, 4),
+            "value": round(sum(timings.values()), 3), "unit": "sec",
+            "queries": timings, "dir": d,
+        }))
+
+
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    replicas = int(args[0]) if args else 10
     from nerd_spark.session import get_spark
     from nerd_spark.sources.layout import optimize_layout
 
     spark = get_spark(app_name="nerd_spark_bench_scale")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    opt1 = tempfile.mkdtemp(prefix="nerd_scale_1x_")
-    optimize_layout(spark, SF_DIR, opt1)
-    t1 = run_headline(spark, opt1)
-    print(json.dumps({"metric": "headline_total", "scale": "1x",
-                      "value": round(sum(t1.values()), 3), "unit": "sec",
-                      "queries": t1}))
+    if "--skew" in flags:
+        run_skew(spark, replicas)
+        spark.stop()
+        return
+
+    if "--skip-1x" not in flags:
+        opt1 = tempfile.mkdtemp(prefix="nerd_scale_1x_")
+        optimize_layout(spark, SF_DIR, opt1)
+        t1 = run_headline(spark, opt1)
+        print(json.dumps({"metric": "headline_total", "scale": "1x",
+                          "value": round(sum(t1.values()), 3), "unit": "sec",
+                          "queries": t1, "dir": opt1}))
 
     raw = tempfile.mkdtemp(prefix=f"nerd_scale_{replicas}x_raw_")
     replicate(spark, SF_DIR, raw, replicas)
@@ -120,7 +192,7 @@ def main() -> None:
     tN = run_headline(spark, big)
     print(json.dumps({"metric": "headline_total", "scale": f"{replicas}x",
                       "value": round(sum(tN.values()), 3), "unit": "sec",
-                      "queries": tN}))
+                      "queries": tN, "dir": big}))
     spark.stop()
 
 
