@@ -7,14 +7,31 @@ tags-DSL conditions compiled once to Column predicates — the shipped
 config's trigger forms (regex on description, membership on the
 category list, port/protocol comparisons) are all expressible in the
 DSL's `matches` / `in` / comparison operators.
+
+Escape hatch for unforeseen config: a trigger the DSL compiler
+rejects falls back to `python_trigger_column` — an AST-validated
+(whitelist, no attribute-walking to dunders, empty builtins)
+restricted Python evaluation inside an Arrow-batched pandas UDF over
+only the columns the expression references. This mirrors the
+reference's free-form eval() without its arbitrary-code surface, and
+it is the documented SLOW path: per-row Python inside the batch, so
+a deployment should treat a fallback hit as a lint warning and port
+hot rules to the DSL. Evaluation errors on a row mean "trigger not
+matched" (the reference wraps its eval the same way,
+threat_categorization.py:150-158).
 """
 
 from __future__ import annotations
 
+import ast
+import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from nerd_spark.plans.tags_dsl import condition_column
 
@@ -22,8 +39,99 @@ from nerd_spark.plans.tags_dsl import condition_column
 @dataclass
 class CategoryRule:
     category: str
-    condition: str  # tags-DSL over the event row
+    condition: str  # tags-DSL over the event row (or restricted Python)
     subcategory_attr: str | None = None  # the '->' extraction
+
+
+# -- restricted-Python fallback ---------------------------------------------
+
+_ALLOWED_NODES = (
+    ast.Expression, ast.BoolOp, ast.And, ast.Or, ast.UnaryOp, ast.Not,
+    ast.USub, ast.Compare, ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt,
+    ast.GtE, ast.In, ast.NotIn, ast.Is, ast.IsNot, ast.BinOp, ast.Add,
+    ast.Sub, ast.Mult, ast.Div, ast.Mod, ast.Name, ast.Load,
+    ast.Constant, ast.Call, ast.Attribute, ast.List, ast.Tuple,
+    ast.Subscript, ast.Slice, ast.IfExp,
+)
+_ALLOWED_FUNCS = {"len", "str", "int", "float", "bool", "abs", "min", "max", "any", "all"}
+_ALLOWED_METHODS = {
+    "lower", "upper", "strip", "split", "startswith", "endswith",
+    "count", "find", "get", "search", "match", "findall",
+}
+
+
+def _validate(tree: ast.AST, columns: set[str]) -> set[str]:
+    """Whitelist-check the AST; return the column names referenced."""
+    used: set[str] = set()
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise ValueError(
+                f"python trigger: disallowed syntax {type(node).__name__}"
+            )
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith("_"):
+                raise ValueError("python trigger: underscore attribute")
+            if node.attr not in _ALLOWED_METHODS:
+                raise ValueError(f"python trigger: method {node.attr!r} not allowed")
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Name):
+                if f.id not in _ALLOWED_FUNCS:
+                    raise ValueError(f"python trigger: call {f.id!r} not allowed")
+            elif not isinstance(f, ast.Attribute):
+                raise ValueError("python trigger: computed call target")
+        if isinstance(node, ast.Name):
+            if node.id in columns:
+                used.add(node.id)
+            elif node.id not in _ALLOWED_FUNCS and node.id != "re":
+                raise ValueError(f"python trigger: unknown name {node.id!r}")
+    return used
+
+
+def python_trigger_column(expr: str, df: DataFrame) -> Column:
+    """Compile a restricted-Python trigger to a boolean Column via an
+    Arrow-batched pandas UDF over exactly the referenced columns.
+    Raises ValueError at plan time for disallowed syntax; per-row
+    evaluation errors yield False (reference semantics)."""
+    tree = ast.parse(expr, mode="eval")
+    used = sorted(_validate(tree, set(df.columns)))
+    code = compile(tree, "<trigger>", "eval")
+    import builtins as _bi
+
+    env_base = {
+        "__builtins__": {},
+        "re": re,
+        **{n: getattr(_bi, n) for n in _ALLOWED_FUNCS},
+    }
+
+    def fn(*cols: pd.Series) -> pd.Series:
+        out = []
+        for vals in zip(*cols):
+            env = dict(env_base)
+            env.update(zip(used, vals))
+            try:
+                out.append(bool(eval(code, env)))  # noqa: S307 — AST-whitelisted
+            except Exception:
+                out.append(False)
+        return pd.Series(out)
+
+    if not used:  # constant expression: evaluate once at plan time
+        env = dict(env_base)
+        try:
+            return F.lit(bool(eval(code, env)))  # noqa: S307
+        except Exception:
+            return F.lit(False)
+    udf = pandas_udf(fn, "boolean")
+    return udf(*[F.col(c) for c in used])
+
+
+def trigger_column(condition: str, df: DataFrame) -> Column:
+    """DSL compile first; restricted-Python fallback for expressions
+    outside the grammar (the reference's free-form eval triggers)."""
+    try:
+        return condition_column(condition, df)
+    except (ValueError, TypeError):
+        return python_trigger_column(condition, df)
 
 
 def categorize(events: DataFrame, rules: list[CategoryRule]) -> DataFrame:
@@ -34,7 +142,7 @@ def categorize(events: DataFrame, rules: list[CategoryRule]) -> DataFrame:
         F.array(
             *[
                 F.when(
-                    condition_column(r.condition, events),
+                    trigger_column(r.condition, events),
                     F.struct(
                         F.lit(r.category).alias("category"),
                         (

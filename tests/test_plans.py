@@ -25,6 +25,57 @@ def test_categorize_multi_match(spark):
     assert rows == {(1, "big", None), (1, "err", "error")}
 
 
+def test_categorize_python_fallback(spark):
+    """A trigger the DSL grammar can't parse falls back to the
+    restricted-Python escape hatch (the reference's free-form eval
+    triggers, threat_categorization.py:144-195) — and unsafe
+    expressions are rejected at plan time, not evaluated."""
+    import pytest
+
+    from nerd_spark.plans.categorization import python_trigger_column
+
+    ev = spark.createDataFrame(
+        [
+            (1, "error", "port scan detected on net"),
+            (2, "view", "ssh scan"),
+            (3, "error", "ok"),
+        ],
+        "event_id long, event_type string, description string",
+    )
+    rules = [
+        # len()/split() + re.search: outside the DSL grammar
+        CategoryRule(
+            "scan",
+            "len(description.split()) >= 2 and re.search('scan', description) is not None",
+        ),
+        # still-DSL rule in the same config keeps the fast path
+        CategoryRule("err", "event_type == 'error'"),
+    ]
+    rows = {(r.event_id, r.category) for r in categorize(ev, rules).collect()}
+    assert rows == {(1, "scan"), (1, "err"), (2, "scan"), (3, "err")}
+
+    # per-row evaluation errors mean "not matched", never a crash
+    ev2 = ev.withColumn(
+        "description", F.when(F.col("event_id") == 2, None).otherwise("x scan y")
+    )
+    got = {
+        (r.event_id, r.category)
+        for r in categorize(ev2, rules[:1]).collect()
+    }
+    assert got == {(1, "scan"), (3, "scan")}
+
+    # the sandbox: dunders, imports, unknown names all refuse to compile
+    for bad in (
+        "__import__('os').system('true')",
+        "().__class__",
+        "open('/etc/passwd')",
+        "description.__len__()",
+        "exec('1')",
+    ):
+        with pytest.raises(ValueError):
+            python_trigger_column(bad, ev)
+
+
 def test_entity_query_families(spark):
     df = spark.createDataFrame(
         [
