@@ -5,8 +5,10 @@ The reference downloads feeds over HTTP then regex-parses IPs
 (reference: NERDd/blacklists.py:44-189 — line-per-IP or regex modes,
 cron scheduled :283-303) and parses the DShield TSV with
 leading-zero octet stripping + a minimum-reports threshold
-(NERDd/dshield.py:64-112). Fetching is an external concern (cron +
-wget equivalent); parsing is declarative here.
+(NERDd/dshield.py:64-112). The download itself is `fetch_url` /
+`fetch_json` (stdlib urllib on the driver: conditional GET, paging,
+file:// fixtures for offline tests); parsing is declarative and
+distributed.
 """
 
 from __future__ import annotations
@@ -86,29 +88,78 @@ def parse_dshield(feed: DataFrame, min_reports: int = 5) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def fetch_blacklist_lines(spark, source: str) -> DataFrame:
+def fetch_url(
+    url: str,
+    timeout: int = 60,
+    if_modified_since: str | None = None,
+    max_bytes: int = 512 * 1024 * 1024,
+) -> tuple[bytes | None, str | None]:
+    """Driver-side feed download (stdlib urllib — no extra deps):
+    returns (body, last_modified). http(s):// and file:// go through
+    the same code path, so the fetch logic is fully testable offline
+    with file:// fixtures; this sandbox simply has no network for the
+    http case. `if_modified_since` sends a conditional GET and
+    returns (None, None) on 304 — the reference's downloader skips
+    unchanged feeds the same way (blacklists.py:44-58). A feed is one
+    file of at most a few hundred MB fetched once per cron interval;
+    downloading on the driver and parallelizing the *parse* is the
+    right split at any scale."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url)
+    if if_modified_since and url.startswith(("http://", "https://")):
+        req.add_header("If-Modified-Since", if_modified_since)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            body = resp.read(max_bytes)
+            headers = getattr(resp, "headers", None)
+            last_mod = headers.get("Last-Modified") if headers else None
+            return body, last_mod
+    except urllib.error.HTTPError as e:
+        if e.code == 304:
+            return None, None
+        raise
+
+
+def fetch_blacklist_lines(spark, source: str, timeout: int = 60) -> DataFrame:
     """Fetch one blacklist feed as a lines DataFrame.
 
-    Local paths/globs read via spark.read.text (the testable path —
-    a cron'd downloader drops files there, exactly like the warden
-    spool). http(s):// URLs fetch via `requests` when available; this
-    container has no network stack for it, so the seam raises with
-    guidance instead of silently returning nothing
-    (reference download_blacklist: blacklists.py:44-58)."""
-    if source.startswith(("http://", "https://")):
-        try:  # pragma: no cover - network path, absent here
-            import requests
-
-            text = requests.get(source, timeout=60).text
-            return spark.createDataFrame(
-                [(line,) for line in text.splitlines()], "value string"
-            )
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "HTTP blacklist fetch needs `requests`; mirror the feed "
-                "to a local file and pass its path instead"
-            ) from e
+    Local paths/globs read via spark.read.text (the spool path — a
+    cron'd downloader drops files there, exactly like the warden
+    spool). http(s):// and file:// URLs download via `fetch_url` and
+    parallelize the line parse (reference download_blacklist:
+    blacklists.py:44-58)."""
+    if source.startswith(("http://", "https://", "file://")):
+        body, _ = fetch_url(source, timeout=timeout)
+        text = (body or b"").decode("utf-8", errors="replace")
+        return spark.createDataFrame(
+            [(line,) for line in text.splitlines()], "value string"
+        )
     return spark.read.text(source)
+
+
+def fetch_json(url: str, timeout: int = 60, page_param: str | None = None,
+               max_pages: int = 1000) -> list:
+    """JSON feed pull for the MISP/OTX receiver family: GET one
+    document, or walk `page_param`=1..N until an empty page
+    (otx_receiver.py:148-174 pages the same way). file:// fixtures
+    exercise the full path offline; page URLs append
+    `?page_param=N` (or & if the URL already has a query)."""
+    import json as _json
+
+    if page_param is None:
+        body, _ = fetch_url(url, timeout=timeout)
+        return _json.loads((body or b"[]").decode("utf-8"))
+    out: list = []
+    for page in range(1, max_pages + 1):
+        sep = "&" if "?" in url else "?"
+        body, _ = fetch_url(f"{url}{sep}{page_param}={page}", timeout=timeout)
+        chunk = _json.loads((body or b"[]").decode("utf-8"))
+        if not chunk:
+            break
+        out.extend(chunk)
+    return out
 
 
 def blacklist_changelog(

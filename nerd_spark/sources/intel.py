@@ -242,3 +242,44 @@ def otx_changelog(
     )
     out = upserts.unionByName(ttls)
     return stable_seq(out)
+
+
+# ---------------------------------------------------------------------------
+# S4 live pull seam: API pagers -> the batch parsers above. The
+# reference daemons poll the MISP REST API / OTX subscribed-pulses
+# endpoint (misp_receiver.py:268-312, otx_receiver.py:148-174); here
+# the download is sources/feeds.py::fetch_json (stdlib urllib, paged,
+# offline-testable via file:// and loopback HTTP) and everything
+# after the fetch is the same DataFrame path the batch tests pin.
+# ---------------------------------------------------------------------------
+
+
+def _docs_to_df(spark, docs: list, schema: str) -> DataFrame:
+    import json as _json
+
+    if not docs:
+        return spark.createDataFrame([], schema)
+    raw = spark.createDataFrame([(_json.dumps(d),) for d in docs], "value string")
+    return raw.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
+def pull_misp_events(
+    spark, url: str, timeout: int = 60, page_param: str | None = None
+) -> DataFrame:
+    """GET a MISP event export (optionally paged) -> the
+    parse_misp_events input frame."""
+    from nerd_spark.sources.feeds import fetch_json
+
+    docs = fetch_json(url, timeout=timeout, page_param=page_param)
+    return _docs_to_df(spark, docs, MISP_SCHEMA)
+
+
+def pull_otx_pulses(
+    spark, url: str, timeout: int = 60, page_param: str | None = "page"
+) -> DataFrame:
+    """GET the OTX subscribed-pulses pages -> the parse_otx_pulses
+    input frame (pages until an empty page, the reference's loop)."""
+    from nerd_spark.sources.feeds import fetch_json
+
+    docs = fetch_json(url, timeout=timeout, page_param=page_param)
+    return _docs_to_df(spark, docs, OTX_SCHEMA)

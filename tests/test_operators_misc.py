@@ -317,6 +317,89 @@ def test_blacklist_fetch_changelog_and_schedule(spark, tmp_path):
     assert plan == [("a", 7260), ("b", 10800)]
 
 
+def test_feed_fetch_over_http(spark, tmp_path):
+    """The live feed puller (sources/feeds.py::fetch_url/fetch_json):
+    blacklist download + parse over real HTTP (loopback server),
+    conditional GET short-circuiting on 304, and the paged JSON pull
+    the OTX receiver shape needs (otx_receiver.py:148-174) — plus the
+    file:// fixture path sharing the same code."""
+    import http.server
+    import json as _json
+    import threading
+
+    from nerd_spark.sources.feeds import (
+        fetch_blacklist_lines,
+        fetch_json,
+        fetch_url,
+        parse_blacklist,
+    )
+
+    feed_lines = "# comment\n10.0.0.1\nbad 999.1.1.1\n10.0.0.2 # trailing\n"
+    pages = {1: [{"id": "p1"}, {"id": "p2"}], 2: [{"id": "p3"}]}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.headers.get("If-Modified-Since") == "marker":
+                self.send_response(304)
+                self.end_headers()
+                return
+            if self.path.startswith("/pulses"):
+                page = int(self.path.split("page=")[1])
+                body = _json.dumps(pages.get(page, [])).encode()
+            else:
+                body = feed_lines.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Last-Modified", "marker")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        lines = fetch_blacklist_lines(spark, f"{base}/feed.txt")
+        parsed = parse_blacklist(lines, "bl_http")
+        assert {r.ip for r in parsed.collect()} == {"10.0.0.1", "10.0.0.2"}
+        # conditional GET: unchanged feed -> (None, None), no re-parse
+        _, last_mod = fetch_url(f"{base}/feed.txt")
+        assert last_mod == "marker"
+        body, lm = fetch_url(f"{base}/feed.txt", if_modified_since=last_mod)
+        assert body is None and lm is None
+        # paged JSON pull drains until the empty page
+        pulses = fetch_json(f"{base}/pulses", page_param="page")
+        assert [p["id"] for p in pulses] == ["p1", "p2", "p3"]
+    finally:
+        srv.shutdown()
+
+    # file:// fixture through the same path
+    p = tmp_path / "bl.txt"
+    p.write_text(feed_lines)
+    via_file = parse_blacklist(
+        fetch_blacklist_lines(spark, p.as_uri()), "bl_file"
+    )
+    assert {r.ip for r in via_file.collect()} == {"10.0.0.1", "10.0.0.2"}
+
+    # API pull -> the batch OTX parser, via a file:// pulse export
+    from nerd_spark.sources.intel import parse_otx_pulses, pull_otx_pulses
+
+    pj = tmp_path / "pulses.json"
+    pj.write_text(_json.dumps([
+        {"id": "pu1", "name": "scanners", "author_name": "a",
+         "created": "2024-01-01T00:00:00", "modified": "2024-01-02T00:00:00",
+         "indicators": [
+             {"indicator": "10.9.9.9", "type": "IPv4",
+              "created": "2024-01-01T00:00:00", "expiration": None,
+              "role": None, "title": None}]},
+    ]))
+    pulses_df = pull_otx_pulses(spark, pj.as_uri(), page_param=None)
+    got = parse_otx_pulses(pulses_df)
+    assert [r.ip for r in got.collect()] == ["10.9.9.9"]
+
+
 def test_bucketed_layout_removes_shuffle(spark, sf_dir, tmp_path):
     """The deployment-map claim, executed: a table bucketed by the
     aggregation key is read pre-partitioned — groupBy(bucket key)
