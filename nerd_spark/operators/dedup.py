@@ -43,10 +43,15 @@ def _spread(docs: DataFrame) -> DataFrame:
     after a selective pushed-down filter at 100 TB) would otherwise
     run the whole shingle+hash stage serially — measured 10x wall on
     local[32]. At full scale the input already has thousands of
-    splits and this is a no-op (the partition count check costs only
-    plan conversion, no job)."""
+    splits and this is a no-op. The width probe is inputFiles() —
+    pure FileIndex metadata, no job and no RDD plan conversion (the
+    previous .rdd.getNumPartitions() converted the plan per call); a
+    non-file-sourced input ([] files) has already been through a
+    shuffle at spark.sql.shuffle.partitions width and passes
+    through."""
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    n_files = len(docs.inputFiles())
+    if 0 < n_files < par:
         return docs.repartition(par)
     return docs
 
