@@ -1382,7 +1382,15 @@ def corpus_curation_v2(spark, sf_dir):
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
-    d2 = tr.join(contaminated, "doc_id", "left_anti")
+    # Materialize the funnel waist ONCE: d2 feeds three separate
+    # actions (the LSH pair generator, the cluster resolver's
+    # checkpoint, and the final assembly) — without this the quality
+    # regexes and the decontamination n-gram join re-execute per
+    # action (measured 25 s -> the sum of its stages). This is what
+    # production curation does anyway: each funnel stage persists a
+    # corpus version. On a cluster, .checkpoint()/a parquet write is
+    # the fault-tolerant equivalent.
+    d2 = tr.join(contaminated, "doc_id", "left_anti").localCheckpoint()
     pairs = DD.minhash_lsh_dedup(
         spark, d2, n_bands=4, rows_per_band=3, threshold=0.5
     )
