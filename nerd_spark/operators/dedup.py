@@ -43,15 +43,21 @@ def _spread(docs: DataFrame) -> DataFrame:
     after a selective pushed-down filter at 100 TB) would otherwise
     run the whole shingle+hash stage serially — measured 10x wall on
     local[32]. At full scale the input already has thousands of
-    splits and this is a no-op. The width probe is inputFiles() —
-    pure FileIndex metadata, no job and no RDD plan conversion (the
-    previous .rdd.getNumPartitions() converted the plan per call); a
-    non-file-sourced input ([] files) has already been through a
-    shuffle at spark.sql.shuffle.partitions width and passes
-    through."""
+    splits and this is a no-op. The probe is two-stage: inputFiles()
+    (pure FileIndex metadata, no job) settles the common few-big-files
+    case cheaply; anything it can't prove wide — [] files (in-memory /
+    checkpointed frames are NOT guaranteed shuffle-width: a
+    localCheckpoint keeps its upstream partitioning) or many files
+    (Spark packs small files into FEWER splits, so file count
+    over-states parallelism) — is confirmed with the true
+    post-packing split count via .rdd.getNumPartitions (driver-side
+    plan conversion only, no job; paid only on the ambiguous paths).
+    """
     par = docs.sparkSession.sparkContext.defaultParallelism
     n_files = len(docs.inputFiles())
     if 0 < n_files < par:
+        return docs.repartition(par)
+    if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)
     return docs
 

@@ -89,6 +89,9 @@ def decode_image(payload: bytes) -> dict:
             rows = rows[::-1]
         rgb = rows[:, :, ::-1].astype(np.float64)  # BGR -> RGB
     else:
+        decoded = _decode_via_pil(b)
+        if decoded is not None:
+            return decoded
         raise NotImplementedError(
             "only PPM(P6)/BMP24 decode without a codec library"
         )
@@ -101,23 +104,70 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
+def _decode_via_pil(b: bytes) -> dict | None:
+    """Optional real-codec path: if PIL is importable in the deployed
+    env, decode compressed formats (JPEG/PNG/...) with it — same
+    return contract as the pure-numpy branches. Returns None when PIL
+    is absent or cannot parse the payload (caller falls through to
+    NotImplementedError), so the container-without-codec behavior is
+    unchanged and the planted-pixel tests stay pinned to the numpy
+    path."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(b)) as im:
+            fmt = (im.format or "unknown").lower()
+            rgb = np.asarray(im.convert("RGB"), dtype=np.float64)
+    except Exception:
+        return None
+    luma = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    return {
+        "format": fmt,
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "mean_luma": float(luma.mean()),
+    }
+
+
 IMAGE_FEATURE_SCHEMA = (
     "doc_id long, source string, format string, width int, height int,"
-    " mean_luma double"
+    " mean_luma double, decode_error string"
 )
 
 
 def extract_image_features(df: DataFrame) -> DataFrame:
     """Real-pixel feature extraction: decode each binary payload with
     `decode_image` inside an Arrow-batched mapInPandas stage and emit
-    (format, width, height, mean_luma). Map-only — no shuffle; the
-    payload bytes never leave the executor. This is the deployed shape
-    of the codec seam; `extract_features_codec` below remains the
-    codec-free equivalence harness."""
+    (format, width, height, mean_luma, decode_error). Map-only — no
+    shuffle; the payload bytes never leave the executor.
+
+    Per-row fault isolation: an undecodable payload (unsupported
+    format, malformed header) yields NULL features + the error string
+    instead of failing the whole job — a single bad image in a mixed
+    100 TB corpus must be a skipped row, not a dead pipeline. Direct
+    `decode_image` calls still raise (that contract is tested)."""
+
+    def safe(payload) -> dict:
+        try:
+            return dict(decode_image(payload), decode_error=None)
+        except Exception as e:  # noqa: BLE001 — row-level quarantine
+            return {
+                "format": None,
+                "width": None,
+                "height": None,
+                "mean_luma": None,
+                "decode_error": f"{type(e).__name__}: {e}"[:200],
+            }
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(decode_image)
+            feats = pdf["payload"].map(safe)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -126,6 +176,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                     "width": feats.map(lambda d: d["width"]),
                     "height": feats.map(lambda d: d["height"]),
                     "mean_luma": feats.map(lambda d: d["mean_luma"]),
+                    "decode_error": feats.map(lambda d: d["decode_error"]),
                 }
             )
 

@@ -88,6 +88,82 @@ def _validate(tree: ast.AST, columns: set[str]) -> set[str]:
     return used
 
 
+# -- resource-exhaustion guards (the sandbox blocks code execution;
+# these bound CPU/memory: triggers come from config, and a config
+# typo must not hang or OOM an executor per row) -----------------------------
+
+_MAX_REPEAT_ELEMS = 100_000  # cap on len(seq) * times for seq * int
+_MAX_REGEX_LEN = 256
+_MAX_REGEX_QUANTIFIERS = 20
+
+
+def _mul(a, b):
+    """Guarded `*`: sequence repetition (str/bytes/list/tuple * int)
+    is capped — `description * 10**10` must raise (-> row False), not
+    allocate tens of GB. Numeric * numeric passes through."""
+    for seq, times in ((a, b), (b, a)):
+        if isinstance(seq, (str, bytes, list, tuple)) and isinstance(times, int):
+            if len(seq) * max(times, 0) > _MAX_REPEAT_ELEMS:
+                raise ValueError("python trigger: repetition too large")
+    return a * b
+
+
+class _MulGuard(ast.NodeTransformer):
+    """Rewrite `l * r` -> `_mul(l, r)` so the runtime cap applies to
+    column values whose types the static whitelist can't see."""
+
+    def visit_BinOp(self, node):  # noqa: N802 — ast visitor contract
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Mult):
+            return ast.copy_location(
+                ast.Call(
+                    func=ast.Name(id="_mul", ctx=ast.Load()),
+                    args=[node.left, node.right],
+                    keywords=[],
+                ),
+                node,
+            )
+        return node
+
+
+class _SafeRe:
+    """The `re` surface exposed to triggers: compiled-pattern cache
+    (patterns come from config — a handful, re-evaluated per row
+    without this) plus a length/complexity cap as a catastrophic-
+    backtracking heuristic (a full ReDoS analysis is out of scope;
+    the cap rejects the pathological stacked-quantifier shapes)."""
+
+    @staticmethod
+    def _compiled(pattern: str, flags: int = 0):
+        if not isinstance(pattern, str):
+            raise TypeError("python trigger: regex pattern must be a string")
+        if len(pattern) > _MAX_REGEX_LEN:
+            raise ValueError("python trigger: regex pattern too long")
+        if sum(pattern.count(c) for c in "*+{") > _MAX_REGEX_QUANTIFIERS:
+            raise ValueError("python trigger: regex pattern too complex")
+        return _compile_cached(pattern, flags)
+
+    def search(self, pattern, string, flags=0):
+        return self._compiled(pattern, flags).search(string)
+
+    def match(self, pattern, string, flags=0):
+        return self._compiled(pattern, flags).match(string)
+
+    def findall(self, pattern, string, flags=0):
+        return self._compiled(pattern, flags).findall(string)
+
+    IGNORECASE = re.IGNORECASE
+    I = re.IGNORECASE  # noqa: E741 — mirrors the re module surface
+
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=256)
+def _compile_cached(pattern: str, flags: int):
+    return re.compile(pattern, flags)
+
+
 def python_trigger_column(expr: str, df: DataFrame) -> Column:
     """Compile a restricted-Python trigger to a boolean Column via an
     Arrow-batched pandas UDF over exactly the referenced columns.
@@ -95,12 +171,14 @@ def python_trigger_column(expr: str, df: DataFrame) -> Column:
     evaluation errors yield False (reference semantics)."""
     tree = ast.parse(expr, mode="eval")
     used = sorted(_validate(tree, set(df.columns)))
+    tree = ast.fix_missing_locations(_MulGuard().visit(tree))
     code = compile(tree, "<trigger>", "eval")
     import builtins as _bi
 
     env_base = {
         "__builtins__": {},
-        "re": re,
+        "re": _SafeRe(),
+        "_mul": _mul,
         **{n: getattr(_bi, n) for n in _ALLOWED_FUNCS},
     }
 
@@ -127,11 +205,44 @@ def python_trigger_column(expr: str, df: DataFrame) -> Column:
 
 def trigger_column(condition: str, df: DataFrame) -> Column:
     """DSL compile first; restricted-Python fallback for expressions
-    outside the grammar (the reference's free-form eval triggers)."""
+    outside the grammar (the reference's free-form eval triggers).
+    A fallback hit logs a structured warning at compile time — the
+    Python path is per-row eval inside the pandas UDF, so a deployment
+    should treat the warning as a lint: port the rule to the DSL."""
+    import logging
+
     try:
         return condition_column(condition, df)
-    except (ValueError, TypeError):
-        return python_trigger_column(condition, df)
+    except (ValueError, TypeError) as dsl_err:
+        col = python_trigger_column(condition, df)
+        logging.getLogger("nerd_spark.categorization").warning(
+            "trigger %r fell back to restricted-Python (SLOW per-row "
+            "path); DSL compile error: %s", condition, dsl_err
+        )
+        return col
+
+
+def compile_report(
+    rules: list[CategoryRule], df: DataFrame
+) -> list[dict[str, str]]:
+    """Per-rule compile-path report — the runtime signal the advisor
+    asked for: which rules run as native Columns vs the restricted-
+    Python escape hatch (and which fail both). Run it at deploy time /
+    in CI against the event schema; a 'python' path entry is a perf
+    lint, an 'error' entry is a broken rule."""
+    out = []
+    for r in rules:
+        try:
+            condition_column(r.condition, df)
+            path, detail = "column", ""
+        except (ValueError, TypeError) as dsl_err:
+            try:
+                python_trigger_column(r.condition, df)
+                path, detail = "python", str(dsl_err)
+            except Exception as py_err:  # noqa: BLE001 — report, not raise
+                path, detail = "error", f"dsl: {dsl_err}; python: {py_err}"
+        out.append({"category": r.category, "path": path, "detail": detail})
+    return out
 
 
 def categorize(events: DataFrame, rules: list[CategoryRule]) -> DataFrame:

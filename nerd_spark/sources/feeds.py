@@ -112,7 +112,15 @@ def fetch_url(
         req.add_header("If-Modified-Since", if_modified_since)
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
-            body = resp.read(max_bytes)
+            # read one byte past the cap: a feed that exceeds it must
+            # FAIL, not silently parse as a truncated prefix (dropping
+            # tail entries from a security feed with no error)
+            body = resp.read(max_bytes + 1)
+            if len(body) > max_bytes:
+                raise ValueError(
+                    f"feed {url!r} exceeds max_bytes={max_bytes}; refusing "
+                    "to truncate a security feed — raise the cap explicitly"
+                )
             headers = getattr(resp, "headers", None)
             last_mod = headers.get("Last-Modified") if headers else None
             return body, last_mod

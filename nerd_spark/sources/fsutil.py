@@ -1,0 +1,65 @@
+"""Filesystem access for driver-side state management, routed through
+the JVM Hadoop FileSystem API instead of python's os module.
+
+Why: derived-state listings (streaming epoch dirs, summary-table
+commit markers, retention pruning) were os.listdir/os.path based —
+correct single-node, silently wrong the moment a state path moves to
+HDFS/S3 (os.path.isdir('hdfs://...') is False, so every tick would
+"start from empty state" with no error). Every path here resolves
+through `Path.getFileSystem(hadoopConf)`, so local paths, file://
+URIs, and any deployed scheme (hdfs://, s3a://) behave identically —
+the same resolution Spark's own readers/writers use.
+
+All calls are driver-side metadata operations bounded by state-dir
+entry counts (epochs, date partitions), never data-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry basenames of a directory; [] when the path is
+    missing or not a directory (matching the defensive callers)."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p) or not fs.getFileStatus(p).isDirectory():
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
+def touch(spark: SparkSession, path: str) -> None:
+    """Create (or truncate) a zero-byte marker file — the _SUCCESS
+    commit-marker pattern."""
+    fs, p = _fs(spark, path)
+    fs.create(p, True).close()
+
+
+def mtime(spark: SparkSession, path: str) -> float:
+    """Modification time in epoch seconds (Hadoop reports ms)."""
+    fs, p = _fs(spark, path)
+    return fs.getFileStatus(p).getModificationTime() / 1000.0

@@ -152,12 +152,16 @@ def update_daily_summary(
             f"partitions (> {max_touched_dates}); filter to the "
             "acceptance window first (P10)"
         )
+    from nerd_spark.sources import fsutil
+
     # presence = any partition directory, NOT the root _SUCCESS marker:
     # dynamic-partition-overwrite commits never write one (observed:
     # an _SUCCESS check here made every merge miss the existing rows
-    # and silently drop them on overlapping dates)
-    if os.path.isdir(summary_path) and any(
-        f.startswith("d=") for f in os.listdir(summary_path)
+    # and silently drop them on overlapping dates). Listed via the
+    # Hadoop FS API so a non-local summary path (hdfs://, s3a://)
+    # merges instead of silently overwriting from empty.
+    if any(
+        f.startswith("d=") for f in fsutil.list_names(spark, summary_path)
     ):
         existing = (
             spark.read.parquet(summary_path)
@@ -186,8 +190,7 @@ def update_daily_summary(
     # marker and readers fall back to the raw-events scan instead of
     # serving corrupt partitions.
     success = os.path.join(summary_path, "_SUCCESS")
-    if os.path.exists(success):
-        os.remove(success)
+    fsutil.delete(spark, success)
     # per-write option, NOT the session conf: session-wide dynamic
     # mode suppresses the root _SUCCESS marker on every later
     # partitioned overwrite, breaking the summary-presence checks.
@@ -197,7 +200,7 @@ def update_daily_summary(
     ).partitionBy("d").parquet(summary_path)
     # restore the root marker the dynamic commit omits, so readers
     # (queries/analytics._daily) recognize a stream-maintained summary
-    open(success, "a").close()
+    fsutil.touch(spark, success)
 
 
 def prune_summary(
@@ -212,10 +215,11 @@ def prune_summary(
     rewrite, no scan of surviving data. Returns the dropped
     partition names. ``as_of`` defaults to the newest partition."""
     import datetime as _dt
-    import shutil
+
+    from nerd_spark.sources import fsutil
 
     days = sorted(
-        d for d in os.listdir(summary_path) if d.startswith("d=")
+        d for d in fsutil.list_names(spark, summary_path) if d.startswith("d=")
     )
     if not days:
         return []
@@ -223,7 +227,7 @@ def prune_summary(
     dropped = []
     for d in days:
         if (anchor - _dt.date.fromisoformat(d[2:])).days > keep_days:
-            shutil.rmtree(os.path.join(summary_path, d))
+            fsutil.delete(spark, os.path.join(summary_path, d), recursive=True)
             dropped.append(d)
     return dropped
 

@@ -47,13 +47,16 @@ from nerd_spark.operators.dedup import (
 )
 
 
-def _epochs(root: str) -> list[int]:
+def _epochs(spark, root: str) -> list[int]:
     """Committed epoch ids under a state-table root (driver-side
-    directory listing — bounded by batch count, not data)."""
-    if not os.path.isdir(root):
-        return []
+    directory listing — bounded by batch count, not data). Listed via
+    the Hadoop FS API (sources/fsutil.py) so non-local state roots
+    (hdfs://, s3a://) work identically — an os.listdir here would
+    silently see nothing and replay against an empty index."""
+    from nerd_spark.sources import fsutil
+
     out = []
-    for name in os.listdir(root):
+    for name in fsutil.list_names(spark, root):
         if name.startswith("epoch="):
             try:
                 out.append(int(name.split("=", 1)[1]))
@@ -66,7 +69,7 @@ def _read_index(spark, root: str, exclude_epoch: int) -> DataFrame | None:
     """Read all committed epochs of a state table except `exclude_epoch`
     (the in-flight batch's own — excluded so at-least-once replay sees
     exactly the pre-batch index even after a partial absorption)."""
-    eps = [e for e in _epochs(root) if e != exclude_epoch]
+    eps = [e for e in _epochs(spark, root) if e != exclude_epoch]
     if not eps:
         return None
     paths = [os.path.join(root, f"epoch={e}") for e in eps]
@@ -94,7 +97,7 @@ def process_batch(
     bands_path = os.path.join(index_dir, "bands")
     sets_path = os.path.join(index_dir, "shingles")
     if epoch_id is None:
-        known = _epochs(bands_path)
+        known = _epochs(spark, bands_path)
         epoch_id = (known[-1] + 1) if known else 0
 
     sarr = shingle_arrays(batch_docs, id_col, text_col, k).cache()

@@ -48,11 +48,15 @@ STEP_SECS = 86400
 _SCHED_SCHEMA = "entity long, added long, last_act long, nru long"
 
 
-def _latest_epoch(path: str, below: int) -> int | None:
-    if not os.path.isdir(path):
-        return None
+def _latest_epoch(spark, path: str, below: int) -> int | None:
+    # Hadoop-FS listing (sources/fsutil.py), not os.listdir: state
+    # paths may live on any scheme (file://, hdfs://, s3a://) and a
+    # driver-local probe would silently see an empty dir there,
+    # rewinding the schedule with no error.
+    from nerd_spark.sources import fsutil
+
     found = []
-    for d in os.listdir(path):
+    for d in fsutil.list_names(spark, path):
         if d.startswith("epoch="):
             try:
                 e = int(d.split("=", 1)[1])
@@ -83,7 +87,7 @@ def apply_nru_tick(
     if now_e is None:  # empty batch: nothing due, state unchanged
         return
 
-    prev = _latest_epoch(sched_path, below=epoch_id)
+    prev = _latest_epoch(spark, sched_path, below=epoch_id)
     if prev is not None:
         st = spark.read.parquet(os.path.join(sched_path, f"epoch={prev}"))
     else:
@@ -167,7 +171,7 @@ def stream_nru(
 
 def read_schedule(spark, sched_path: str) -> DataFrame:
     """Current schedule table = the latest committed epoch."""
-    latest = _latest_epoch(sched_path, below=1 << 62)
+    latest = _latest_epoch(spark, sched_path, below=1 << 62)
     if latest is None:
         return spark.createDataFrame([], _SCHED_SCHEMA)
     return spark.read.parquet(os.path.join(sched_path, f"epoch={latest}"))

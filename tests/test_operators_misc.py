@@ -149,7 +149,14 @@ def test_multimodal_real_pixel_decode(spark):
     ppm = _make_ppm(4, 2, [[red] * 4, [blue] * 4], comment=True)
     bmp = _make_bmp(3, 2, [[green] * 3, [white] * 3])
     docs = spark.createDataFrame(
-        [(1, "img", bytearray(ppm)), (2, "img", bytearray(bmp))],
+        [
+            (1, "img", bytearray(ppm)),
+            (2, "img", bytearray(bmp)),
+            # undecodable payload in the SAME corpus: quarantined to a
+            # null-feature row with the error recorded, never a job
+            # failure (a bad image in a 100 TB corpus is a skipped row)
+            (3, "img", bytearray(b"\xff\xd8\xff\xe0 jpeg-ish")),
+        ],
         "doc_id long, source string, payload binary",
     )
     out = {r["doc_id"]: r for r in MM.extract_image_features(docs).collect()}
@@ -157,7 +164,12 @@ def test_multimodal_real_pixel_decode(spark):
     assert abs(out[1]["mean_luma"] - (0.299 + 0.114) * 255 / 2) < 1e-9
     assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("bmp", 3, 2)
     assert abs(out[2]["mean_luma"] - (0.587 * 255 + 255) / 2) < 1e-9
-    # non-image payloads still raise through the seam (JPEG needs a lib)
+    assert out[1]["decode_error"] is None and out[2]["decode_error"] is None
+    assert out[3]["format"] is None and out[3]["mean_luma"] is None
+    assert out[3]["decode_error"]  # error string captured per-row
+    # direct decode calls still raise (JPEG needs a codec lib; when
+    # PIL is present in the env it plugs in at this seam instead, but
+    # this garbage payload fails any codec)
     import pytest as _pt
 
     with _pt.raises(NotImplementedError):
@@ -372,6 +384,13 @@ def test_feed_fetch_over_http(spark, tmp_path):
         # paged JSON pull drains until the empty page
         pulses = fetch_json(f"{base}/pulses", page_param="page")
         assert [p["id"] for p in pulses] == ["p1", "p2", "p3"]
+        # an oversized feed FAILS instead of silently parsing a
+        # truncated prefix (tail entries of a security feed must
+        # never be dropped without an error)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="max_bytes"):
+            fetch_url(f"{base}/feed.txt", max_bytes=10)
     finally:
         srv.shutdown()
 

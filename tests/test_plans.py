@@ -76,6 +76,75 @@ def test_categorize_python_fallback(spark):
             python_trigger_column(bad, ev)
 
 
+def test_python_trigger_resource_guards(spark):
+    """The sandbox also bounds CPU/memory, not just code execution:
+    huge sequence repetition and oversized/pathological regexes are
+    refused (per-row -> False; constant-folded -> False at plan time)
+    instead of hanging or OOMing an executor."""
+    from nerd_spark.plans.categorization import (
+        _SafeRe,
+        compile_report,
+        CategoryRule,
+        python_trigger_column,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "error", "scan detected")],
+        "event_id long, event_type string, description string",
+    )
+    # description * 10**10 would allocate ~120 GB; the guarded `*`
+    # raises inside the row eval -> trigger not matched, job healthy
+    col = python_trigger_column("len(description * 10000000000) > 0", ev)
+    assert [r[0] for r in ev.select(col).collect()] == [False]
+    # numeric math through the same guard still works
+    col2 = python_trigger_column("event_id * 3 == 3", ev)
+    assert [r[0] for r in ev.select(col2).collect()] == [True]
+    # constant-folded repetition refuses at plan time (lit False)
+    col3 = python_trigger_column("len('x' * 10000000000) > 0", ev)
+    assert [r[0] for r in ev.select(col3).collect()] == [False]
+
+    import pytest
+
+    # regex caps: oversized pattern and stacked quantifiers refuse
+    with pytest.raises(ValueError):
+        _SafeRe().search("a" * 300, "x")
+    with pytest.raises(ValueError):
+        _SafeRe().search("(a+)+" * 11, "x")
+    # normal pattern passes (and hits the compiled cache on reuse)
+    assert _SafeRe().search("scan", "port scan") is not None
+
+
+def test_categorization_compile_report(spark, caplog):
+    """compile_report names each rule's compile path (column / python
+    / error), and a fallback hit logs the structured warning — the
+    deploy-time lint for rules that silently land on the slow path."""
+    import logging
+
+    from nerd_spark.plans.categorization import (
+        CategoryRule,
+        compile_report,
+        trigger_column,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "error", "port scan")],
+        "event_id long, event_type string, description string",
+    )
+    rules = [
+        CategoryRule("err", "event_type == 'error'"),
+        CategoryRule("scan", "len(description.split()) >= 2"),
+        CategoryRule("broken", "this is ! not parseable ("),
+    ]
+    rep = {r["category"]: r for r in compile_report(rules, ev)}
+    assert rep["err"]["path"] == "column"
+    assert rep["scan"]["path"] == "python" and rep["scan"]["detail"]
+    assert rep["broken"]["path"] == "error"
+
+    with caplog.at_level(logging.WARNING, logger="nerd_spark.categorization"):
+        trigger_column(rules[1].condition, ev)
+    assert any("restricted-Python" in m for m in caplog.messages)
+
+
 def test_entity_query_families(spark):
     df = spark.createDataFrame(
         [
