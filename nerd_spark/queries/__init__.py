@@ -32,74 +32,70 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 
 # The inventory (92) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
-# Round-5 rotation:
-# 1. queries NEW or CHANGED this round — corpus_curation_v2 (new
-#    flagship), the fmp pair (now the full 39-feature/10-blacklist
-#    vector), streaming_daily_counts (gained a real SQL oracle), the
-#    cluster-consuming trio (components.py contraction rewrite), the
-#    keyword pair (empty-term filter), and the A-family heads (the
-#    summary staleness-guard rewrite of _daily),
-# 2. every query WITHOUT a CORRECTNESS_r04 row (rotated out last
-#    round — none may age past two rounds without a fresh driver
-#    row). The two forever-rows-only approximate queries
-#    (a2_window_totals_approx, ann_ivf_trained) rotate out instead;
-#    their accuracy evidence is pytest-side.
-# Everything else was driver-green in r4 and keeps its
+# Round-6 rotation:
+# 1. queries CHANGED this round — dedup_best_of_cluster (member-only
+#    scoring semi-join), a2_window_totals (precomputed-window serve
+#    path; raw-dir fallback is what the driver exercises, but the
+#    plan changed), p11_threat_categorization (sandbox guards), the
+#    minhash/LSH family + curation funnel (the _spread width-probe
+#    rewrite sits under all of them),
+# 2. every query WITHOUT a CORRECTNESS_r05 row — the r5-verdict
+#    ≤2-round staleness invariant (all were r4-green; includes the
+#    two forever-rows-only approximate queries a2_window_totals_approx
+#    and ann_ivf_trained, whose rows-only driver check refreshes too).
+# Everything else was driver-green in r5 and keeps its
 # full-inventory check in tests/test_oracle_diff.py.
 _WINDOW_PRIORITY = [
-    # 1 — new / changed this round
-    "corpus_curation_v2",
-    "fmp_score",
-    "fmp_training_frame",
-    "streaming_daily_counts",
-    "dedup_clusters",
+    # 1 — changed this round
     "dedup_best_of_cluster",
-    "leakage_safe_split",
-    "tfidf_top_terms",
-    "lm_unigram_logprob",
-    "a1_daily_rollup",
-    "a7_total_reputation",
-    # 2 — no r4 driver row (r1–r3 green; re-cover now)
-    "set_ops_union",
-    "w6_rank_lag",
-    "a6_rep_dshield",
-    "a6_rep_blacklists",
-    "a7_total_multi",
-    "p11_threat_categorization",
-    "tags_rules",
-    "j4_range_join_bucketed",
     "a2_window_totals",
-    "a3_ewma",
-    "a5_type_profile",
-    "a6_source_reputation",
-    "a8_threat_summary",
-    "a10_prefix_summary",
-    "a12_refcount_rebuild",
-    "a14_feed_rollup",
-    "a16_rollup_revenue",
-    "op_merge_snapshot",
-    "dedup_exact",
+    "p11_threat_categorization",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "leakage_safe_split",
+    "corpus_curation_v2",
     "dedup_ngram_jaccard",
-    "contamination_check",
-    "train_val_split",
-    "sequence_packing",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_topk",
-    "emb_centroids",
-    "text_quality",
-    "text_langid",
-    "text_token_stats",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_fingerprint",
-    "multimodal_bytes",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "corpus_curation",
-    # slot 50 filler (r4-green; keeps the window exactly full)
-    "mixture_sample",
+    # 2 — no r5 driver row (r4-green; ≤2-round staleness invariant)
+    "a11_distinct_pair_counts",
+    "a13_intervals",
+    "a2_window_totals_approx",
+    "ann_ivf_indexed",
+    "ann_ivf_trained",
+    "f_ip_codec",
+    "ip_records",
+    "j1_equi_join",
+    "j2_enrichment_chain",
+    "j4_range_join",
+    "j5_asof_join",
+    "j6_bulk_lookup",
+    "j8_group_stats_join_back",
+    "j9_semi_anti",
+    "nru_due_selection",
+    "op_array_upsert_rebuild",
+    "p10_validity_filter",
+    "p1_projection",
+    "p2_range_predicate",
+    "p3_list_or_range",
+    "p4_suffix_predicate",
+    "p5_multi_value_and_or",
+    "p6_elem_match",
+    "p7_json_exists",
+    "p8_semijoin",
+    "p9_warden_filter_dsl",
+    "q1_pricing_summary",
+    "quality_model_filter",
+    "read_path_search",
+    "read_path_typed",
+    "s10_export_blocklist",
+    "s4_misp_upserts",
+    "s5_point_read",
+    "s6_filtered_find",
+    "s8_event_fetch",
+    "sessionize_stats",
+    "shard_assign",
+    "w1_topk",
+    "w4_last_n_per_key",
+    "w5_pivot",
 ]
 
 

@@ -137,6 +137,30 @@ def a1_daily_rollup(spark, sf_dir):
 def a2_window_totals(spark, sf_dir):
     # (reference: event_counter.py:52-116 — incl. the 'total1 =
     # today + yesterday' bucket quirk: age<=1, not sliding 24h)
+    #
+    # Serve path: the ingest-maintained per-entity window rollup
+    # (sources/layout.py::window_rollup / update_window_summary) —
+    # one row per entity, so the query is a projection over a
+    # precomputed table with NO aggregation; the (entities x days x
+    # cats) shuffle this query used to pay per call happens once at
+    # ingest. The counts are exact BIGINT sums and the category sets
+    # exact distinct sets, so serving is bit-identical to the raw
+    # recompute (pinned by tests/test_summary_window.py). Raw dirs
+    # (the driver's sf0.01 correctness runs) fall back to the scan.
+    import os
+
+    from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
+
+    if _summary_fresh(sf_dir, SUMMARY_WINDOW_DIRNAME):
+        w = spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
+        return w.select(
+            F.col("entity").alias("user_id"),
+            "total",
+            "total1",
+            "total7",
+            "total30",
+            F.size("cats7").cast("long").alias("cats_7d"),
+        )
     dwa = _daily_with_asof(spark, sf_dir)
     out = D.window_totals(dwa, windows=(1, 7, 30))
     return out.select(

@@ -514,7 +514,15 @@ def dedup_best_of_cluster(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
     clusters = CCOMP.dedup_clusters(pairs)
-    scored = clusters.join(QM.quality_scores(docs), "doc_id")
+    # Score ONLY cluster members: the quality feature regexes are the
+    # expensive part, and cluster membership is a small fraction of
+    # the corpus — semi-join docs down to members BEFORE computing
+    # features, instead of scoring every document and discarding most
+    # of it. No broadcast hint: membership size is data-dependent
+    # (could be 10% of a 100 TB corpus), so AQE decides at runtime
+    # from the membership frame's actual post-shuffle size.
+    member_docs = docs.join(clusters.select("doc_id"), "doc_id", "semi")
+    scored = clusters.join(QM.quality_scores(member_docs), "doc_id")
     w = Window.partitionBy("cluster_root").orderBy(
         F.col("q_score").desc(), F.col("doc_id")
     )
@@ -1412,3 +1420,64 @@ def corpus_curation_v2(spark, sf_dir):
     return split.join(shards, "doc_id").select(
         "doc_id", "source", "n_copies", "split", "shard"
     )
+
+
+def corpus_curation_v2_stages(spark, sf_dir) -> dict[str, float]:
+    """Per-stage wall times for the curation funnel — NOT a registered
+    query; bench.py runs it so the one flagship number localizes
+    regressions. Each stage materializes (localCheckpoint) before the
+    clock stops, so a stage's time is its own cost, not its upstream's
+    (the sum modestly exceeds the fused one-number run, which shares
+    scans across stages)."""
+    import time
+
+    docs = t(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+
+    def _timed(name, df):
+        t0 = time.perf_counter()
+        got = df.localCheckpoint()
+        out[name] = round(time.perf_counter() - t0, 3)
+        return got
+
+    q = _timed(
+        "quality_gate",
+        QM.quality_filter(docs, threshold=0.32).filter("kept").drop("q_score", "kept"),
+    )
+    ev = q.filter(F.col("doc_id") % 19 == 3)
+    tr = q.filter(F.col("doc_id") % 19 != 3)
+    contaminated = _timed(
+        "decontamination",
+        CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
+        .filter(F.col("eval_frac") >= 0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct(),
+    )
+    d2 = _timed("contam_filter", tr.join(contaminated, "doc_id", "left_anti"))
+    pairs = _timed(
+        "lsh_pairs",
+        DD.minhash_lsh_dedup(spark, d2, n_bands=4, rows_per_band=3, threshold=0.5),
+    )
+    losers = _timed(
+        "clusters",
+        CCOMP.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_root"))
+        .select("doc_id"),
+    )
+    d3 = d2.join(losers, "doc_id", "left_anti")
+    kept = _timed(
+        "mixture",
+        SAMP.mixture_sample(d3, rates=_MIX_RATES, salt="mix")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_copies")),
+    )
+    t0 = time.perf_counter()
+    split = SAMP.hash_split(kept, val_frac=_SPLIT_FRAC)
+    shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
+        "doc_id", "shard"
+    )
+    split.join(shards, "doc_id").select(
+        "doc_id", "source", "n_copies", "split", "shard"
+    ).write.format("noop").mode("overwrite").save()
+    out["split_shard"] = round(time.perf_counter() - t0, 3)
+    return out

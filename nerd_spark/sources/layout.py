@@ -43,6 +43,42 @@ _LAYOUT = {
 IVF_INDEX_DIRNAME = "ivf_embeddings.index"
 SUMMARY_DAILY_DIRNAME = "summary_daily.parquet"
 SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
+SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
+
+_WINDOWS = (1, 7, 30)
+
+
+def window_rollup(daily, as_of_d_df):
+    """Second-level rollup: per-entity windowed totals + per-window
+    distinct-category SETS, ages relative to the single-row
+    ``as_of_d`` (date) frame. One row per entity — the precomputed
+    answer to A2 (`queries/analytics.py::a2_window_totals`), stored so
+    the per-entity shuffle over (entities x days x cats) summary rows
+    happens at INGEST time once, not on every query. The category
+    sets (bounded by the category vocabulary, not data) are stored
+    rather than counts so the no-day-roll incremental merge below can
+    union them exactly."""
+    dwa = daily.crossJoin(F.broadcast(as_of_d_df))
+    age = F.datediff(F.col("as_of_d"), F.col("d"))
+    aggs = [F.sum("n").cast("long").alias("total")]
+    for w in _WINDOWS:
+        aggs.append(
+            F.sum(F.when(age <= w, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"total{w}")
+        )
+        aggs.append(
+            F.array_sort(
+                F.array_distinct(
+                    F.array_compact(F.collect_list(F.when(age <= w, F.col("cat"))))
+                )
+            ).alias(f"cats{w}")
+        )
+    return (
+        dwa.groupBy("entity")
+        .agg(*aggs)
+        .crossJoin(F.broadcast(as_of_d_df))
+    )
 
 
 def optimize_layout(
@@ -115,11 +151,23 @@ def optimize_layout(
         # shuffle partition drops a sliver file into every date dir
         # (days x partitions tiny files) and scan/listing cost eats the
         # summary's benefit. At 100 TB the key becomes (d, file_group).
-        D.daily_rollup(ev, "user_id").repartition("d").write.mode(
-            "overwrite"
-        ).partitionBy("d").parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
-        ev.agg(F.max("ts").alias("as_of")).write.mode("overwrite").parquet(
+        daily = D.daily_rollup(ev, "user_id")
+        daily.repartition("d").write.mode("overwrite").partitionBy("d").parquet(
+            os.path.join(out_dir, SUMMARY_DAILY_DIRNAME)
+        )
+        as_of = ev.agg(F.max("ts").alias("as_of"))
+        as_of.write.mode("overwrite").parquet(
             os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
+        )
+        # Second-level window rollup (the A2 answer table): reading
+        # the just-committed daily summary (compact) rather than
+        # re-aggregating raw events.
+        sd = spark.read.parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
+        window_rollup(
+            sd.select("entity", "d", "cat", "n"),
+            as_of.select(F.to_date("as_of").alias("as_of_d")),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME)
         )
 
 
@@ -201,6 +249,156 @@ def update_daily_summary(
     # restore the root marker the dynamic commit omits, so readers
     # (queries/analytics._daily) recognize a stream-maintained summary
     fsutil.touch(spark, success)
+
+
+def update_window_summary(
+    spark: SparkSession,
+    window_path: str,
+    daily_summary_path: str,
+    new_events,
+    entity: str = "user_id",
+    max_window: int = 30,
+) -> None:
+    """Incremental maintenance of the per-entity window rollup —
+    call AFTER :func:`update_daily_summary` has merged the same batch
+    (the day-roll path re-reads the merged daily summary).
+
+    Two regimes, keyed on whether the as-of DATE advances:
+
+    - **no day-roll** (the common many-batches-per-day case): existing
+      rows' window ages are unchanged, so the update is a pure
+      additive merge — per-entity batch sums add into total/totalN,
+      batch categories union into the per-window sets. Cost
+      O(batch entities + touched rows of the table via the outer
+      join); at scale the table is entity-bucketed so the join is
+      exchange-free on the big side.
+    - **day-roll** (once per day): window membership shifts for every
+      row, so the windowed parts are recomputed from the merged daily
+      summary *pruned to the last max_window+1 date partitions* —
+      never full history — while the all-history `total` stays purely
+      additive (old total + batch counts).
+
+    Either way the result is bit-identical to a full
+    :func:`window_rollup` over the merged summary (pinned by
+    tests/test_summary_window.py, including across a day boundary).
+    """
+    import datetime as _dt
+
+    from nerd_spark.plans import derivations as D
+    from nerd_spark.sources import fsutil
+
+    bd = D.daily_rollup(new_events, entity).select("entity", "d", "cat", "n")
+    batch_max_d = bd.agg(F.max("d")).first()[0]
+    if batch_max_d is None:
+        return  # empty batch
+
+    have_old = fsutil.exists(spark, os.path.join(window_path, "_SUCCESS"))
+    old = spark.read.parquet(window_path) if have_old else None
+    old_as_of_d = old.select(F.max("as_of_d")).first()[0] if have_old else None
+    new_as_of_d = max(filter(None, [old_as_of_d, batch_max_d]))
+    asof_df = spark.createDataFrame([(new_as_of_d,)], "as_of_d date")
+
+    zero = F.lit(0).cast("long")
+    empty = F.array().cast("array<string>")
+
+    if old is None or (old_as_of_d is not None and new_as_of_d > old_as_of_d):
+        # day-roll (or first build): windowed parts from the merged
+        # daily summary, PRUNED to the partitions that can matter
+        lo = new_as_of_d - _dt.timedelta(days=max_window)
+        recent = (
+            spark.read.parquet(daily_summary_path)
+            .filter(F.col("d") >= F.lit(lo))
+            .select("entity", "d", "cat", "n")
+        )
+        winpart = window_rollup(recent, asof_df).drop("total", "as_of_d")
+        # all-history total stays additive: old total + batch counts
+        b_tot = bd.groupBy("entity").agg(F.sum("n").cast("long").alias("b_total"))
+        totals = (
+            (old.select("entity", "total") if old is not None else b_tot.limit(0).select("entity", F.col("b_total").alias("total")))
+            .join(b_tot, "entity", "full")
+            .select(
+                "entity",
+                (F.coalesce("total", zero) + F.coalesce("b_total", zero)).alias(
+                    "total"
+                ),
+            )
+        )
+        merged = totals.join(winpart, "entity", "full").select(
+            "entity",
+            F.coalesce("total", zero).alias("total"),
+            *[
+                c
+                for w in _WINDOWS
+                for c in (
+                    F.coalesce(f"total{w}", zero).alias(f"total{w}"),
+                    F.coalesce(f"cats{w}", empty).alias(f"cats{w}"),
+                )
+            ],
+        ).crossJoin(F.broadcast(asof_df))
+    else:
+        # same-day batch: ages unchanged -> additive merge
+        bagg = window_rollup(bd, asof_df).drop("as_of_d")
+        o, b = old.alias("o"), bagg.alias("b")
+        merge_cols = [
+            c
+            for w in _WINDOWS
+            for c in (
+                (
+                    F.coalesce(f"o.total{w}", zero)
+                    + F.coalesce(f"b.total{w}", zero)
+                ).alias(f"total{w}"),
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce(f"o.cats{w}", empty),
+                            F.coalesce(f"b.cats{w}", empty),
+                        )
+                    )
+                ).alias(f"cats{w}"),
+            )
+        ]
+        merged = o.join(b, "entity", "full").select(
+            "entity",
+            (F.coalesce("o.total", zero) + F.coalesce("b.total", zero)).alias(
+                "total"
+            ),
+            *merge_cols,
+        ).crossJoin(F.broadcast(asof_df))
+
+    # same lineage-cut + marker discipline as update_daily_summary:
+    # the merge reads the table the write replaces
+    merged = merged.localCheckpoint()
+    merged.write.mode("overwrite").parquet(window_path)
+
+
+def update_event_summaries(
+    spark: SparkSession, data_dir: str, new_events, entity: str = "user_id"
+) -> None:
+    """One-call per-micro-batch maintenance of all three derived
+    event tables (daily, as-of anchor, per-entity window rollup) —
+    what the ingest job runs so every A-family query, including A2,
+    serves from precomputed state."""
+    from nerd_spark.sources import fsutil
+
+    daily_p = os.path.join(data_dir, SUMMARY_DAILY_DIRNAME)
+    asof_p = os.path.join(data_dir, SUMMARY_ASOF_DIRNAME)
+    update_daily_summary(spark, daily_p, new_events, entity=entity)
+    b_asof = new_events.agg(F.max("ts").alias("as_of"))
+    if fsutil.exists(spark, os.path.join(asof_p, "_SUCCESS")):
+        b_asof = (
+            spark.read.parquet(asof_p)
+            .unionByName(b_asof)
+            .agg(F.max("as_of").alias("as_of"))
+        )
+    b_asof = b_asof.localCheckpoint()
+    b_asof.write.mode("overwrite").parquet(asof_p)
+    update_window_summary(
+        spark,
+        os.path.join(data_dir, SUMMARY_WINDOW_DIRNAME),
+        daily_p,
+        new_events,
+        entity=entity,
+    )
 
 
 def prune_summary(

@@ -1,0 +1,129 @@
+"""Per-entity window rollup (the A2 answer table): incremental
+maintenance must equal the one-shot rebuild bit-for-bit, and the A2
+serve path must equal the raw-scan fallback."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from nerd_spark.plans import derivations as D
+from nerd_spark.session import read_table
+from nerd_spark.sources.layout import (
+    SUMMARY_WINDOW_DIRNAME,
+    update_event_summaries,
+    window_rollup,
+)
+
+
+def _win_rows(df):
+    return {
+        (
+            r.entity,
+            r.total,
+            r.total1,
+            r.total7,
+            r.total30,
+            tuple(r.cats1),
+            tuple(r.cats7),
+            tuple(r.cats30),
+            str(r.as_of_d),
+        )
+        for r in df.collect()
+    }
+
+
+def _full_rollup(spark, ev):
+    daily = D.daily_rollup(ev, "user_id").select("entity", "d", "cat", "n")
+    asof = ev.agg(F.to_date(F.max("ts")).alias("as_of_d"))
+    return window_rollup(daily, asof)
+
+
+def test_incremental_window_equals_full_rebuild(spark, sf_dir):
+    """Three batches — the middle split INSIDE one day so both the
+    same-day additive merge and the day-roll recompute paths run —
+    converge to exactly the one-shot rollup over everything."""
+    ev = read_table(spark, sf_dir, "events")
+    days = sorted(r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    assert len(days) >= 3
+    mid_day = days[len(days) // 2]
+    # batch 1: strictly before mid_day; batches 2a/2b: mid_day split in
+    # two (same-day merge); batch 3: after mid_day (day-roll)
+    b1 = ev.filter(F.to_date("ts") < F.lit(mid_day))
+    day_ev = ev.filter(F.to_date("ts") == F.lit(mid_day))
+    cut = day_ev.agg(F.avg(F.unix_timestamp("ts"))).first()[0]
+    b2a = day_ev.filter(F.unix_timestamp("ts") <= cut)
+    b2b = day_ev.filter(F.unix_timestamp("ts") > cut)
+    b3 = ev.filter(F.to_date("ts") > F.lit(mid_day))
+    assert b2a.count() > 0 and b2b.count() > 0
+
+    out = tempfile.mkdtemp(prefix="nerd_winsum_")
+    for b in (b1, b2a, b2b, b3):
+        if b.count():
+            update_event_summaries(spark, out, b)
+
+    got = _win_rows(spark.read.parquet(os.path.join(out, SUMMARY_WINDOW_DIRNAME)))
+    want = _win_rows(_full_rollup(spark, ev))
+    assert got == want and len(want) > 0
+
+
+def test_a2_serve_path_equals_fallback(spark, sf_dir):
+    """a2_window_totals over a layout-optimized dir (precomputed
+    window table) returns exactly the raw-dir recompute."""
+    from nerd_spark.queries.analytics import a2_window_totals
+    from nerd_spark.sources.layout import optimize_layout
+
+    out = tempfile.mkdtemp(prefix="nerd_a2_layout_")
+    optimize_layout(spark, sf_dir, out, tables=["events"])
+    assert os.path.exists(os.path.join(out, SUMMARY_WINDOW_DIRNAME, "_SUCCESS"))
+
+    served = a2_window_totals(spark, out)
+    # the serve plan must be aggregation-free (a scan + projection)
+    assert "Aggregate" not in served._jdf.queryExecution().optimizedPlan().toString()
+    fallback = a2_window_totals(spark, sf_dir)
+    assert served.dtypes == fallback.dtypes  # names + types (nullability
+    # legitimately differs: parquet reads are nullable, count_distinct not)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(served) == rows(fallback) and served.count() > 0
+
+
+def test_window_total_survives_retention_of_old_partitions(spark, sf_dir):
+    """The all-history `total` is maintained additively, so pruning
+    ancient daily partitions (retention) does not corrupt it: only
+    the windowed parts ever re-read the summary, and those only read
+    the last 31 partitions."""
+    from nerd_spark.sources.layout import (
+        SUMMARY_DAILY_DIRNAME,
+        prune_summary,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    days = sorted(r.d for r in ev.select(F.to_date("ts").alias("d")).distinct().collect())
+    out = tempfile.mkdtemp(prefix="nerd_winsum_ret_")
+    b1 = ev.filter(F.to_date("ts") <= F.lit(days[0]))
+    rest = ev.filter(F.to_date("ts") > F.lit(days[0]))
+    update_event_summaries(spark, out, b1)
+    # retention drops day-0 from the daily summary...
+    prune_summary(
+        spark,
+        os.path.join(out, SUMMARY_DAILY_DIRNAME),
+        keep_days=0,
+        as_of=days[1],
+    )
+    # ...the next day-roll update still carries day-0 counts in total
+    update_event_summaries(spark, out, rest)
+    got = {
+        r.entity: r.total
+        for r in spark.read.parquet(
+            os.path.join(out, SUMMARY_WINDOW_DIRNAME)
+        ).collect()
+    }
+    want = {
+        r.entity: r.total
+        for r in ev.groupBy(F.col("user_id").alias("entity"))
+        .agg(F.count("*").cast("long").alias("total"))
+        .collect()
+    }
+    assert got == want
