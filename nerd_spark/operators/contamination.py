@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nerd_spark.operators.dedup import shingle_arrays, shingle_rows
+from nerd_spark.operators.dedup import _spread, shingle_arrays, shingle_rows
 
 
 def ngram_contamination(
@@ -32,7 +32,14 @@ def ngram_contamination(
     eval_frac = fraction of the eval doc's distinct n-grams that leak
     from that training doc. Joins on the exact shingle string (not a
     hash) so the count is collision-free and oracle-checkable."""
-    tr = shingle_rows(train, id_col, text_col, k=n).withColumnRenamed("id", "train_id")
+    # _spread: the CPU-heavy k=8 shingle concat must run at cluster
+    # width — a narrow input (few parquet files, or a checkpointed
+    # funnel stage that kept its upstream partitioning) would
+    # serialize this map stage (measured 7.6 s -> ~1 s at sf0.1; it
+    # was the dominant stage of the curation flagship)
+    tr = shingle_rows(_spread(train), id_col, text_col, k=n).withColumnRenamed(
+        "id", "train_id"
+    )
     # eval side: per-doc distinct n-gram count comes from the array
     # size BEFORE the explode, so no groupBy is needed for it — the
     # whole eval branch is map-only and the plan's single shuffle is

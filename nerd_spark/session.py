@@ -49,6 +49,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("NERD_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate turns explode(computed_array) into
+        # a pre-Generate filter `size(arr)>0 AND isnotnull(arr)` whose
+        # predicate inlines the ENTIRE array expression — and filter
+        # pushdown then drags it below projections/exchanges,
+        # re-evaluating it per row at pre-shuffle width. For this
+        # engine's shingle family (k-gram transform over a regex
+        # split) that re-execution measured 5-10x the whole query
+        # (curation flagship 13.1s -> 7.5s when excluded). The rule
+        # only pays when generators explode STORED columns, where the
+        # parquet scan's own isnotnull pushdown already covers it.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -81,6 +95,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # inference conf is runtime-settable; the cast below is the
     # belt-and-braces path for sessions where it is not honored.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # runtime-settable mirror of the get_spark exclusion (see there):
+    # without it a caller-owned session re-executes computed-array
+    # expressions inside inferred pre-Generate filters
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
