@@ -79,12 +79,42 @@ def _as_of(spark, sf_dir):
     return t(spark, sf_dir, "events").agg(F.max("ts").alias("as_of"))
 
 
-def _daily_with_asof(spark, sf_dir):
+def _daily_with_asof(spark, sf_dir, max_age: int | None = None):
     # Shared (entity, day, cat) rollup for the a-family. A session
     # cache was tried and reverted on measurement (r2: ~2.3 s to
     # materialize vs ~0.2 s to recompute); the persisted summary
     # table above is the form of reuse that actually pays, at every
     # scale.
+    #
+    # max_age: callers whose derivation ignores rows older than
+    # `max_age` days (conditional window sums / explicit age filters)
+    # pass it so the SERVE path can prune the date-partitioned summary
+    # scan to the partitions that can contribute. The as-of anchor is
+    # resolved driver-side first (a one-row metadata read — the only
+    # way the age predicate becomes a LITERAL partition filter; left
+    # as a crossJoin the filter is runtime-only and every partition is
+    # read, measured 6.8 s vs 1.9 s for a3 at the 80x point). Raw
+    # dirs keep the original full-scan crossJoin plan.
+    import datetime as _dt
+
+    from nerd_spark.sources.layout import SUMMARY_ASOF_DIRNAME
+
+    if (
+        max_age is not None
+        and _summary_fresh(sf_dir, "summary_daily.parquet")
+        and _summary_fresh(sf_dir, SUMMARY_ASOF_DIRNAME)
+    ):
+        import os
+
+        as_of_val = spark.read.parquet(
+            os.path.join(sf_dir, SUMMARY_ASOF_DIRNAME)
+        ).first()[0]
+        cutoff = as_of_val.date() - _dt.timedelta(days=max_age)
+        return (
+            _daily(spark, sf_dir)
+            .filter(F.col("d") >= F.lit(cutoff))
+            .withColumn("as_of", F.lit(as_of_val))
+        )
     return D.with_as_of(_daily(spark, sf_dir), _as_of(spark, sf_dir))
 
 
@@ -178,6 +208,21 @@ def a2_window_totals(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _window_table(spark, sf_dir):
+    """The ingest-maintained per-entity window rollup, or None when
+    absent/stale. Serving A2/A3/A6/A7 from it makes each a row-local
+    projection over one O(entities) table — zero aggregation at query
+    time; the (entities x days x cats) work happened once at ingest
+    (sources/layout.py::window_rollup / update_window_summary)."""
+    import os
+
+    from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
+
+    if _summary_fresh(sf_dir, SUMMARY_WINDOW_DIRNAME):
+        return spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
+    return None
+
+
 @query(
     "a3_ewma",
     f"""
@@ -196,6 +241,27 @@ def a2_window_totals(spark, sf_dir):
 )
 def a3_ewma(spark, sf_dir):
     # (reference: event_counter.py:12-13,104-115 — weights 0.25*0.75^i)
+    #
+    # Serve path: ewma = Σₐ wₐ·nd_days[a] over the stored per-age
+    # daily vectors — a row-local expression over the window table
+    # (the reference's own per-IP daily-bucket record model), no
+    # aggregation, no shuffle. The weights are dyadic rationals
+    # (0.25·0.75ᵃ exact in binary for a<7) and the vector entries are
+    # exact integers, so serve == fallback bit-for-bit (tested).
+    wt = _window_table(spark, sf_dir)
+    if wt is not None:
+        terms_e = [
+            F.col("nd_days")[a] * F.lit(0.25 * 0.75**a) for a in range(7)
+        ]
+        terms_b = [
+            (F.col("cats_days")[a] > 0).cast("int") * F.lit(0.25 * 0.75**a)
+            for a in range(7)
+        ]
+        return wt.select(
+            F.col("entity").alias("user_id"),
+            F.round(sum(terms_e[1:], terms_e[0]), 6).alias("ewma"),
+            F.round(sum(terms_b[1:], terms_b[0]), 6).alias("bin_ewma"),
+        )
     dwa = _daily_with_asof(spark, sf_dir)
     return D.ewma(dwa).select(F.col("entity").alias("user_id"), "ewma", "bin_ewma")
 
@@ -223,7 +289,9 @@ def a3_ewma(spark, sf_dir):
 )
 def a5_type_profile(spark, sf_dir):
     # (reference: event_type_counter.py:41-104)
-    dwa = _daily_with_asof(spark, sf_dir)
+    # type_profile filters age<=30 before grouping (in-window entities
+    # only) — prunable like a6/a7
+    dwa = _daily_with_asof(spark, sf_dir, max_age=30)
     return D.type_profile(dwa).select(
         F.col("entity").alias("user_id"), F.col("cat").alias("event_type"), "share"
     )
@@ -239,6 +307,25 @@ def a5_type_profile(spark, sf_dir):
 from nerd_spark.queries.base import _REP_DENOM_14, _REP_SQL  # noqa: E402
 
 
+def _rep_from_vectors(scale_events=5.0, scale_cats=2.0, days=14):
+    """rep = Σₐ wₐ·nonlin(ndₐ)·nonlin(catsₐ) / denom as a row-local
+    expression over the window table's daily vectors. Absent days
+    contribute 0 (nonlin(0)=0)."""
+    from nerd_spark.functions.mathx import nonlin
+
+    denom = sum((days - a) / days for a in range(days))
+    terms = [
+        nonlin(F.col("nd_days")[a], scale=scale_events)
+        * nonlin(F.col("cats_days")[a], scale=scale_cats)
+        * F.lit((days - a) / days)
+        for a in range(days)
+    ]
+    return F.round(sum(terms[1:], terms[0]) / F.lit(denom), 6)
+
+
+_IN_WINDOW_14 = lambda: F.exists("cats_days", lambda c: c > 0)  # noqa: E731
+
+
 @query(
     "a6_source_reputation",
     f"WITH {_REP_SQL} SELECT entity AS user_id, rep_events FROM rep",
@@ -246,7 +333,19 @@ from nerd_spark.queries.base import _REP_DENOM_14, _REP_SQL  # noqa: E402
 def a6_source_reputation(spark, sf_dir):
     # (reference: reputation.py:111-221 — daily
     # nonlin(events)*nonlin(detectors), linear-decay weighted mean)
-    dwa = _daily_with_asof(spark, sf_dir)
+    #
+    # Serve path: row-local over the window table's daily vectors; the
+    # exists() filter reproduces the fallback's pre-group age<14
+    # filter (only entities with an in-window day appear). Fallback:
+    # pruned summary scan (max_age=13 — source_reputation's own
+    # age<14 filter makes the pruning semantically free).
+    wt = _window_table(spark, sf_dir)
+    if wt is not None:
+        return wt.filter(_IN_WINDOW_14()).select(
+            F.col("entity").alias("user_id"),
+            _rep_from_vectors().alias("rep_events"),
+        )
+    dwa = _daily_with_asof(spark, sf_dir, max_age=13)
     return D.source_reputation(dwa, out="rep_events").select(
         F.col("entity").alias("user_id"), "rep_events"
     )
@@ -288,14 +387,38 @@ def a7_total_reputation(spark, sf_dir):
 
     days = 14
     denom = sum((days - a) / days for a in range(days))
-    # Derive the (entity, day) frame from the A1 rollup (served from
-    # the ingest-written summary when present): nd = Σn, distinct
+    # Serve path: both pseudo-sources (all events + error events) are
+    # row-local expressions over the window table's daily vectors.
+    wt = _window_table(spark, sf_dir)
+    if wt is not None:
+        err_terms = [
+            F.when(
+                F.col("err_days")[a] > 0,
+                nonlin(F.col("err_days")[a], 2.0)
+                * nonlin(F.lit(1), 2.0)
+                * F.lit((days - a) / days),
+            ).otherwise(0.0)
+            for a in range(days)
+        ]
+        re_c = _rep_from_vectors()
+        rr_c = F.round(sum(err_terms[1:], err_terms[0]) / F.lit(denom), 6)
+        return wt.filter(_IN_WINDOW_14()).select(
+            F.col("entity").alias("user_id"),
+            F.round(
+                1 - (1 - re_c * 0.9) * (1 - rr_c * 0.6), 6
+            ).alias("rep"),
+        )
+    # Fallback: derive the (entity, day) frame from the A1 rollup
+    # (partition-pruned to the window via max_age): nd = Σn, distinct
     # categories = rollup rows per (entity, day), error count = the
-    # 'error' row's n. Exact integer arithmetic either way — identical
-    # to aggregating raw events, but over a table that is orders of
-    # magnitude smaller at scale.
+    # 'error' row's n. Exact integer arithmetic either way —
+    # identical to aggregating raw events, but over a table that is
+    # orders of magnitude smaller at scale. (An unrolled one-shuffle
+    # per-age-conditional variant was tried and reverted on
+    # measurement: 42 agg buffers per row cost more than the second
+    # small shuffle.)
     per_day = (
-        D.with_as_of(_daily(spark, sf_dir), _as_of(spark, sf_dir))
+        _daily_with_asof(spark, sf_dir, max_age=days - 1)
         .filter(F.datediff(F.to_date("as_of"), F.col("d")) < days)
         .groupBy(F.col("entity").alias("user_id"), "d")
         .agg(

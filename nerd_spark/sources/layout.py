@@ -47,17 +47,26 @@ SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 
 _WINDOWS = (1, 7, 30)
 
+# per-age daily vectors kept in the window table: ages 0.._VEC_DAYS-1
+# relative to as_of_d. This is the reference's own per-IP daily-bucket
+# record model (event_counter keeps per-day buckets on the entity);
+# 14 covers the EWMA (7d) and reputation (14d) windows, so A3/A6/A7
+# become row-local expressions over the vectors — no aggregation at
+# query time at all.
+_VEC_DAYS = 14
+
 
 def window_rollup(daily, as_of_d_df):
     """Second-level rollup: per-entity windowed totals + per-window
-    distinct-category SETS, ages relative to the single-row
-    ``as_of_d`` (date) frame. One row per entity — the precomputed
-    answer to A2 (`queries/analytics.py::a2_window_totals`), stored so
-    the per-entity shuffle over (entities x days x cats) summary rows
-    happens at INGEST time once, not on every query. The category
-    sets (bounded by the category vocabulary, not data) are stored
-    rather than counts so the no-day-roll incremental merge below can
-    union them exactly."""
+    distinct-category SETS + per-age daily vectors, ages relative to
+    the single-row ``as_of_d`` (date) frame. One row per entity — the
+    precomputed answer to A2/A3/A6/A7, stored so the per-entity
+    shuffle over (entities x days x cats) summary rows happens at
+    INGEST time once, not on every query. The category sets (bounded
+    by the category vocabulary, not data) and the fixed-width daily
+    vectors are stored rather than derived numbers so the no-day-roll
+    incremental merge below stays exact: sets union, vectors add
+    element-wise."""
     dwa = daily.crossJoin(F.broadcast(as_of_d_df))
     age = F.datediff(F.col("as_of_d"), F.col("d"))
     aggs = [F.sum("n").cast("long").alias("total")]
@@ -74,6 +83,20 @@ def window_rollup(daily, as_of_d_df):
                 )
             ).alias(f"cats{w}")
         )
+    # daily vectors: events / distinct-cat-count (rollup rows — cat is
+    # unique within (entity, d) by the daily grain) / error events
+    nd, cats, err = [], [], []
+    for a in range(_VEC_DAYS):
+        nd.append(F.sum(F.when(age == a, F.col("n")).otherwise(0)).cast("long"))
+        cats.append(F.sum(F.when(age == a, 1).otherwise(0)).cast("int"))
+        err.append(
+            F.sum(
+                F.when((age == a) & (F.col("cat") == "error"), F.col("n")).otherwise(0)
+            ).cast("long")
+        )
+    aggs.append(F.array(*nd).alias("nd_days"))
+    aggs.append(F.array(*cats).alias("cats_days"))
+    aggs.append(F.array(*err).alias("err_days"))
     return (
         dwa.groupBy("entity")
         .agg(*aggs)
@@ -300,6 +323,9 @@ def update_window_summary(
 
     zero = F.lit(0).cast("long")
     empty = F.array().cast("array<string>")
+    zvec_l = F.array_repeat(F.lit(0).cast("long"), _VEC_DAYS)
+    zvec_i = F.array_repeat(F.lit(0).cast("int"), _VEC_DAYS)
+    _VECS = (("nd_days", zvec_l), ("cats_days", zvec_i), ("err_days", zvec_l))
 
     if old is None or (old_as_of_d is not None and new_as_of_d > old_as_of_d):
         # day-roll (or first build): windowed parts from the merged
@@ -334,6 +360,7 @@ def update_window_summary(
                     F.coalesce(f"cats{w}", empty).alias(f"cats{w}"),
                 )
             ],
+            *[F.coalesce(v, z).alias(v) for v, z in _VECS],
         ).crossJoin(F.broadcast(asof_df))
     else:
         # same-day batch: ages unchanged -> additive merge
@@ -363,6 +390,16 @@ def update_window_summary(
                 "total"
             ),
             *merge_cols,
+            # daily vectors add element-wise (ages unchanged same-day;
+            # late rows land in their own age slot on both paths)
+            *[
+                F.zip_with(
+                    F.coalesce(f"o.{v}", z),
+                    F.coalesce(f"b.{v}", z),
+                    lambda x, y: x + y,
+                ).alias(v)
+                for v, z in _VECS
+            ],
         ).crossJoin(F.broadcast(asof_df))
 
     # same lineage-cut + marker discipline as update_daily_summary:

@@ -29,6 +29,9 @@ def _win_rows(df):
             tuple(r.cats1),
             tuple(r.cats7),
             tuple(r.cats30),
+            tuple(r.nd_days),
+            tuple(r.cats_days),
+            tuple(r.err_days),
             str(r.as_of_d),
         )
         for r in df.collect()
@@ -69,24 +72,32 @@ def test_incremental_window_equals_full_rebuild(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
-def test_a2_serve_path_equals_fallback(spark, sf_dir):
-    """a2_window_totals over a layout-optimized dir (precomputed
-    window table) returns exactly the raw-dir recompute."""
-    from nerd_spark.queries.analytics import a2_window_totals
+def test_a_family_serve_paths_equal_fallback(spark, sf_dir):
+    """a2/a3/a6/a7 over a layout-optimized dir (precomputed window
+    table) return exactly the raw-dir recompute, with zero Aggregate
+    nodes in the serve plan (row-local projections over the table)."""
+    from nerd_spark.queries import REGISTRY
     from nerd_spark.sources.layout import optimize_layout
 
     out = tempfile.mkdtemp(prefix="nerd_a2_layout_")
     optimize_layout(spark, sf_dir, out, tables=["events"])
     assert os.path.exists(os.path.join(out, SUMMARY_WINDOW_DIRNAME, "_SUCCESS"))
 
-    served = a2_window_totals(spark, out)
-    # the serve plan must be aggregation-free (a scan + projection)
-    assert "Aggregate" not in served._jdf.queryExecution().optimizedPlan().toString()
-    fallback = a2_window_totals(spark, sf_dir)
-    assert served.dtypes == fallback.dtypes  # names + types (nullability
-    # legitimately differs: parquet reads are nullable, count_distinct not)
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
-    assert rows(served) == rows(fallback) and served.count() > 0
+    for q in (
+        "a2_window_totals",
+        "a3_ewma",
+        "a6_source_reputation",
+        "a7_total_reputation",
+    ):
+        served = REGISTRY[q](spark, out)
+        # the serve plan must be aggregation-free (scan + projection)
+        plan = served._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" not in plan, q
+        fallback = REGISTRY[q](spark, sf_dir)
+        assert served.dtypes == fallback.dtypes, q  # names + types
+        # (nullability legitimately differs on parquet reads)
+        assert rows(served) == rows(fallback) and served.count() > 0, q
 
 
 def test_window_total_survives_retention_of_old_partitions(spark, sf_dir):
