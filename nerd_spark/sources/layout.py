@@ -363,8 +363,27 @@ def update_window_summary(
             *[F.coalesce(v, z).alias(v) for v, z in _VECS],
         ).crossJoin(F.broadcast(asof_df))
     else:
-        # same-day batch: ages unchanged -> additive merge
+        # same-day batch: ages unchanged -> additive merge for the
+        # event-count measures (each event lands in exactly one batch,
+        # so batch sums add: total, totalN, and the cats SETS union
+        # idempotently). The per-age cats_days COUNTS are the one
+        # non-mergeable measure — a (entity, d, cat) cell split across
+        # two batches must count ONCE, not once per batch — so the
+        # daily vectors recompute from the merged summary pruned to
+        # the last _VEC_DAYS partitions (bounded; the same cost class
+        # as the day-roll recompute, and update_event_summaries runs
+        # the daily merge first so the summary already holds the
+        # batch). Caught by the out-of-order streamed-batches test.
         bagg = window_rollup(bd, asof_df).drop("as_of_d")
+        lo_v = new_as_of_d - _dt.timedelta(days=_VEC_DAYS - 1)
+        recent_v = (
+            spark.read.parquet(daily_summary_path)
+            .filter(F.col("d") >= F.lit(lo_v))
+            .select("entity", "d", "cat", "n")
+        )
+        vecs = window_rollup(recent_v, asof_df).select(
+            "entity", *[v for v, _ in _VECS]
+        )
         o, b = old.alias("o"), bagg.alias("b")
         merge_cols = [
             c
@@ -384,23 +403,24 @@ def update_window_summary(
                 ).alias(f"cats{w}"),
             )
         ]
-        merged = o.join(b, "entity", "full").select(
-            "entity",
-            (F.coalesce("o.total", zero) + F.coalesce("b.total", zero)).alias(
-                "total"
-            ),
-            *merge_cols,
-            # daily vectors add element-wise (ages unchanged same-day;
-            # late rows land in their own age slot on both paths)
-            *[
-                F.zip_with(
-                    F.coalesce(f"o.{v}", z),
-                    F.coalesce(f"b.{v}", z),
-                    lambda x, y: x + y,
-                ).alias(v)
-                for v, z in _VECS
-            ],
-        ).crossJoin(F.broadcast(asof_df))
+        merged = (
+            o.join(b, "entity", "full")
+            .select(
+                "entity",
+                (F.coalesce("o.total", zero) + F.coalesce("b.total", zero)).alias(
+                    "total"
+                ),
+                *merge_cols,
+            )
+            .join(vecs, "entity", "left")
+            .select(
+                "entity",
+                "total",
+                *[c for w in _WINDOWS for c in (f"total{w}", f"cats{w}")],
+                *[F.coalesce(v, z).alias(v) for v, z in _VECS],
+            )
+            .crossJoin(F.broadcast(asof_df))
+        )
 
     # same lineage-cut + marker discipline as update_daily_summary:
     # the merge reads the table the write replaces

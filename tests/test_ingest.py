@@ -357,3 +357,15 @@ def test_ip_record_locality_and_incremental_refresh(spark, tmp_path):
         return out
 
     assert canon2(refreshed) == canon2(full_after)
+
+
+def test_kafka_source_env_gate(spark):
+    """The Kafka ingest variant is permanently env-gated here (no
+    broker/connector in the sandbox): the factory must fail with the
+    documented deploy pointer, not an opaque classpath error."""
+    import pytest
+
+    from nerd_spark.sources.idea import read_idea_kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_idea_kafka_stream(spark, "broker:9092", "idea-events")
