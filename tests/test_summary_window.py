@@ -181,3 +181,48 @@ def test_streamed_summaries_serve_a_family(spark, sf_dir, tmp_path):
         plan = served._jdf.queryExecution().optimizedPlan().toString()
         assert "Aggregate" not in plan, name  # genuinely the serve path
         assert rows(served) == rows(REGISTRY[name](spark, sf_dir)), name
+
+
+def test_window_maintenance_random_batchings(spark, sf_dir):
+    """Property: ANY partition of the events into ordered batches —
+    time-ordered, reversed, round-robin (cells split across batches),
+    random — converges to the one-shot rollup exactly. This is the
+    class of invariant that catches non-mergeable-measure bugs (the
+    cats_days overcount was found by exactly this shape)."""
+    import random
+
+    ev = read_table(spark, sf_dir, "events").localCheckpoint()
+
+    def batches(mode, k=3):
+        if mode == "time":
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+            cuts = [lo + (hi - lo) * i / k for i in range(1, k)]
+            bounds = [None, *cuts, None]
+            return [
+                ev.filter(
+                    (F.lit(True) if bounds[i] is None else (F.col("ts") > bounds[i]))
+                    & (F.lit(True) if bounds[i + 1] is None else (F.col("ts") <= bounds[i + 1]))
+                )
+                for i in range(k)
+            ]
+        if mode == "reversed":
+            return list(reversed(batches("time", k)))
+        if mode == "roundrobin":
+            return [ev.filter(F.col("event_id") % k == i) for i in range(k)]
+        rnd = random.Random(7)
+        salt = rnd.randrange(1000)
+        return [
+            ev.filter(F.pmod(F.hash(F.col("event_id") + salt), F.lit(k)) == i)
+            for i in range(k)
+        ]
+
+    want = _win_rows(_full_rollup(spark, ev))
+    for mode in ("time", "reversed", "roundrobin", "random"):
+        out = tempfile.mkdtemp(prefix=f"nerd_winprop_{mode}_")
+        for b in batches(mode):
+            if b.count():
+                update_event_summaries(spark, out, b)
+        got = _win_rows(
+            spark.read.parquet(os.path.join(out, SUMMARY_WINDOW_DIRNAME))
+        )
+        assert got == want, f"batching mode {mode} diverged from rebuild"
