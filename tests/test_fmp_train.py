@@ -59,3 +59,33 @@ def test_fit_is_deterministic(frames):
     m2 = fit_logistic(train, n_iter=5, lr=1.0)
     assert m1.bias == m2.bias
     assert (m1.weights == m2.weights).all()
+
+
+def test_gbt_train_score_roundtrip(frames):
+    """Spark-native GBT (pyspark.ml) through the same FEATURE_SPEC:
+    the model-family parity with the reference's XGBoost scorer.
+    Trained on the earlier temporal split, evaluated on the later one
+    — must beat chance clearly and be seed-deterministic; scoring is
+    JVM-side (no Python UDF in the plan)."""
+    from nerd_spark.ml.gbt import fit_gbt, score_gbt
+
+    train, ev_frame = frames
+    model = fit_gbt(train, max_iter=10, max_depth=3)
+    scored = score_gbt(ev_frame.drop("label"), model).join(
+        ev_frame.select("entity", "label"), "entity"
+    )
+    a = auc(scored.select("fmp", "label"))
+    # the sf0.01 training frame is ~150 rows — far too small for trees
+    # to beat the linear model (logistic: ~0.61 here); the bar is
+    # clearly-above-chance, the point is model-FAMILY parity with the
+    # reference's gradient-boosted scorer + the JVM scoring plan
+    assert a >= 0.55, f"GBT AUC {a}"
+    # no Python evaluation in the scoring plan
+    plan = score_gbt(ev_frame.drop("label"), model)._jdf.queryExecution()
+    assert "BatchEvalPython" not in plan.executedPlan().toString()
+    assert "ArrowEvalPython" not in plan.executedPlan().toString()
+    # determinism under the fixed seed
+    m2 = fit_gbt(train, max_iter=10, max_depth=3)
+    s1 = sorted(tuple(r) for r in score_gbt(ev_frame.drop("label"), model).collect())
+    s2 = sorted(tuple(r) for r in score_gbt(ev_frame.drop("label"), m2).collect())
+    assert s1 == s2
