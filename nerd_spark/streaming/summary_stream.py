@@ -13,7 +13,49 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+import os
+
 from nerd_spark.sources.layout import update_daily_summary, update_event_summaries
+
+
+def _last_applied(spark, marker_dir: str) -> int:
+    """Highest epoch recorded as fully applied (Hadoop-FS listing —
+    bounded by batch count)."""
+    from nerd_spark.sources import fsutil
+
+    eps = []
+    for name in fsutil.list_names(spark, marker_dir):
+        if name.startswith("epoch="):
+            try:
+                eps.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return max(eps, default=-1)
+
+
+def _mark_applied(spark, marker_dir: str, epoch_id: int) -> None:
+    from nerd_spark.sources import fsutil
+
+    fsutil.touch(spark, os.path.join(marker_dir, f"epoch={epoch_id}"))
+
+
+def _replay_guard(spark, marker_dir: str, apply_fn):
+    """At-least-once -> effectively-once for the summary merges: a
+    replayed epoch whose marker exists is SKIPPED (the merge is NOT
+    idempotent — re-merging a batch double-counts it). The marker
+    lands only after the full apply, so the remaining exposure is a
+    crash mid-apply — there the torn-write _SUCCESS discipline parks
+    readers on the raw-scan fallback, and the crash-safe production
+    variant is the staging-rename pattern of streaming/ingest.py::
+    merge_facts (documented there)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= _last_applied(spark, marker_dir):
+            return
+        apply_fn(batch_df)
+        _mark_applied(spark, marker_dir, epoch_id)
+
+    return handle
 
 
 def stream_summary(
@@ -26,10 +68,11 @@ def stream_summary(
     """foreachBatch wiring for incremental summary maintenance.
     availableNow drains a backlog; a continuous trigger tails a live
     feed — the merge body is identical."""
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        update_daily_summary(spark, summary_path, batch_df, entity=entity)
-
+    handle = _replay_guard(
+        spark,
+        summary_path + ".applied",
+        lambda b: update_daily_summary(spark, summary_path, b, entity=entity),
+    )
     return events_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
@@ -49,9 +92,11 @@ def stream_all_summaries(
     loop that keeps every A-family serve path warm: after each batch
     commits, those queries are projections over current state."""
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        update_event_summaries(spark, data_dir, batch_df, entity=entity)
-
+    handle = _replay_guard(
+        spark,
+        os.path.join(data_dir, "summaries.applied"),
+        lambda b: update_event_summaries(spark, data_dir, b, entity=entity),
+    )
     return events_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -226,3 +226,34 @@ def test_window_maintenance_random_batchings(spark, sf_dir):
             spark.read.parquet(os.path.join(out, SUMMARY_WINDOW_DIRNAME))
         )
         assert got == want, f"batching mode {mode} diverged from rebuild"
+
+
+def test_summary_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a REPLAYED epoch must not
+    double-merge (the summary merges are not idempotent). The epoch
+    marker makes the replayed call a no-op; a genuinely new epoch
+    still applies."""
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.streaming.summary_stream import _replay_guard
+    from nerd_spark.sources.layout import update_event_summaries
+
+    ev = read_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    b1, b2 = ev.filter(F.col("ts") <= mid), ev.filter(F.col("ts") > mid)
+
+    state = str(tmp_path / "state")
+    handle = _replay_guard(
+        spark,
+        state + "/summaries.applied",
+        lambda b: update_event_summaries(spark, state, b),
+    )
+    handle(b1, 0)
+    handle(b1, 0)  # replayed epoch: must be skipped
+    handle(b2, 1)
+    handle(b2, 1)  # replayed again
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(REGISTRY["a2_window_totals"](spark, state)) == rows(
+        REGISTRY["a2_window_totals"](spark, sf_dir)
+    )
