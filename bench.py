@@ -34,6 +34,7 @@ EXTENDED = [
     "lm_unigram_logprob",
     "dedup_best_of_cluster",
     "corpus_curation_v2",
+    "text_span_dedup",
 ]
 
 # Representative cut across operator families; excludes the

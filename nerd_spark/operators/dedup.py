@@ -417,3 +417,68 @@ def simhash_neardup(
         "b_id",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """C4-style cross-document span deduplication: fixed k-token
+    blocks that recur in >= min_df DISTINCT documents are boilerplate
+    (navigation chrome, license headers, templated text) and are
+    removed from every document that carries them.
+
+    Returns (doc_id, n_blocks, n_removed, kept_text) — kept_text is
+    the document with boilerplate blocks deleted, blocks in original
+    order. Scale shape: map-only blocking (the shingle discipline:
+    token split materialized once, _spread for narrow inputs), ONE
+    shuffle to count per-block document frequency, and a fingerprint
+    join back — never all-pairs, O(corpus tokens / k) block rows.
+    Empty documents produce no output row (no blocks), matching the
+    SQL oracle's unnest semantics.
+    """
+    base = _spread(docs).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    )
+    nblocks = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+    # guard: sequence(0, -1) counts DOWN under ANSI — empty docs get
+    # an empty block array instead
+    idxs = F.when(nblocks > 0, F.sequence(F.lit(0), nblocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    blocks = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                idxs,
+                lambda i: F.struct(
+                    i.alias("bi"),
+                    F.concat_ws(" ", F.slice("toks", i * k + 1, k)).alias("btext"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "b.bi", "b.btext", F.md5("b.btext").alias("fp"))
+    df_counts = blocks.groupBy("fp").agg(
+        F.count_distinct("id").alias("block_df")
+    )
+    flagged = blocks.join(df_counts, "fp").withColumn(
+        "boiler", F.col("block_df") >= min_df
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("boiler"), F.struct("bi", "btext"))
+        )
+    )
+    return (
+        flagged.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(F.col("boiler").cast("long")).alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda s: s["btext"])
+            ).alias("kept_text"),
+        )
+    )

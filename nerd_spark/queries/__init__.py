@@ -46,7 +46,8 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 # Everything else was driver-green in r5 and keeps its
 # full-inventory check in tests/test_oracle_diff.py.
 _WINDOW_PRIORITY = [
-    # 1 — changed this round
+    # 1 — new / changed this round
+    "text_span_dedup",
     "dedup_best_of_cluster",
     "a2_window_totals",
     "p11_threat_categorization",

@@ -880,6 +880,38 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @query(
+    "text_span_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, i,
+             array_to_string(t[(i*10+1):((i+1)*10)], ' ') AS btext
+      FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS i) _
+    ),
+    dfc AS (SELECT btext, count(DISTINCT doc_id) AS block_df FROM blocks GROUP BY 1),
+    flagged AS (SELECT b.doc_id, b.i, b.btext, (d.block_df >= 2) AS boiler
+                FROM blocks b JOIN dfc d USING (btext))
+    SELECT doc_id,
+           count(*) AS n_blocks,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT boiler THEN btext END, ' ' ORDER BY i), '') AS kept_text
+    FROM flagged GROUP BY 1
+    """,
+)
+def text_span_dedup(spark, sf_dir):
+    # C4-style cross-document span removal (operators/dedup.py::
+    # span_dedup): fixed 10-token blocks recurring in >= 2 distinct
+    # docs are boilerplate and are deleted from every carrier — the
+    # chrome/license-header cleanup a web-corpus pipeline runs before
+    # whole-doc dedup. Map-only blocking, one DF-count shuffle, a
+    # fingerprint join back; output includes the cleaned text itself
+    # (hash-checked against the oracle's ordered re-assembly).
+    return DD.span_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
     "text_repetition",
     r"""
     WITH toks AS (

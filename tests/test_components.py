@@ -95,3 +95,29 @@ def test_cc_multi_partition_contraction(spark, monkeypatch):
     # duplicates on purpose: entry no longer dedups
     edges += edges[:15]
     _check(spark, edges)
+
+
+def test_span_dedup_planted_boilerplate(spark):
+    """Planted 10-token boilerplate block shared by two docs is
+    removed from both; unique blocks survive in order; a doc made
+    ENTIRELY of boilerplate keeps an empty kept_text."""
+    from nerd_spark.operators.dedup import span_dedup
+
+    boiler = "one two three four five six seven eight nine ten"
+    uniq_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq_b = "red orange yellow green blue indigo violet black white gray"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{uniq_a} {boiler}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, boiler),
+            (4, uniq_a.replace("alpha", "ALPHA")),  # near-miss: kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, k=10).collect()}
+    assert out[1].n_blocks == 2 and out[1].n_removed == 1
+    assert out[1].kept_text == uniq_a
+    assert out[2].kept_text == uniq_b
+    assert out[3].n_removed == 1 and out[3].kept_text == ""
+    assert out[4].n_removed == 0 and out[4].kept_text == uniq_a.replace("alpha", "ALPHA")
