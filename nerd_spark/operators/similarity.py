@@ -362,3 +362,59 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     )
     row = per_q.agg(F.avg("r").alias("recall")).collect()[0]
     return float(row.recall)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    threshold: float = 0.4,
+    id_col="vec_id",
+    vec_col="embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the corpus with
+    the coarse quantizer (nearest-centroid assignment, same rule as
+    the IVF family), then find near-duplicate pairs ONLY within each
+    cluster by exact cosine — the cluster-then-compare discipline that
+    replaces an all-pairs cosine join with per-cluster joins (SemDeDup,
+    Abbas et al. 2023; the embedding analogue of LSH banding).
+
+    Returns (a_id, b_id, cid, sim) with a_id < b_id, sim >= threshold.
+    Scale shape: one broadcast of the (n_lists x dim) centroid table,
+    one shuffle on cid for the self-join; a corpus stored bucketed by
+    cid (build_ivf_index) makes the join exchange-free. Deterministic
+    first-N centroids keep it oracle-checkable; pass kmeans_centroids
+    output for recall-grade clustering (rows-only check, like
+    ann_ivf_trained).
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    if centroids is not None:
+        cents = embeddings.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid long, cv array<double>",
+        )
+    else:
+        cents = e.filter(F.col("id") < n_lists).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("id", "v", "cid")
+    )
+    pairs = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), "cid")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a_id"),
+            F.col("y.id").alias("b_id"),
+            "cid",
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("sim"),
+        )
+    )
+    return pairs.filter(F.col("sim") >= threshold)

@@ -48,6 +48,7 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 _WINDOW_PRIORITY = [
     # 1 — new / changed this round
     "text_span_dedup",
+    "dedup_semantic",
     "dedup_best_of_cluster",
     "a2_window_totals",
     "p11_threat_categorization",

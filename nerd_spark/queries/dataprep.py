@@ -1053,6 +1053,42 @@ _IVF_ORACLE = f"""
     """
 
 
+@query(
+    "dedup_semantic",
+    """
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT id AS cid, v AS cv FROM e WHERE id < 8),
+    scored AS (
+      SELECT e.id, e.v, c.cid,
+             round(list_dot_product(v, cv) /
+                   (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS csim
+      FROM e, cents c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS crank
+      FROM scored
+    ),
+    assigned AS (SELECT id, v, cid FROM ranked WHERE crank = 1)
+    SELECT x.id AS a_id, y.id AS b_id, x.cid AS cid,
+           round(list_dot_product(x.v, y.v) /
+                 (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+    FROM assigned x JOIN assigned y ON x.cid = y.cid AND x.id < y.id
+    WHERE round(list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    # SemDeDup-shaped cluster-then-compare semantic dedup
+    # (operators/similarity.py::semantic_dedup): nearest-centroid
+    # clustering bounds the pair join to within-cluster, never
+    # all-pairs; complements the sign-LSH bucket variant
+    # (dedup_embedding_cosine) with the quantizer-based bucketing the
+    # IVF index already maintains at ingest.
+    emb = t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, n_lists=8, threshold=0.4)
+
+
 @query("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark, sf_dir):
     # IVF-flat ANN: deterministic coarse quantizer (first-8 vectors),

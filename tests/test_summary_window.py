@@ -257,3 +257,31 @@ def test_summary_stream_replay_idempotent(spark, sf_dir, tmp_path):
     assert rows(REGISTRY["a2_window_totals"](spark, state)) == rows(
         REGISTRY["a2_window_totals"](spark, sf_dir)
     )
+
+
+def test_stale_window_table_falls_back(spark, sf_dir, tmp_path):
+    """Events changing AFTER the window table was built must route
+    a2/a3/a6/a7 to the raw recompute — serving stale precomputed state
+    would be silently wrong. The mtime freshness guard covers all four
+    serve paths."""
+    import shutil
+    import time
+
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.sources.layout import optimize_layout
+
+    out = str(tmp_path / "d")
+    optimize_layout(spark, sf_dir, out, tables=["events"])
+    served = REGISTRY["a2_window_totals"](spark, out)
+    assert "Aggregate" not in served._jdf.queryExecution().optimizedPlan().toString()
+
+    # mutate events afterwards (append a copy of one file)
+    evdir = os.path.join(out, "events.parquet")
+    part = next(f for f in os.listdir(evdir) if f.endswith(".parquet"))
+    time.sleep(1.1)  # ensure a strictly later mtime at fs granularity
+    shutil.copy(
+        os.path.join(evdir, part), os.path.join(evdir, "part-zz-dup.parquet")
+    )
+    for q in ("a2_window_totals", "a3_ewma", "a6_source_reputation", "a7_total_reputation"):
+        plan = REGISTRY[q](spark, out)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" in plan, f"{q} served stale precomputed state"
