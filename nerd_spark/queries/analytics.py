@@ -219,7 +219,14 @@ def _window_table(spark, sf_dir):
     from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
 
     if _summary_fresh(sf_dir, SUMMARY_WINDOW_DIRNAME):
-        return spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
+        wt = spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
+        # schema gate: a table written by an older engine version
+        # (pre-daily-vectors) must FALL BACK to the raw recompute,
+        # not fail the query on a missing column
+        required = {"entity", "total", "total1", "total7", "total30",
+                    "cats7", "nd_days", "cats_days", "err_days"}
+        if required.issubset(set(wt.columns)):
+            return wt
     return None
 
 
