@@ -369,3 +369,44 @@ def test_kafka_source_env_gate(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_idea_kafka_stream(spark, "broker:9092", "idea-events")
+
+
+def test_push_channel_to_spool_to_ingest(spark, tmp_path):
+    """The push-channel bridge (sources/push.py): JSON messages pushed
+    over a real loopback socket land as atomically-committed spool
+    files, and the standard IDEA reader parses them — the executed
+    stand-in for the reference's ZMQ/AMQP push receivers (a zmq SUB
+    socket plugs into the same commit seam)."""
+    import json as _json
+
+    from nerd_spark.sources.idea import read_idea_batch
+    from nerd_spark.sources.push import (
+        SpoolReceiver,
+        push_lines,
+        wait_for_spool_files,
+    )
+
+    spool = str(tmp_path / "spool")
+    rx = SpoolReceiver(spool, max_lines_per_file=2).start()
+    try:
+        msgs = [
+            _json.dumps(
+                {
+                    "ID": f"push-{i}",
+                    "Category": ["Recon.Scanning"],
+                    "DetectTime": "2024-03-10T12:00:00Z",
+                    "Source": [{"IP4": [f"10.0.0.{i}"]}],
+                    "Node": [{"Name": "push-node"}],
+                }
+            )
+            for i in range(5)
+        ]
+        push_lines("127.0.0.1", rx.port, msgs)
+        assert wait_for_spool_files(spool, 3)  # 5 msgs / 2 per file
+    finally:
+        rx.stop()
+    parsed = read_idea_batch(spark, spool)
+    ids = {r.ID for r in parsed.select("ID").collect()}
+    assert ids == {f"push-{i}" for i in range(5)}
+    # no half-written files ever published
+    assert not [f for f in __import__("os").listdir(spool) if f.startswith(".")]
