@@ -40,6 +40,10 @@ EXPECT = {
     # record table — top-k prunes before the broadcast enrichment hops
     # and the date-by-category pivot
     "read_path_typed": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    # round 6: span dedup = map-only blocking + ONE DF-count shuffle;
+    # semantic dedup broadcasts the centroid table (never the corpus)
+    "text_span_dedup": ["HashAggregate", "Generate explode"],
+    "dedup_semantic": ["BroadcastNestedLoopJoin"],
 }
 
 

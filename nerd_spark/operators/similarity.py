@@ -386,6 +386,12 @@ def semantic_dedup(
     first-N centroids keep it oracle-checkable; pass kmeans_centroids
     output for recall-grade clustering (rows-only check, like
     ann_ivf_trained).
+
+    SIZE n_lists WITH THE CORPUS: within-cluster comparison is
+    quadratic in cluster size, so n_lists must grow ~O(sqrt(n))
+    (SemDeDup uses tens of thousands of clusters at web scale) to
+    keep per-cluster pair counts bounded — the 8-list default is the
+    oracle-checkable toy configuration, not the deployment one.
     """
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if centroids is not None:
