@@ -25,7 +25,7 @@ _DAILY = """
 """
 
 
-def _summary_fresh(sf_dir, dirname):
+def _summary_fresh(spark, sf_dir, dirname):
     """True iff the derived summary under `dirname` exists, committed
     (_SUCCESS), and is no older than the raw events it summarizes.
     The mtime probe is the cheap staleness guard the advisor asked
@@ -34,16 +34,21 @@ def _summary_fresh(sf_dir, dirname):
     that was not re-maintained after an events change is ignored and
     the query falls back to the raw scan (exact, just slower). A
     production deployment records a source fingerprint in the commit
-    instead; same seam."""
+    instead; same seam. Probes go through the Hadoop FS layer
+    (sources/fsutil.py) so a DFS data dir (hdfs://, s3a://) SERVES
+    from its summaries instead of silently always falling back — the
+    same portability rule as the streaming state listings."""
     import os
 
+    from nerd_spark.sources import fsutil
+
     success = os.path.join(sf_dir, dirname, "_SUCCESS")
-    if not os.path.exists(success):
+    if not fsutil.exists(spark, success):
         return False
     events = os.path.join(sf_dir, "events.parquet")
     try:
-        return os.path.getmtime(events) <= os.path.getmtime(success)
-    except OSError:
+        return fsutil.mtime(spark, events) <= fsutil.mtime(spark, success)
+    except Exception:  # events table absent (pure derived-state dir)
         return True
 
 
@@ -63,7 +68,7 @@ def _daily(spark, sf_dir):
     from nerd_spark.sources.layout import SUMMARY_DAILY_DIRNAME
 
     p = os.path.join(sf_dir, SUMMARY_DAILY_DIRNAME)
-    if _summary_fresh(sf_dir, SUMMARY_DAILY_DIRNAME):
+    if _summary_fresh(spark, sf_dir, SUMMARY_DAILY_DIRNAME):
         return spark.read.parquet(p).select("entity", "d", "cat", "n", "val_dec")
     return D.daily_rollup(t(spark, sf_dir, "events"), "user_id")
 
@@ -74,7 +79,7 @@ def _as_of(spark, sf_dir):
     from nerd_spark.sources.layout import SUMMARY_ASOF_DIRNAME
 
     p = os.path.join(sf_dir, SUMMARY_ASOF_DIRNAME)
-    if _summary_fresh(sf_dir, SUMMARY_ASOF_DIRNAME):
+    if _summary_fresh(spark, sf_dir, SUMMARY_ASOF_DIRNAME):
         return spark.read.parquet(p)
     return t(spark, sf_dir, "events").agg(F.max("ts").alias("as_of"))
 
@@ -101,8 +106,8 @@ def _daily_with_asof(spark, sf_dir, max_age: int | None = None):
 
     if (
         max_age is not None
-        and _summary_fresh(sf_dir, "summary_daily.parquet")
-        and _summary_fresh(sf_dir, SUMMARY_ASOF_DIRNAME)
+        and _summary_fresh(spark, sf_dir, "summary_daily.parquet")
+        and _summary_fresh(spark, sf_dir, SUMMARY_ASOF_DIRNAME)
     ):
         import os
 
@@ -181,7 +186,7 @@ def a2_window_totals(spark, sf_dir):
 
     from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
 
-    if _summary_fresh(sf_dir, SUMMARY_WINDOW_DIRNAME):
+    if _summary_fresh(spark, sf_dir, SUMMARY_WINDOW_DIRNAME):
         w = spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
         return w.select(
             F.col("entity").alias("user_id"),
@@ -218,7 +223,7 @@ def _window_table(spark, sf_dir):
 
     from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
 
-    if _summary_fresh(sf_dir, SUMMARY_WINDOW_DIRNAME):
+    if _summary_fresh(spark, sf_dir, SUMMARY_WINDOW_DIRNAME):
         wt = spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
         # schema gate: a table written by an older engine version
         # (pre-daily-vectors) must FALL BACK to the raw recompute,

@@ -131,3 +131,20 @@ def test_dedup_stream_index_on_uri_path(spark, tmp_path):
     p2 = process_batch(spark, d2, idx)
     got = {(r.a_id, r.b_id) for r in p2.collect()}
     assert got == {(1, 2)}
+
+
+def test_a_family_serves_through_uri_data_dir(spark, sf_dir, tmp_path):
+    """The freshness probes go through the Hadoop FS layer, so a
+    scheme-qualified data dir (file:// standing in for hdfs://, s3a://)
+    SERVES from its precomputed window table instead of silently
+    always falling back to the raw scan."""
+    from nerd_spark.queries import REGISTRY
+    from nerd_spark.sources.layout import optimize_layout
+
+    out = str(tmp_path / "opt")
+    optimize_layout(spark, sf_dir, out, tables=["events"])
+    uri = "file://" + out
+    for q in ("a2_window_totals", "a3_ewma"):
+        plan = REGISTRY[q](spark, uri)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Aggregate" not in plan, f"{q} fell back on a URI data dir"
+        assert REGISTRY[q](spark, uri).count() > 0
