@@ -70,3 +70,56 @@ def quality_filter(
         scored["q_score"],
         (scored["q_score"] >= threshold).alias("kept"),
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stopword_hits: int = 2,
+    max_punct_ratio: float = 0.1,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style heuristic rule battery (Rae et al. 2021, table A1
+    — adapted to the signals this corpus carries; the line/bullet and
+    ellipsis rules don't apply to single-line documents and are
+    omitted, documented divergence): per-document boolean flags, one
+    per rule, plus the conjunctive `keep`. Materializing the flags —
+    not just the verdict — is the curation norm: rejection reasons
+    stay auditable and thresholds re-tunable without a re-scan.
+
+    Pure column expressions over one scan; the distinct-token ratio
+    (the 'fraction of unique words' repetition proxy) is the only
+    rule needing the token array itself.
+    """
+    from nerd_spark.functions.text import STOPWORDS_RE, quality_features, tokens
+
+    q = quality_features(text_col)
+    n_stop = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(STOPWORDS_RE), F.lit(0))
+    ).cast("long")
+    toks = tokens(text_col)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    flags = {
+        "ok_word_count": (q["n_tokens"] >= min_tokens)
+        & (q["n_tokens"] <= max_tokens),
+        "ok_mean_word_len": (q["mean_token_len"] >= min_mean_len)
+        & (q["mean_token_len"] <= max_mean_len),
+        "ok_stopwords": n_stop >= min_stopword_hits,
+        "ok_punct_ratio": q["punct_ratio"] <= max_punct_ratio,
+        "ok_distinct_ratio": distinct_ratio >= min_distinct_ratio,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )

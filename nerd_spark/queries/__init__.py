@@ -49,6 +49,7 @@ _WINDOW_PRIORITY = [
     # 1 — new / changed this round
     "text_span_dedup",
     "dedup_semantic",
+    "quality_gopher_rules",
     "dedup_best_of_cluster",
     "a2_window_totals",
     "p11_threat_categorization",
@@ -56,7 +57,9 @@ _WINDOW_PRIORITY = [
     "dedup_incremental",
     "leakage_safe_split",
     "corpus_curation_v2",
-    "dedup_ngram_jaccard",
+    # (dedup_ngram_jaccard also sits on the changed _spread path but
+    # was r5-green and the path is covered by the minhash entries
+    # above — dropped to keep all 42 stale queries inside the window)
     # 2 — no r5 driver row (r4-green; ≤2-round staleness invariant)
     "a11_distinct_pair_counts",
     "a13_intervals",

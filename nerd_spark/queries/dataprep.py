@@ -880,6 +880,43 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @query(
+    "quality_gopher_rules",
+    rf"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '{STOPWORDS_RE}')) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             (n_tokens >= 20 AND n_tokens <= 100000) AS ok_word_count,
+             ((n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1) >= 3.0
+              AND (n_chars - n_tokens + 1) * 1.0 / greatest(n_tokens, 1) <= 10.0) AS ok_mean_word_len,
+             (n_stop >= 2) AS ok_stopwords,
+             (n_punct * 1.0 / greatest(n_chars, 1) <= 0.1) AS ok_punct_ratio,
+             (n_distinct * 1.0 / greatest(n_tokens, 1) >= 0.3) AS ok_distinct_ratio
+      FROM f
+    )
+    SELECT doc_id, ok_word_count, ok_mean_word_len, ok_stopwords,
+           ok_punct_ratio, ok_distinct_ratio,
+           (ok_word_count AND ok_mean_word_len AND ok_stopwords
+            AND ok_punct_ratio AND ok_distinct_ratio) AS keep
+    FROM r
+    """,
+)
+def quality_gopher_rules(spark, sf_dir):
+    # Gopher-style heuristic rule battery (ml/quality.py::gopher_rules):
+    # per-doc auditable flags + conjunctive keep, all JVM column
+    # expressions over one scan — the standard pre-model quality
+    # filter a curation pipeline runs before the learned gate.
+    return QM.gopher_rules(t(spark, sf_dir, "documents"))
+
+
+@query(
     "text_span_dedup",
     r"""
     WITH toks AS (
