@@ -121,3 +121,43 @@ def test_span_dedup_planted_boilerplate(spark):
     assert out[2].kept_text == uniq_b
     assert out[3].n_removed == 1 and out[3].kept_text == ""
     assert out[4].n_removed == 0 and out[4].kept_text == uniq_a.replace("alpha", "ALPHA")
+
+
+def test_new_ops_edge_inputs(spark):
+    """Degenerate inputs: empty texts produce no span blocks; a tiny
+    corpus still clusters for semantic dedup; gopher rules flag
+    everything false-but-healthy on junk."""
+    from nerd_spark.ml.quality import gopher_rules
+    from nerd_spark.operators.dedup import span_dedup
+    from nerd_spark.operators.similarity import semantic_dedup
+
+    empty_docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two")], "doc_id long, text string"
+    )
+    out = span_dedup(empty_docs, k=10).collect()
+    # "" splits to one empty token -> one (empty) block; whitespace
+    # likewise; both land in the same fingerprint group as expected —
+    # no crash, deterministic rows
+    assert {r.doc_id for r in out} <= {1, 2, 3}
+
+    g = {r.doc_id: r for r in gopher_rules(empty_docs).collect()}
+    assert not g[1].keep and not g[3].keep  # too short on every front
+
+    # centroids are ids 0/1 (orthogonal); the near-identical pair 2/3
+    # assigns to cluster 0 and is found there; 4 (near centroid 1) is
+    # alone in its cluster -> no cross-cluster comparison ever happens
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.92, 0.08]),
+            (4, [0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_dedup(vecs, n_lists=2, threshold=0.95).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    assert (2, 3) in got  # near-identical pair found within cluster
+    assert not any({a, b} == {2, 4} or {a, b} == {3, 4} for a, b in got)
+    assert all(a < b for a, b in got)
