@@ -35,6 +35,7 @@ EXTENDED = [
     "dedup_best_of_cluster",
     "corpus_curation_v2",
     "text_span_dedup",
+    "corpus_curation_v3",
 ]
 
 # Representative cut across operator families; excludes the

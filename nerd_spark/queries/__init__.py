@@ -55,8 +55,10 @@ _WINDOW_PRIORITY = [
     "a2_window_totals",
     "p11_threat_categorization",
     "dedup_minhash_lsh",
-    "leakage_safe_split",
+    "corpus_curation_v3",
     "corpus_curation_v2",
+    # (leakage_safe_split and dedup_incremental were r5-green and sit
+    # on covered paths — rotated out to keep the 42 stale queries in)
     # (dedup_ngram_jaccard also sits on the changed _spread path but
     # was r5-green and the path is covered by the minhash entries
     # above — dropped to keep all 42 stale queries inside the window)

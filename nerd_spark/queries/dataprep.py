@@ -1406,6 +1406,187 @@ def dedup_simhash_pairs(spark, sf_dir):
 # query (examples/curation_pipeline.py is the narrated version)
 # ---------------------------------------------------------------------------
 
+_CURATION_V3_TPL = """
+    WITH RECURSIVE gf AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '{STOPWORDS_RE}')) AS BIGINT) AS n_stop,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_distinct
+      FROM documents
+    ),
+    g AS (
+      SELECT d.* FROM documents d JOIN gf USING (doc_id)
+      WHERE (gf.n_tokens >= 20 AND gf.n_tokens <= 100000)
+        AND ((gf.n_chars - gf.n_tokens + 1) * 1.0 / greatest(gf.n_tokens, 1) >= 3.0
+             AND (gf.n_chars - gf.n_tokens + 1) * 1.0 / greatest(gf.n_tokens, 1) <= 10.0)
+        AND (gf.n_stop >= 2)
+        AND (gf.n_punct * 1.0 / greatest(gf.n_chars, 1) <= 0.1)
+        AND (gf.n_distinct * 1.0 / greatest(gf.n_tokens, 1) >= 0.3)
+    ),
+    sp_toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM g
+    ),
+    sp_blocks AS (
+      SELECT doc_id, i,
+             array_to_string(t[(i*10+1):((i+1)*10)], ' ') AS btext
+      FROM sp_toks, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS i) _
+    ),
+    sp_dfc AS (SELECT btext, count(DISTINCT doc_id) AS bdf FROM sp_blocks GROUP BY 1),
+    sp_flag AS (SELECT b.doc_id, b.i, b.btext, (d.bdf >= 2) AS boiler
+                FROM sp_blocks b JOIN sp_dfc d USING (btext)),
+    cleaned0 AS MATERIALIZED (
+      SELECT f.doc_id, any_value(g.source) AS source,
+             coalesce(string_agg(CASE WHEN NOT boiler THEN btext END, ' ' ORDER BY i), '') AS text
+      FROM sp_flag f JOIN g USING (doc_id) GROUP BY f.doc_id
+    ),
+    cleaned AS MATERIALIZED (SELECT * FROM cleaned0 WHERE length(trim(text)) > 0),
+    qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM cleaned),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - {CN1}, 0)),
+        i -> {CONTAM_GRAM}))) AS g
+      FROM qt
+    ),
+    ev AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 = 3),
+    trn AS (SELECT doc_id, g FROM ng WHERE doc_id % 19 <> 3),
+    evs AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY 1),
+    hits AS (
+      SELECT trn.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS shared
+      FROM trn JOIN ev USING (g) GROUP BY 1, 2
+    ),
+    contam AS (
+      SELECT DISTINCT train_id AS doc_id
+      FROM hits JOIN evs ON evs.doc_id = hits.eval_id
+      WHERE shared * 1.0 / evs.n >= 0.5
+    ),
+    d2 AS MATERIALIZED (
+      SELECT cleaned.* FROM cleaned
+      WHERE cleaned.doc_id % 19 <> 3
+        AND cleaned.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    {BANDS_D2},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM blong x JOIN blong y ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+    ),
+    {JACCARD_VERIFY},
+    pairs AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION
+      SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT u, u FROM edges
+      UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node
+    ),
+    cc AS (SELECT node, min(r) AS root FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM cc WHERE node <> root),
+    d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+    tcnt AS (SELECT source, count(*) AS n_src FROM d3 GROUP BY 1),
+    ttot AS (SELECT sum(n_src) AS n_tot FROM tcnt),
+    tw AS (
+      SELECT source, n_src, n_tot,
+             round((n_src * 1.0 / n_tot) * (n_src * 1.0 / n_tot), 6) AS wt
+      FROM tcnt, ttot
+    ),
+    tsw AS (SELECT round(sum(wt), 6) AS swt FROM tw),
+    trates AS (
+      SELECT source, round(wt / swt * n_tot / n_src, 6) AS rate FROM tw, tsw
+    ),
+    mixh AS (
+      SELECT doc_id, d3.source, rate,
+             ({TEMP_HASH}) / 4294967296.0 AS u
+      FROM d3 JOIN trates USING (source)
+    ),
+    mixn AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+      FROM mixh
+    ),
+    kept AS (SELECT doc_id, source, n_copies FROM mixn WHERE n_copies >= 1),
+    sp AS (SELECT doc_id, {SPLIT_HASH} AS sv FROM kept),
+    shn AS (SELECT doc_id, ({SHARD_HASH}) % 4 AS shard FROM kept)
+    SELECT k.doc_id, k.source, k.n_copies,
+           CASE WHEN sp.sv < {SPLIT_CUT} THEN 'val' ELSE 'train' END AS split,
+           shn.shard
+    FROM kept k JOIN sp USING (doc_id) JOIN shn USING (doc_id)
+"""
+
+_CURATION_V3_ORACLE = _CURATION_V3_TPL.format(
+    STOPWORDS_RE=STOPWORDS_RE,
+    CN1=_CONTAM_N - 1,
+    CONTAM_GRAM=_CONTAM_GRAM,
+    BANDS_D2=_MINHASH_BANDS.replace("FROM documents", "FROM d2").strip(),
+    JACCARD_VERIFY=_JACCARD_VERIFY.strip().rstrip(),
+    TEMP_HASH=_hex8("md5('temp' || CAST(doc_id AS VARCHAR))", 1),
+    SPLIT_HASH=_hex8("md5(CAST(doc_id AS VARCHAR))", 1),
+    SHARD_HASH=_hex8("md5('shard' || CAST(doc_id AS VARCHAR))", 1),
+    SPLIT_CUT=_SPLIT_CUT,
+)
+
+
+@query("corpus_curation_v3", _CURATION_V3_ORACLE)
+def corpus_curation_v3(spark, sf_dir):
+    """Round-6 flagship: the curation funnel rebuilt from this round's
+    operators — Gopher heuristic gate -> C4-style span/boilerplate
+    removal (downstream stages run on the CLEANED text) -> benchmark
+    decontamination -> MinHash-LSH near-dup clusters (canonical
+    survivor) -> temperature-balanced mixture (rates derived from the
+    surviving corpus in-plan) -> train/val split + shard assignment.
+    Same one-plan, hash-checked discipline as corpus_curation_v2;
+    every stage is the individually-oracled scale path."""
+    docs = t(spark, sf_dir, "documents")
+    gated = docs.join(
+        QM.gopher_rules(docs).filter("keep").select("doc_id"), "doc_id"
+    )
+    cleaned = (
+        gated.select("doc_id", "source")
+        .join(
+            DD.span_dedup(gated, k=10, min_df=2).select(
+                "doc_id", F.col("kept_text").alias("text")
+            ),
+            "doc_id",
+        )
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    ev = cleaned.filter(F.col("doc_id") % 19 == 3)
+    tr = cleaned.filter(F.col("doc_id") % 19 != 3)
+    contaminated = (
+        CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
+        .filter(F.col("eval_frac") >= 0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    # same funnel-waist materialization rationale as v2
+    d2 = tr.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    pairs = DD.minhash_lsh_dedup(
+        spark, d2, n_bands=4, rows_per_band=3, threshold=0.5
+    )
+    losers = (
+        CCOMP.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_root"))
+        .select("doc_id")
+    )
+    d3 = d2.join(losers, "doc_id", "left_anti")
+    kept = (
+        SAMP.temperature_mixture(d3)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    split = SAMP.hash_split(kept, val_frac=_SPLIT_FRAC)
+    shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
+        "doc_id", "shard"
+    )
+    return split.join(shards, "doc_id").select(
+        "doc_id", "source", "n_copies", "split", "shard"
+    )
+
+
 _CURATION_ORACLE_TPL = """
     WITH RECURSIVE feat AS (
       SELECT doc_id,
