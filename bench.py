@@ -128,9 +128,13 @@ def main() -> None:
 
     # Per-stage breakdown of the curation flagship so its one number
     # localizes regressions (quality gate vs LSH vs clustering ...).
-    from nerd_spark.queries.dataprep import corpus_curation_v2_stages
+    from nerd_spark.queries.dataprep import (
+        corpus_curation_v2_stages,
+        corpus_curation_v3_stages,
+    )
 
     curation_stages = corpus_curation_v2_stages(spark, data_dir)
+    curation_v3_stages = corpus_curation_v3_stages(spark, data_dir)
 
     def _testdata_fingerprint() -> str:
         """Stable hash of the input dir's (name, size) listing — a
@@ -159,6 +163,7 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "extended_queries": extended,
         "curation_stages": curation_stages,
+        "curation_v3_stages": curation_v3_stages,
         "run_meta": {
             "loadavg_1m": round(os.getloadavg()[0], 2),
             "loadavg_5m": round(os.getloadavg()[1], 2),

@@ -21,7 +21,7 @@ import sys
 
 from pyspark.sql import functions as F
 
-from nerd_spark.ml.quality import quality_filter
+from nerd_spark.ml.quality import gopher_rules, quality_filter
 from nerd_spark.operators import dedup as DD
 from nerd_spark.operators.components import dedup_clusters
 from nerd_spark.operators.contamination import ngram_contamination
@@ -30,6 +30,7 @@ from nerd_spark.operators.sampling import (
     mixture_sample,
     pack_sequences,
     shard_assign,
+    temperature_mixture,
 )
 from nerd_spark.session import get_spark, read_table
 
@@ -41,10 +42,26 @@ def main() -> None:
     n0 = docs.count()
     print(f"corpus: {n0} docs")
 
-    # 1. quality gate
+    # 1a. heuristic rule battery (Gopher-style; auditable flags)
+    docs = docs.join(gopher_rules(docs).filter("keep").select("doc_id"), "doc_id")
+    n1a = docs.count()
+    print(f"after gopher rules: {n1a} ({n1a / n0:.0%})")
+
+    # 1b. model-based quality gate
     docs = quality_filter(docs, threshold=0.32).filter("kept").drop("q_score", "kept")
     n1 = docs.count()
     print(f"after quality gate: {n1} ({n1 / n0:.0%})")
+
+    # 1c. cross-document boilerplate (span) removal — downstream
+    # stages consume the cleaned text
+    cleaned = DD.span_dedup(docs, k=10, min_df=2).select(
+        "doc_id", F.col("kept_text").alias("text")
+    )
+    docs = docs.drop("text").join(cleaned, "doc_id").filter(
+        F.length(F.trim("text")) > 0
+    )
+    removed = docs.count()
+    print(f"after span removal: {removed} docs (cleaned text)")
 
     # 2. decontamination vs a held-out eval slice
     ev = docs.filter(F.col("doc_id") % 19 == 3)
@@ -67,11 +84,14 @@ def main() -> None:
     n3 = docs.count()
     print(f"after near-dup removal: {n3}")
 
-    # 4. domain-weighted mixture
+    # 4. mixture: explicit domain weights OR temperature balancing
     mix = mixture_sample(docs, rates={"src0": 2.0, "src1": 0.5}, salt="mix")
     sampled = mix.join(docs.drop("source"), "doc_id")
     n4 = sampled.count()
     print(f"after mixture resampling: {n4} (with epoch copies)")
+    tmix = temperature_mixture(docs)
+    print(f"temperature-balanced alternative: {tmix.count()} rows, "
+          f"{tmix.select('source').distinct().count()} sources")
 
     # 5. split, pack, shard
     split = hash_split(sampled.select("doc_id", "text", "source").distinct())

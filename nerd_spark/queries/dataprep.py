@@ -1746,6 +1746,74 @@ def corpus_curation_v2(spark, sf_dir):
     )
 
 
+def corpus_curation_v3_stages(spark, sf_dir) -> dict[str, float]:
+    """Per-stage wall times for the v3 funnel (same discipline as
+    corpus_curation_v2_stages — bench.py records both)."""
+    import time
+
+    docs = t(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+
+    def _timed(name, df):
+        t0 = time.perf_counter()
+        got = df.localCheckpoint()
+        out[name] = round(time.perf_counter() - t0, 3)
+        return got
+
+    gated = _timed(
+        "gopher_gate",
+        docs.join(QM.gopher_rules(docs).filter("keep").select("doc_id"), "doc_id"),
+    )
+    cleaned = _timed(
+        "span_removal",
+        gated.select("doc_id", "source")
+        .join(
+            DD.span_dedup(gated, k=10, min_df=2).select(
+                "doc_id", F.col("kept_text").alias("text")
+            ),
+            "doc_id",
+        )
+        .filter(F.length(F.trim("text")) > 0),
+    )
+    ev = cleaned.filter(F.col("doc_id") % 19 == 3)
+    tr = cleaned.filter(F.col("doc_id") % 19 != 3)
+    contaminated = _timed(
+        "decontamination",
+        CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
+        .filter(F.col("eval_frac") >= 0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct(),
+    )
+    d2 = _timed("contam_filter", tr.join(contaminated, "doc_id", "left_anti"))
+    pairs = _timed(
+        "lsh_pairs",
+        DD.minhash_lsh_dedup(spark, d2, n_bands=4, rows_per_band=3, threshold=0.5),
+    )
+    losers = _timed(
+        "clusters",
+        CCOMP.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_root"))
+        .select("doc_id"),
+    )
+    d3 = d2.join(losers, "doc_id", "left_anti")
+    kept = _timed(
+        "temperature_mixture",
+        SAMP.temperature_mixture(d3)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_copies")),
+    )
+    t0 = time.perf_counter()
+    split = SAMP.hash_split(kept, val_frac=_SPLIT_FRAC)
+    shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
+        "doc_id", "shard"
+    )
+    split.join(shards, "doc_id").select(
+        "doc_id", "source", "n_copies", "split", "shard"
+    ).write.format("noop").mode("overwrite").save()
+    out["split_shard"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def corpus_curation_v2_stages(spark, sf_dir) -> dict[str, float]:
     """Per-stage wall times for the curation funnel — NOT a registered
     query; bench.py runs it so the one flagship number localizes
