@@ -229,7 +229,8 @@ def _window_table(spark, sf_dir):
         # (pre-daily-vectors) must FALL BACK to the raw recompute,
         # not fail the query on a missing column
         required = {"entity", "total", "total1", "total7", "total30",
-                    "cats7", "nd_days", "cats_days", "err_days"}
+                    "cats7", "nd_days", "cats_days", "err_days",
+                    "cat_counts30"}
         if required.issubset(set(wt.columns)):
             return wt
     return None
@@ -301,8 +302,33 @@ def a3_ewma(spark, sf_dir):
 )
 def a5_type_profile(spark, sf_dir):
     # (reference: event_type_counter.py:41-104)
-    # type_profile filters age<=30 before grouping (in-window entities
-    # only) — prunable like a6/a7
+    #
+    # Serve path: explode the window table's per-category 30-day map —
+    # n_cat and n_tot are exact longs, so the share filter and
+    # rounding are bit-identical to the raw recompute. Entities with
+    # no in-window rows carry an empty map and explode to nothing,
+    # matching the fallback's pre-group age filter.
+    wt = _window_table(spark, sf_dir)
+    if wt is not None:
+        zero = F.lit(0).cast("long")
+        n_tot = F.aggregate(
+            F.map_values("cat_counts30"), zero, lambda acc, x: acc + x
+        )
+        exploded = wt.select(
+            F.col("entity").alias("user_id"),
+            n_tot.alias("n_tot"),
+            F.explode("cat_counts30").alias("event_type", "n_cat"),
+        )
+        return exploded.filter(
+            (F.col("n_tot") >= 10)
+            & (F.col("n_cat") / F.col("n_tot") >= 0.05)
+        ).select(
+            "user_id",
+            "event_type",
+            F.round(F.col("n_cat") / F.col("n_tot"), 6).alias("share"),
+        )
+    # fallback: type_profile filters age<=30 before grouping
+    # (in-window entities only) — prunable like a6/a7
     dwa = _daily_with_asof(spark, sf_dir, max_age=30)
     return D.type_profile(dwa).select(
         F.col("entity").alias("user_id"), F.col("cat").alias("event_type"), "share"

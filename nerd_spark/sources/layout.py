@@ -45,6 +45,12 @@ SUMMARY_DAILY_DIRNAME = "summary_daily.parquet"
 SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 
+
+def _EMPTY_MAP():
+    return F.map_from_entries(
+        F.array().cast("array<struct<cat:string,n30:bigint>>")
+    )
+
 _WINDOWS = (1, 7, 30)
 
 # per-age daily vectors kept in the window table: ages 0.._VEC_DAYS-1
@@ -97,9 +103,27 @@ def window_rollup(daily, as_of_d_df):
     aggs.append(F.array(*nd).alias("nd_days"))
     aggs.append(F.array(*cats).alias("cats_days"))
     aggs.append(F.array(*err).alias("err_days"))
+    main = dwa.groupBy("entity").agg(*aggs)
+    # per-category 30-day counts as a map (the A5 type-profile input):
+    # bounded by the category vocabulary per entity; built via its own
+    # (entity, cat) rollup and joined back. Event-count sums, so the
+    # same-day incremental merge is a pure map union-add.
+    per_cat = (
+        dwa.filter(age <= 30)
+        .groupBy("entity", "cat")
+        .agg(F.sum("n").cast("long").alias("n30"))
+    )
+    cat_maps = per_cat.groupBy("entity").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("cat", "n30")))
+        ).alias("cat_counts30")
+    )
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<cat:string,n30:bigint>>")
+    )
     return (
-        dwa.groupBy("entity")
-        .agg(*aggs)
+        main.join(cat_maps, "entity", "left")
+        .withColumn("cat_counts30", F.coalesce("cat_counts30", empty_map))
         .crossJoin(F.broadcast(as_of_d_df))
     )
 
@@ -361,6 +385,7 @@ def update_window_summary(
                 )
             ],
             *[F.coalesce(v, z).alias(v) for v, z in _VECS],
+            F.coalesce("cat_counts30", _EMPTY_MAP()).alias("cat_counts30"),
         ).crossJoin(F.broadcast(asof_df))
     else:
         # same-day batch: ages unchanged -> additive merge for the
@@ -411,6 +436,13 @@ def update_window_summary(
                     "total"
                 ),
                 *merge_cols,
+                # per-cat 30d counts: event-count sums -> map union-add
+                F.map_zip_with(
+                    F.coalesce("o.cat_counts30", _EMPTY_MAP()),
+                    F.coalesce("b.cat_counts30", _EMPTY_MAP()),
+                    lambda k, x, y: F.coalesce(x, F.lit(0).cast("long"))
+                    + F.coalesce(y, F.lit(0).cast("long")),
+                ).alias("cat_counts30"),
             )
             .join(vecs, "entity", "left")
             .select(
@@ -418,6 +450,7 @@ def update_window_summary(
                 "total",
                 *[c for w in _WINDOWS for c in (f"total{w}", f"cats{w}")],
                 *[F.coalesce(v, z).alias(v) for v, z in _VECS],
+                "cat_counts30",
             )
             .crossJoin(F.broadcast(asof_df))
         )

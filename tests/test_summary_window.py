@@ -32,6 +32,7 @@ def _win_rows(df):
             tuple(r.nd_days),
             tuple(r.cats_days),
             tuple(r.err_days),
+            tuple(sorted((r.cat_counts30 or {}).items())),
             str(r.as_of_d),
         )
         for r in df.collect()
@@ -87,6 +88,7 @@ def test_a_family_serve_paths_equal_fallback(spark, sf_dir):
     for q in (
         "a2_window_totals",
         "a3_ewma",
+        "a5_type_profile",
         "a6_source_reputation",
         "a7_total_reputation",
     ):
@@ -174,6 +176,7 @@ def test_streamed_summaries_serve_a_family(spark, sf_dir, tmp_path):
     for name in (
         "a2_window_totals",
         "a3_ewma",
+        "a5_type_profile",
         "a6_source_reputation",
         "a7_total_reputation",
     ):
@@ -282,6 +285,7 @@ def test_stale_window_table_falls_back(spark, sf_dir, tmp_path):
     shutil.copy(
         os.path.join(evdir, part), os.path.join(evdir, "part-zz-dup.parquet")
     )
-    for q in ("a2_window_totals", "a3_ewma", "a6_source_reputation", "a7_total_reputation"):
+    for q in ("a2_window_totals", "a3_ewma", "a5_type_profile",
+              "a6_source_reputation", "a7_total_reputation"):
         plan = REGISTRY[q](spark, out)._jdf.queryExecution().optimizedPlan().toString()
         assert "Aggregate" in plan, f"{q} served stale precomputed state"
