@@ -88,19 +88,59 @@ def _dec(col):
     return F.round(c, 4).cast("decimal(18,4)")
 
 
+def _unscaled(col):
+    """Unscaled-integer view of round(col, 4) as a LONG.
+
+    Equal to the unscaled value of ``_dec(col)``: round(c, 4) is the
+    nearest double to an exact 4-dp decimal v = k/10^4, so v*1e4 = k
+    is integral and the float product round(c,4)*1e4 lands within
+    |k|*2^-52 of k — rounding recovers k exactly for |v| < ~2e11
+    (money columns here are < 1e7). Summing LONGs keeps the aggregate
+    in Spark's compact fast path; sum(DECIMAL(18,4)) widens to
+    DECIMAL(28,4), whose 28-digit bound forces a per-row BigDecimal
+    accumulator (measured ~12x on the q1/a16 scans at the 80x point).
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.round(c, 4) * F.lit(1e4)).cast("long")
+
+
 def exact_sum(col, alias: str, ndigits: int = 2):
-    """Spark: exact decimal sum of a ~2-dp double column -> rounded double."""
+    """Spark: exact sum of a ~2-dp double column -> rounded double.
+
+    Accumulates the unscaled 4-dp integer as a LONG (see
+    :func:`_unscaled`) and rescales once at the end — bit-identical
+    to the DECIMAL(18,4) formulation the DuckDB oracles use while
+    staying on the compact-long aggregation path. Overflow bound:
+    the per-group sum must satisfy |sum(round(v,4))| < 9.2e14 (long
+    max / 1e4). At 100 TB group sizes that exceed it, use
+    :func:`exact_sum_wide` (exact DECIMAL accumulation) or pre-shard
+    the group (salt) so partial sums stay in range.
+    """
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(_unscaled(col)) / F.lit(1e4), ndigits).alias(alias)
+
+
+def exact_sum_wide(col, alias: str, ndigits: int = 2):
+    """Exact DECIMAL-accumulated variant of :func:`exact_sum` for the
+    overflow regime (per-group value sums >= 9.2e14): ~2x slower per
+    row (BigDecimal accumulator) but unbounded to 24 integer digits."""
     from pyspark.sql import functions as F
 
     return F.round(F.sum(_dec(col)).cast("double"), ndigits).alias(alias)
 
 
 def exact_avg(col, alias: str, ndigits: int = 6):
-    """Spark: exact-sum / count in double, rounded."""
+    """Spark: exact-sum / count in double, rounded. Same compact-long
+    accumulation (and overflow bound) as :func:`exact_sum`."""
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(_dec(col)).cast("double") / F.count(c), ndigits).alias(alias)
+    return F.round(
+        (F.sum(_unscaled(col)) / F.lit(1e4)) / F.count(c), ndigits
+    ).alias(alias)
 
 
 def dec_sql(expr: str) -> str:
