@@ -96,13 +96,12 @@ def gopher_rules(
     (the 'fraction of unique words' repetition proxy) is the only
     rule needing the token array itself.
     """
-    from nerd_spark.functions.text import STOPWORDS_RE, quality_features, tokens
+    from nerd_spark.functions.text import quality_features, tokens
 
-    q = quality_features(text_col)
-    n_stop = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(STOPWORDS_RE), F.lit(0))
-    ).cast("long")
+    # one shared tokenization for every rule (single-split discipline)
     toks = tokens(text_col)
+    q = quality_features(text_col, toks=toks)
+    n_stop = q["n_stop"]
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
         F.size(toks), F.lit(1)
     ).cast("double")

