@@ -182,12 +182,11 @@ def a2_window_totals(spark, sf_dir):
     # exact distinct sets, so serving is bit-identical to the raw
     # recompute (pinned by tests/test_summary_window.py). Raw dirs
     # (the driver's sf0.01 correctness runs) fall back to the scan.
-    import os
-
-    from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
-
-    if _summary_fresh(spark, sf_dir, SUMMARY_WINDOW_DIRNAME):
-        w = spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
+    # Routed through the same _window_table gate as a3/a5/a6/a7
+    # (ADVICE r6): a table written by an older/partial schema falls
+    # back to the raw recompute instead of failing the query.
+    w = _window_table(spark, sf_dir)
+    if w is not None:
         return w.select(
             F.col("entity").alias("user_id"),
             "total",

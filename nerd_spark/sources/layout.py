@@ -53,6 +53,22 @@ def _EMPTY_MAP():
 
 _WINDOWS = (1, 7, 30)
 
+# The window table is stored hash-bucketed by entity (partition column
+# wb = pmod(hash(entity), WINDOW_BUCKETS)) so the same-day incremental
+# merge rewrites ONLY the buckets containing batch entities — cost
+# O(touched buckets), not O(entities). At the 10^8-entity design point
+# this is the difference between ~MB and ~GB written per micro-batch
+# (the reference's write path is likewise O(touched records),
+# NERDd/core/mongodb.py:98-119). The day-roll recompute (once per day)
+# still rewrites every bucket — every row's window ages shift then.
+# Size buckets so one bucket ~ a few hundred MB at the deployed entity
+# count; 32 keeps per-bucket files non-trivial at test scale.
+WINDOW_BUCKETS = 32
+
+
+def _wbucket(col="entity"):
+    return F.pmod(F.hash(F.col(col)), F.lit(WINDOW_BUCKETS))
+
 # per-age daily vectors kept in the window table: ages 0.._VEC_DAYS-1
 # relative to as_of_d. This is the reference's own per-IP daily-bucket
 # record model (event_counter keeps per-day buckets on the entity);
@@ -210,11 +226,16 @@ def optimize_layout(
         # the just-committed daily summary (compact) rather than
         # re-aggregating raw events.
         sd = spark.read.parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
-        window_rollup(
-            sd.select("entity", "d", "cat", "n"),
-            as_of.select(F.to_date("as_of").alias("as_of_d")),
-        ).write.mode("overwrite").parquet(
-            os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME)
+        (
+            window_rollup(
+                sd.select("entity", "d", "cat", "n"),
+                as_of.select(F.to_date("as_of").alias("as_of_d")),
+            )
+            .withColumn("wb", _wbucket())
+            .repartition("wb")
+            .write.mode("overwrite")
+            .partitionBy("wb")
+            .parquet(os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME))
         )
 
 
@@ -351,7 +372,15 @@ def update_window_summary(
     zvec_i = F.array_repeat(F.lit(0).cast("int"), _VEC_DAYS)
     _VECS = (("nd_days", zvec_l), ("cats_days", zvec_i), ("err_days", zvec_l))
 
-    if old is None or (old_as_of_d is not None and new_as_of_d > old_as_of_d):
+    # bucket-scoped rewrite is only possible on the same-day path AND
+    # when the stored table is already bucketed (legacy unpartitioned
+    # tables migrate to the bucketed layout via one full rewrite)
+    day_roll = old is None or (
+        old_as_of_d is not None and new_as_of_d > old_as_of_d
+    )
+    touched: list[int] | None = None
+
+    if day_roll:
         # day-roll (or first build): windowed parts from the merged
         # daily summary, PRUNED to the partitions that can matter
         lo = new_as_of_d - _dt.timedelta(days=max_window)
@@ -361,18 +390,44 @@ def update_window_summary(
             .select("entity", "d", "cat", "n")
         )
         winpart = window_rollup(recent, asof_df).drop("total", "as_of_d")
-        # all-history total stays additive: old total + batch counts
-        b_tot = bd.groupBy("entity").agg(F.sum("n").cast("long").alias("b_total"))
-        totals = (
-            (old.select("entity", "total") if old is not None else b_tot.limit(0).select("entity", F.col("b_total").alias("total")))
-            .join(b_tot, "entity", "full")
-            .select(
-                "entity",
-                (F.coalesce("total", zero) + F.coalesce("b_total", zero)).alias(
-                    "total"
-                ),
+        if old is None:
+            # FIRST build: all-history totals from the FULL daily
+            # summary — update_daily_summary has already merged this
+            # batch, and a pre-existing summary with history (window
+            # table deleted for rebuild, torn _SUCCESS) would be
+            # silently undercounted by batch-only seeding (ADVICE r6).
+            # Assumes daily history is unpruned; when retention has
+            # already dropped partitions the rebuilt total can only
+            # reflect surviving history — say so loudly.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "window summary first build at %s: deriving all-history "
+                "totals from the daily summary; if retention pruned old "
+                "daily partitions, `total` reflects surviving history "
+                "only (the incremental path preserves pruned counts)",
+                window_path,
             )
-        )
+            totals = (
+                spark.read.parquet(daily_summary_path)
+                .groupBy("entity")
+                .agg(F.sum("n").cast("long").alias("total"))
+            )
+        else:
+            # all-history total stays additive: old total + batch counts
+            b_tot = bd.groupBy("entity").agg(
+                F.sum("n").cast("long").alias("b_total")
+            )
+            totals = (
+                old.select("entity", "total")
+                .join(b_tot, "entity", "full")
+                .select(
+                    "entity",
+                    (
+                        F.coalesce("total", zero) + F.coalesce("b_total", zero)
+                    ).alias("total"),
+                )
+            )
         merged = totals.join(winpart, "entity", "full").select(
             "entity",
             F.coalesce("total", zero).alias("total"),
@@ -406,6 +461,16 @@ def update_window_summary(
             .filter(F.col("d") >= F.lit(lo_v))
             .select("entity", "d", "cat", "n")
         )
+        if "wb" in old.columns:
+            # restrict the merge to the buckets the batch touches: only
+            # those partition dirs are rewritten below; every other
+            # bucket's files stay byte-identical on disk. The touched
+            # set is driver-side metadata, bounded by WINDOW_BUCKETS.
+            touched = sorted(
+                r.wb for r in bd.select(_wbucket().alias("wb")).distinct().collect()
+            )
+            old = old.filter(F.col("wb").isin(touched)).drop("wb")
+            recent_v = recent_v.filter(_wbucket().isin(touched))
         vecs = window_rollup(recent_v, asof_df).select(
             "entity", *[v for v, _ in _VECS]
         )
@@ -456,9 +521,20 @@ def update_window_summary(
         )
 
     # same lineage-cut + marker discipline as update_daily_summary:
-    # the merge reads the table the write replaces
-    merged = merged.localCheckpoint()
-    merged.write.mode("overwrite").parquet(window_path)
+    # the merge reads the table the write replaces. The root _SUCCESS
+    # is dropped before the commit and restored after, so a torn
+    # multi-partition overwrite leaves no marker and readers fall back
+    # to the raw recompute instead of serving mixed state.
+    merged = merged.withColumn("wb", _wbucket()).localCheckpoint()
+    success = os.path.join(window_path, "_SUCCESS")
+    fsutil.delete(spark, success)
+    writer = merged.repartition("wb").write.mode("overwrite")
+    if touched is not None:
+        # bucket-scoped dynamic overwrite: only touched bucket dirs
+        # are replaced; untouched bucket files are not rewritten
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("wb").parquet(window_path)
+    fsutil.touch(spark, success)
 
 
 def update_event_summaries(

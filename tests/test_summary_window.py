@@ -289,3 +289,70 @@ def test_stale_window_table_falls_back(spark, sf_dir, tmp_path):
               "a6_source_reputation", "a7_total_reputation"):
         plan = REGISTRY[q](spark, out)._jdf.queryExecution().optimizedPlan().toString()
         assert "Aggregate" in plan, f"{q} served stale precomputed state"
+
+
+def test_same_day_merge_rewrites_only_touched_buckets(spark, sf_dir):
+    """The window table is hash-bucketed by entity; a same-day batch
+    touching one entity must rewrite ONLY that entity's bucket dir —
+    every other bucket's files stay byte-identical on disk (the
+    O(touched) maintenance bound) — while the merged table still
+    equals the one-shot rollup exactly."""
+    import hashlib
+
+    from nerd_spark.sources.layout import WINDOW_BUCKETS
+
+    ev = read_table(spark, sf_dir, "events").localCheckpoint()
+    last_day = ev.agg(F.to_date(F.max("ts")).alias("d")).first()[0]
+    # one entity active on the last day -> the same-day second batch
+    pick = (
+        ev.filter(F.to_date("ts") == F.lit(last_day))
+        .select("user_id")
+        .first()[0]
+    )
+    b2 = ev.filter(
+        (F.to_date("ts") == F.lit(last_day)) & (F.col("user_id") == pick)
+    )
+    b1 = ev.exceptAll(b2)
+    assert b2.count() > 0 and b1.count() > 0
+
+    out = tempfile.mkdtemp(prefix="nerd_winbucket_")
+    update_event_summaries(spark, out, b1)
+    wpath = os.path.join(out, SUMMARY_WINDOW_DIRNAME)
+
+    def file_hashes():
+        hashes = {}
+        for root, _dirs, files in os.walk(wpath):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, f)
+                hashes[os.path.relpath(p, wpath)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return hashes
+
+    before = file_hashes()
+    buckets_before = {p.split("/")[0] for p in before}
+    assert len(buckets_before) > 1, "need multiple buckets for the test"
+
+    update_event_summaries(spark, out, b2)  # same-day merge path
+    after = file_hashes()
+
+    touched_bucket = (
+        b2.select(
+            F.pmod(F.hash("user_id"), F.lit(WINDOW_BUCKETS)).alias("wb")
+        )
+        .first()[0]
+    )
+    untouched = {
+        p: h for p, h in before.items()
+        if not p.startswith(f"wb={touched_bucket}/")
+    }
+    assert untouched, "picked entity's bucket covered every file"
+    for p, h in untouched.items():
+        assert p in after and after[p] == h, f"untouched bucket rewritten: {p}"
+
+    # and the merged result is still bit-identical to the full rollup
+    got = _win_rows(spark.read.parquet(wpath))
+    want = _win_rows(_full_rollup(spark, ev))
+    assert got == want
