@@ -204,37 +204,59 @@ def temperature_mixture(
     salt: str = "temp",
 ) -> DataFrame:
     """Temperature-based mixture resampling: sampling probability per
-    source q_s ∝ p_s^(1/T) (the multilingual/multi-domain balancing
-    rule — T<1 upweights small sources, T=1 is proportional). The
-    per-source replication rate q_s·N/n_s derives FROM THE DATA in
-    the same plan (two tiny aggregations over the source column,
-    broadcast back; no driver collect, no config), then the same
-    deterministic hash-replication as :func:`mixture_sample`.
+    source q_s ∝ p_s^(1/T), the softmax-temperature convention —
+    T=1 is proportional, T>1 flattens toward uniform (upweights rare
+    sources; the multilingual-balancing use, e.g. q ∝ p^0.7 is
+    T≈1.43), T<1 sharpens toward dominant sources. The per-source
+    replication rate q_s·N/n_s derives FROM THE DATA in the same plan
+    (two tiny aggregations over the source column, broadcast back; no
+    driver collect, no config), then the same deterministic
+    hash-replication as :func:`mixture_sample`.
 
-    Ships with T=0.5 so the exponent is exactly 2 — p² computes as
-    p·p (one IEEE multiply, bit-identical across engines), keeping
-    the derived rates oracle-checkable; intermediate weights round to
-    6 like every float oracle in the suite. Other temperatures plug
-    in (pow), trading the exactness guarantee for a rows-only check.
+    T=0.5 (the shipped default) computes the exponent as p·p — one
+    IEEE multiply, bit-identical across engines, keeping the derived
+    rates oracle-checkable; intermediate weights round to 6 like every
+    float oracle in the suite. Any other T>0 uses pow(p, 1/T) —
+    correct but float-library-dependent at the last ulp, so queries on
+    that path register rows-only (the ann_ivf_trained precedent).
+
+    Minimum representable share: weights round to 6 decimals, so a
+    source with p^(1/T) below 5e-7 (T=0.5: share under ~7.1e-4) would
+    round to wt=0 and silently vanish from the mixture entirely. The
+    plan raises instead (in-plan guard, no driver collect); callers
+    hitting it should bucket micro-sources into a composite source
+    upstream.
     """
-    if abs(temperature - 0.5) > 1e-12:
-        raise NotImplementedError(
-            "oracle-exact path ships T=0.5 (integer exponent); other "
-            "temperatures need a rows-only registration"
-        )
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
     cnt = base.groupBy("source").agg(F.count("*").alias("n_src"))
     tot = cnt.agg(F.sum("n_src").alias("n_tot"))
+    p = F.col("n_src") / F.col("n_tot")
+    if abs(temperature - 0.5) <= 1e-12:
+        wt_raw = F.round(p * p, 6)
+    else:
+        wt_raw = F.round(F.pow(p, F.lit(1.0 / temperature)), 6)
+    wt_guarded = F.when(
+        wt_raw <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("temperature_mixture: source "),
+                F.col("source"),
+                F.lit(
+                    " has p^(1/T) below the 6-dp weight quantum (wt=0); "
+                    "merge micro-sources upstream or raise T"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(wt_raw)
     w = cnt.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_src",
         "n_tot",
-        F.round(
-            (F.col("n_src") / F.col("n_tot")) * (F.col("n_src") / F.col("n_tot")),
-            6,
-        ).alias("wt"),
+        wt_guarded.alias("wt"),
     )
     sw = w.agg(F.round(F.sum("wt"), 6).alias("swt"))
     rates = w.crossJoin(F.broadcast(sw)).select(

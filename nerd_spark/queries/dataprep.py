@@ -372,6 +372,22 @@ def mixture_temperature(spark, sf_dir):
     return SAMP.temperature_mixture(t(spark, sf_dir, "documents"))
 
 
+@query("mixture_temperature_free")  # rows-only: pow(p, 1/T) is
+# float-library-dependent at the last ulp, so no hash oracle (the
+# ann_ivf_trained precedent); the T=0.5 query above stays hash-exact.
+def mixture_temperature_free(spark, sf_dir):
+    # The general-temperature path (operators/sampling.py::
+    # temperature_mixture with T != 0.5): arbitrary T>0 via
+    # pow(p, 1/T), same in-plan rate derivation and deterministic
+    # hash-replication. T=2.0 here — exponent 1/2, the classic
+    # sqrt flattening that upweights rare sources (the
+    # multilingual-balancing direction the T=0.5 default cannot
+    # express).
+    return SAMP.temperature_mixture(
+        t(spark, sf_dir, "documents"), temperature=2.0
+    )
+
+
 @query(
     "shard_assign",
     f"""

@@ -64,10 +64,10 @@ def test_pack_sequences_groups_independent(spark):
 
 
 def test_temperature_mixture_balances_skewed_sources(spark):
-    """T=0.5 balancing on a skewed corpus: the dominant source is
-    downweighted and the rare source upweighted, with the exact rate
-    arithmetic the operator promises (q_s ∝ p_s², rate = q_s·N/n_s),
-    and the realized copy counts within hash-sampling tolerance."""
+    """T=0.5 sharpening on a skewed corpus (q ∝ p², the softmax
+    convention: T<1 concentrates on dominant sources), with the exact
+    rate arithmetic the operator promises (rate = q_s·N/n_s) and the
+    realized copy counts within hash-sampling tolerance."""
     from nerd_spark.operators.sampling import temperature_mixture
 
     docs = spark.createDataFrame(
@@ -85,3 +85,65 @@ def test_temperature_mixture_balances_skewed_sources(spark):
     # deterministic: rerun identical
     again = {r.source: r["count"] for r in temperature_mixture(docs).groupBy("source").count().collect()}
     assert again == got
+
+
+def test_temperature_mixture_general_T(spark):
+    """The pow-based path: T=1.0 is proportional sampling — every
+    source's realized count stays within hash-sampling tolerance of
+    its input count (rates ~1.0). In the q ∝ p^(1/T) convention the
+    rare source's output share is MONOTONE INCREASING in T (higher
+    temperature flattens): T=0.5 sharpens, T=2.0 upweights it past
+    its raw 10% toward uniform."""
+    import pytest
+
+    from nerd_spark.operators.sampling import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+
+    prop = {
+        r.source: r["count"]
+        for r in temperature_mixture(docs, temperature=1.0)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert prop["big"] == pytest.approx(900, rel=0.02)
+    assert prop["small"] == pytest.approx(100, rel=0.15)
+
+    def small_share(T):
+        got = {
+            r.source: r["count"]
+            for r in temperature_mixture(docs, temperature=T)
+            .groupBy("source")
+            .count()
+            .collect()
+        }
+        return got.get("small", 0) / sum(got.values())
+
+    s05, s10, s20 = small_share(0.5), small_share(1.0), small_share(2.0)
+    assert s05 < s10 < s20
+    # T=2.0: q_small = sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ 0.25 — upweighted
+    assert s20 == pytest.approx(0.25, rel=0.15)
+
+    with pytest.raises(ValueError):
+        temperature_mixture(docs, temperature=0.0)
+
+
+def test_temperature_mixture_zero_weight_source_raises(spark):
+    """A source whose share rounds to wt=0 at the 6-dp quantum must
+    fail loudly (in-plan guard), not silently vanish from the mixture
+    (ADVICE r6)."""
+    import pytest
+
+    from nerd_spark.operators.sampling import temperature_mixture
+
+    # share 1/3001 ~ 3.3e-4 < 7.1e-4 -> wt rounds to 0 at T=0.5
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(3000)] + [(9999, "tiny")],
+        "doc_id long, source string",
+    )
+    with pytest.raises(Exception, match="weight quantum|wt=0"):
+        temperature_mixture(docs).count()
