@@ -271,6 +271,28 @@ def fmp_training_frame(spark, sf_dir):
     )
 
 
+@query("fmp_score_gbt")  # rows-only: boosted-tree scores have no
+# closed-form SQL oracle; determinism + AUC + no-Python-in-plan are
+# pinned by tests/test_fmp_train.py::test_gbt_train_score_roundtrip
+def fmp_score_gbt(spark, sf_dir):
+    # Train->score roundtrip for the Spark-native GBT family
+    # (ml/gbt.py): fit on the temporal training frame, score the full
+    # feature frame with JVM-side tree evaluation (model.transform —
+    # no Python UDF, no Arrow hop in the scoring plan). Seeded, so
+    # the driver's rows-only check sees a stable result set.
+    from nerd_spark.ml.fmp import fmp_pipeline, training_frame
+    from nerd_spark.ml.gbt import fit_gbt, score_gbt
+
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    model = fit_gbt(training_frame(ev, cust, nat), max_iter=10, max_depth=3)
+    feats = fmp_pipeline(ev, cust, nat).drop("fmp")
+    return score_gbt(feats, model).select(
+        F.col("entity").alias("user_id"), F.col("fmp").alias("fmp_gbt")
+    )
+
+
 # ---------------------------------------------------------------------------
 # S4 — MISP/OTX threat-intel batch parsers
 # ---------------------------------------------------------------------------
