@@ -43,23 +43,61 @@ def _spread(docs: DataFrame) -> DataFrame:
     after a selective pushed-down filter at 100 TB) would otherwise
     run the whole shingle+hash stage serially — measured 10x wall on
     local[32]. At full scale the input already has thousands of
-    splits and this is a no-op. The probe is two-stage: inputFiles()
-    (pure FileIndex metadata, no job) settles the common few-big-files
-    case cheaply; anything it can't prove wide — [] files (in-memory /
-    checkpointed frames are NOT guaranteed shuffle-width: a
-    localCheckpoint keeps its upstream partitioning) or many files
-    (Spark packs small files into FEWER splits, so file count
-    over-states parallelism) — is confirmed with the true
-    post-packing split count via .rdd.getNumPartitions (driver-side
-    plan conversion only, no job; paid only on the ambiguous paths).
+    splits and this is a no-op. The probe is staged cheapest-first:
+
+    1. inputFiles() (pure FileIndex metadata, no job): fewer files
+       than cores -> repartition.
+    2. many files: Spark packs small files into FEWER splits, so file
+       count over-states parallelism — but packing is bounded by
+       maxPartitionBytes with an openCostInBytes pad per file, so the
+       split count is provably >= n_files*openCost/maxPartitionBytes,
+       and otherwise a 3-file FS-stat sample estimates it. Either way
+       the wide case settles WITHOUT the per-call plan->RDD
+       conversion it used to pay (ADVICE r6).
+    3. only the still-ambiguous cases — [] files (in-memory /
+       checkpointed frames are NOT guaranteed shuffle-width: a
+       localCheckpoint keeps its upstream partitioning) or a
+       tiny-file estimate below `par` — pay the true post-packing
+       split count via .rdd.getNumPartitions (driver-side plan
+       conversion only, no job).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    n_files = len(docs.inputFiles())
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    files = docs.inputFiles()
+    n_files = len(files)
     if 0 < n_files < par:
         return docs.repartition(par)
+    if n_files >= par:
+        open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+        max_pb = _bytes_conf(
+            spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+        )
+        if n_files * open_cost >= par * max_pb:
+            return docs  # wide from the per-file packing pad alone
+        try:
+            from nerd_spark.sources import fsutil
+
+            sample = files[:: max(1, n_files // 3)][:3]
+            mean = sum(fsutil.size(spark, f) for f in sample) / len(sample)
+        except Exception:
+            mean = 0.0
+        if n_files * (mean + open_cost) >= par * max_pb:
+            return docs
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)
     return docs
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A byte-valued SQL conf ('134217728b', '128m', plain int)."""
+    import re
+
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([bkmgt]?)b?", raw)
+    if not m:
+        return default
+    mult = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    return int(m.group(1)) * mult[m.group(2)]
 
 
 def shingle_arrays(

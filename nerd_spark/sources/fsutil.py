@@ -59,6 +59,12 @@ def touch(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
+def size(spark: SparkSession, path: str) -> int:
+    """File length in bytes (one FS stat — works on any Hadoop FS)."""
+    fs, p = _fs(spark, path)
+    return int(fs.getFileStatus(p).getLen())
+
+
 def mtime(spark: SparkSession, path: str) -> float:
     """Modification time in epoch seconds (Hadoop reports ms)."""
     fs, p = _fs(spark, path)
