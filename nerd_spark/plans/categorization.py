@@ -58,6 +58,10 @@ _ALLOWED_METHODS = {
     "lower", "upper", "strip", "split", "startswith", "endswith",
     "count", "find", "get", "search", "match", "findall",
 }
+# flag ATTRIBUTES on the re surface (attribute loads, not calls) — so
+# `re.search(p, s, re.IGNORECASE)` validates (ADVICE r6: these were
+# exposed on _SafeRe but unreachable past the attribute whitelist)
+_ALLOWED_RE_FLAGS = {"IGNORECASE", "I"}
 
 
 def _validate(tree: ast.AST, columns: set[str]) -> set[str]:
@@ -71,7 +75,7 @@ def _validate(tree: ast.AST, columns: set[str]) -> set[str]:
         if isinstance(node, ast.Attribute):
             if node.attr.startswith("_"):
                 raise ValueError("python trigger: underscore attribute")
-            if node.attr not in _ALLOWED_METHODS:
+            if node.attr not in _ALLOWED_METHODS | _ALLOWED_RE_FLAGS:
                 raise ValueError(f"python trigger: method {node.attr!r} not allowed")
         if isinstance(node, ast.Call):
             f = node.func
@@ -164,6 +168,34 @@ def _compile_cached(pattern: str, flags: int):
     return re.compile(pattern, flags)
 
 
+def _validate_const_regexes(tree: ast.AST) -> None:
+    """Compile-time check of CONSTANT regex arguments to re.* calls.
+
+    The _SafeRe caps otherwise only fire inside per-row evaluation,
+    where trigger errors map to False — a configured over-cap or
+    syntactically invalid pattern would silently match nothing (and
+    compile_report would call the rule 'python', not 'error'). A
+    constant pattern is fully checkable at plan time, so reject the
+    rule loudly here instead (ADVICE r6). Patterns built from row
+    values stay runtime-checked."""
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "re"
+            and node.func.attr in {"search", "match", "findall"}
+            and node.args
+            and isinstance(node.args[0], ast.Constant)
+        ):
+            continue
+        try:
+            _SafeRe._compiled(node.args[0].value)
+        except re.error as exc:
+            raise ValueError(f"python trigger: invalid regex: {exc}") from exc
+        # TypeError/ValueError from the caps propagate as-is (loud)
+
+
 def python_trigger_column(expr: str, df: DataFrame) -> Column:
     """Compile a restricted-Python trigger to a boolean Column via an
     Arrow-batched pandas UDF over exactly the referenced columns.
@@ -171,6 +203,7 @@ def python_trigger_column(expr: str, df: DataFrame) -> Column:
     evaluation errors yield False (reference semantics)."""
     tree = ast.parse(expr, mode="eval")
     used = sorted(_validate(tree, set(df.columns)))
+    _validate_const_regexes(tree)
     tree = ast.fix_missing_locations(_MulGuard().visit(tree))
     code = compile(tree, "<trigger>", "eval")
     import builtins as _bi

@@ -247,3 +247,48 @@ def test_fmp_model_seam(spark, sf_dir):
     assert len(rows) > 0
     for r in rows:  # transform of alerts_1d is round(ln(1+x), 6)
         assert abs(r.fmp - round(np.log(1.0 + r[1]), 6)) < 1e-9
+
+
+def test_python_trigger_constant_regexes_validate_at_compile(spark):
+    """Constant regex arguments to re.* calls are checked at PLAN
+    time: an over-cap or syntactically invalid pattern rejects the
+    rule loudly (and compile_report says 'error'), instead of
+    silently matching nothing per row (ADVICE r6). Row-built patterns
+    stay runtime-checked, and the re.IGNORECASE/I flags are usable."""
+    import pytest
+
+    from nerd_spark.plans.categorization import (
+        CategoryRule,
+        compile_report,
+        python_trigger_column,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "SCAN detected"), (2, "ok")],
+        "event_id long, description string",
+    )
+    # over-cap length, over-cap quantifiers, invalid syntax: all refuse
+    for bad in (
+        f"re.search('{'a' * 300}', description) is not None",
+        f"re.search('{'(a+)+' * 11}', description) is not None",
+        "re.search('(unclosed', description) is not None",
+    ):
+        with pytest.raises(ValueError):
+            python_trigger_column(bad, ev)
+    # compile_report calls such a rule 'error', not 'python'
+    rep = compile_report(
+        [CategoryRule("x", "re.search('(unclosed', description) is not None")],
+        ev,
+    )
+    assert rep[0]["path"] == "error"
+    # flags surface: re.IGNORECASE reaches _SafeRe and works per row
+    col = python_trigger_column(
+        "re.search('scan', description, re.IGNORECASE) is not None", ev
+    )
+    assert [r[0] for r in ev.select(col).collect()] == [True, False]
+    # a pattern assembled from the row is still runtime-guarded:
+    # over-cap at eval time -> False, no crash
+    col2 = python_trigger_column(
+        "re.search(description * 40, description) is not None", ev
+    )
+    assert [r[0] for r in ev.select(col2).collect()] == [False, False]
