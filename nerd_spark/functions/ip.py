@@ -73,3 +73,36 @@ def subnet_predicate(ip_int_col: Column | str, cidr: str) -> Column:
     lo, hi = subnet_range(cidr)
     c = F.col(ip_int_col) if isinstance(ip_int_col, str) else ip_int_col
     return c.between(lo, hi)
+
+
+def reverse_ip(col: Column | str) -> Column:
+    """Reversed IP string for DNSBL query names, as a pure column
+    expression (reference: NERDd/modules/dnsbl.py:74-88 reverse_ip):
+
+    - IPv4: octets reversed — ``100.20.3.4 -> 4.3.20.100``
+    - IPv6: the EXPLODED address's 32 hex nibbles reversed and
+      dot-separated — ``2001:db8::1000 ->
+      0.0.0.1.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.8.b.d.0.1.0.0.2``
+
+    The '::' gap expands via group arithmetic (8 minus present
+    groups); F.get (null-safe) instead of element_at, which throws on
+    out-of-bounds under ANSI mode.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    v4 = F.concat_ws(".", F.reverse(F.split(c, r"\.")))
+    halves = F.split(c, "::")
+    left = F.filter(F.split(F.get(halves, 0), ":"), lambda x: x != "")
+    right_raw = F.get(halves, 1)
+    right = F.when(
+        right_raw.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.filter(F.split(right_raw, ":"), lambda x: x != ""))
+    groups = F.concat(
+        left,
+        F.array_repeat(F.lit("0"), (F.lit(8) - F.size(left) - F.size(right)).cast("int")),
+        right,
+    )
+    nibbles = F.concat_ws(
+        "", F.transform(groups, lambda g: F.lpad(F.lower(g), 4, "0"))
+    )
+    v6 = F.concat_ws(".", F.split(F.reverse(nibbles), ""))
+    return F.when(c.contains(":"), v6).otherwise(v4)

@@ -1,0 +1,151 @@
+"""DNSBL + geolocation derivation stages (SURVEY §2.9 plugin family).
+
+The reference's enrichment modules are per-record external lookups:
+
+- DNSBL (reference: NERDd/modules/dnsbl.py:160-230): for each new IP,
+  query ``reverse_ip(ip) + '.' + zone`` against every configured
+  blacklist zone; each DNS answer (an ``127.0.0.x`` A record) maps
+  through the zone's result table to a blacklist id, appended to the
+  record as ``bl.<id>``.
+- Geolocation (reference: NERDd/modules/geolocation.py:56-91): look
+  the IP up in MaxMind GeoLite2 and set geo.ctry/geo.city/geo.tz,
+  leaving the record untouched when the address is unknown.
+
+Re-expressed as dataset-level derivation stages (the plans/derivations
+discipline — pure DataFrame -> DataFrame, deterministic, one Catalyst
+plan per pass):
+
+- the DNS transport becomes an **answers table** (qname -> rdata): in
+  production a resolver fan-out materializes it per batch (the S2/S4
+  fetch seams); here the tests feed fixtures. The DNSBL *mechanics* —
+  reverse-name construction, per-zone result mapping, per-entity set
+  aggregation — are real column expressions.
+- the GeoLite2 mmdb becomes its **public CSV layout** (blocks:
+  network CIDR -> geoname_id; locations: geoname_id -> country/city/
+  tz): a CIDR parse + range join (the J4 shape) + broadcast dim join.
+
+Scale: the qname build is map-only (|ips| x |zones| rows, zones are a
+config handful); the answers join shuffles on qname only when the
+answers table is large (a resolver batch is small -> broadcast). The
+geo blocks table is ~3M rows at full GeoLite size — broadcast still
+fits (<100 MB), and past that the bucketed range join
+(operators/rangejoin.py, j4_range_join_bucketed) is the drop-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nerd_spark.functions.ip import ipstr2int, reverse_ip
+
+# blacklist config shape (reference etc/dns_blacklists.yml): a list of
+# (zone, {answer_ip -> blacklist_id})
+BlacklistCfg = list[tuple[str, dict[str, str]]]
+
+
+def dnsbl_qnames(ips: DataFrame, blacklists: BlacklistCfg,
+                 ip_col: str = "ip") -> DataFrame:
+    """(entity, ip) -> one row per (entity, zone) with the DNSBL query
+    name ``reverse_ip(ip).zone`` — the map-only fan-out a resolver
+    batch consumes. Zones come from config, so the explode is over a
+    broadcast-sized literal array."""
+    zones = F.array(*[F.lit(z) for z, _ in blacklists])
+    return ips.select(
+        "entity",
+        F.col(ip_col).alias("ip"),
+        F.explode(zones).alias("zone"),
+    ).withColumn(
+        "qname", F.concat(reverse_ip("ip"), F.lit("."), F.col("zone"))
+    )
+
+
+def dnsbl_stage(
+    ips: DataFrame,
+    answers: DataFrame,
+    blacklists: BlacklistCfg,
+    ip_col: str = "ip",
+) -> DataFrame:
+    """Per-entity blacklist membership from a DNS answers table.
+
+    ips: (entity, ip string); answers: (qname, rdata) — one row per A
+    record a resolver returned (absent qname == NXDOMAIN == not
+    listed). Output: (entity, bl: sorted array<string> of blacklist
+    ids) — one row per entity, [] when clean; the ``bl.<id>`` append
+    set of the reference handler.
+
+    The (zone, rdata) -> id mapping is config-bounded, so it compiles
+    to a literal CASE chain (JVM-side); unknown rdata values are
+    dropped exactly like the reference's ``bl[1].get(r.host, {})``.
+    """
+    q = dnsbl_qnames(ips, blacklists, ip_col)
+    joined = q.join(F.broadcast(answers), "qname")
+    mapping = None
+    for zone, results in blacklists:
+        for rdata, bl_id in results.items():
+            cond = (F.col("zone") == zone) & (F.col("rdata") == rdata)
+            mapping = (
+                F.when(cond, bl_id) if mapping is None else mapping.when(cond, bl_id)
+            )
+    hits = joined.withColumn("bl_id", mapping).filter(F.col("bl_id").isNotNull())
+    listed = hits.groupBy("entity").agg(
+        F.array_sort(F.collect_set("bl_id")).alias("bl")
+    )
+    return (
+        ips.select("entity")
+        .distinct()
+        .join(listed, "entity", "left")
+        .withColumn("bl", F.coalesce("bl", F.array().cast("array<string>")))
+    )
+
+
+def parse_geolite_blocks(blocks: DataFrame,
+                         network_col: str = "network") -> DataFrame:
+    """GeoLite2-CSV blocks (network 'a.b.c.d/p', geoname_id) ->
+    (ip_from, ip_to, geoname_id) int ranges, pure column math:
+    ip_to = ip_from + 2^(32-p) - 1."""
+    net = F.split(F.col(network_col), "/")
+    base = ipstr2int(F.get(net, 0))
+    bits = F.lit(32) - F.get(net, 1).cast("int")
+    # block size as pow (shiftleft needs a literal shift): 2^k is
+    # exact in double through k=52, far past the 32 bits needed here
+    size = F.pow(F.lit(2.0), bits.cast("double")).cast("long")
+    return blocks.select(
+        base.alias("ip_from"),
+        (base + size - 1).alias("ip_to"),
+        "geoname_id",
+    )
+
+
+def geo_stage(
+    ips: DataFrame,
+    blocks: DataFrame,
+    locations: DataFrame,
+    ip_int_col: str = "ip_int",
+) -> DataFrame:
+    """Per-entity geolocation from the GeoLite2 CSV layout.
+
+    ips: (entity, ip_int); blocks: raw CSV shape (network CIDR,
+    geoname_id); locations: (geoname_id, country_iso_code, city_name,
+    time_zone). Output: (entity, geo_ctry, geo_city, geo_tz) — LEFT
+    join semantics: an address outside every block keeps NULL geo
+    fields (the reference sets nothing on AddressNotFoundError).
+
+    Plan: broadcast range join on the parsed block ranges (GeoLite
+    blocks are disjoint, so at most one match) + broadcast dim join
+    on geoname_id. At beyond-broadcast scale swap in the bucketed
+    range join (j4_range_join_bucketed) — same semantics.
+    """
+    ranges = parse_geolite_blocks(blocks)
+    ip = F.col(ip_int_col)
+    hit = ips.join(
+        F.broadcast(ranges),
+        ip.between(F.col("ip_from"), F.col("ip_to")),
+        "left",
+    ).join(F.broadcast(locations), "geoname_id", "left")
+    return hit.select(
+        "entity",
+        F.col("country_iso_code").alias("geo_ctry"),
+        F.col("city_name").alias("geo_city"),
+        F.col("time_zone").alias("geo_tz"),
+    )

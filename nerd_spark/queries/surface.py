@@ -479,3 +479,141 @@ def nru_due_selection(spark, sf_dir):
         .orderBy("nru_1d", "user_id")
         .limit(100000)
     )
+
+
+# ---------------------------------------------------------------------------
+# Enrichment derivation stages: DNSBL membership + GeoLite2 geolocation
+# (reference modules dnsbl.py / geolocation.py as data ops; plans/enrich.py)
+# ---------------------------------------------------------------------------
+
+_DNSBL_CFG = [
+    ("bl.example.org", {"127.0.0.2": "spamlist", "127.0.0.3": "exploitlist"}),
+    ("rbl.example.net", {"127.0.0.2": "rbl-policy"}),
+]
+
+
+@query(
+    "p12_dnsbl_membership",
+    """
+    WITH ips AS (SELECT DISTINCT user_id FROM events),
+    hits AS (
+      SELECT user_id, 'spamlist' AS bl_id FROM ips WHERE user_id % 5 = 0
+      UNION ALL
+      SELECT user_id, 'exploitlist' FROM ips WHERE user_id % 3 = 0
+      UNION ALL
+      SELECT user_id, 'rbl-policy' FROM ips WHERE user_id % 7 = 0
+    )
+    SELECT i.user_id,
+           coalesce(array_to_string(
+             list_sort(list(h.bl_id) FILTER (WHERE h.bl_id IS NOT NULL)),
+             '|'), '') AS bls,
+           count(h.bl_id) AS n_bl
+    FROM ips i LEFT JOIN hits h USING (user_id)
+    GROUP BY 1
+    """,
+)
+def p12_dnsbl_membership(spark, sf_dir):
+    # DNSBL derivation stage (reference: NERDd/modules/dnsbl.py
+    # query_blacklists): entity IPs fan out to reverse-name queries
+    # per configured zone; a synthetic resolver answers table stands
+    # in for the DNS hop (user_id % 5/3/7 rules, mirrored in the
+    # oracle), including an UNKNOWN rdata (% 11 -> 127.0.0.9) the
+    # zone's result map must drop. Output: per-entity sorted
+    # blacklist-id set, [] when clean.
+    from nerd_spark.functions.ip import int2ipstr, reverse_ip
+    from nerd_spark.ml.fmp import IP_BASE, IP_STRIDE
+    from nerd_spark.plans.enrich import dnsbl_stage
+
+    ips = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn(
+            "ip", int2ipstr(F.lit(IP_BASE) + F.col("entity") * IP_STRIDE)
+        )
+    )
+
+    def _answers(zone, mod, rdata):
+        return ips.filter(F.col("entity") % mod == 0).select(
+            F.concat(reverse_ip("ip"), F.lit("." + zone)).alias("qname"),
+            F.lit(rdata).alias("rdata"),
+        )
+
+    answers = (
+        _answers("bl.example.org", 5, "127.0.0.2")
+        .unionByName(_answers("bl.example.org", 3, "127.0.0.3"))
+        .unionByName(_answers("rbl.example.net", 7, "127.0.0.2"))
+        .unionByName(_answers("bl.example.org", 11, "127.0.0.9"))
+    )
+    out = dnsbl_stage(ips, answers, _DNSBL_CFG)
+    return out.select(
+        F.col("entity").alias("user_id"),
+        F.array_join("bl", "|").alias("bls"),
+        F.size("bl").cast("long").alias("n_bl"),
+    )
+
+
+@query(
+    "p13_geo_enrichment",
+    """
+    WITH ips AS (
+      SELECT DISTINCT user_id, 167772160 + user_id * 97 AS ip_int
+      FROM events
+    ),
+    blocks AS (
+      SELECT n_nationkey AS geoname_id,
+             167772160 + n_nationkey * 8192 AS ip_from,
+             167772160 + n_nationkey * 8192 + 8191 AS ip_to
+      FROM nation WHERE n_nationkey < 10
+    ),
+    loc AS (
+      SELECT n_nationkey AS geoname_id,
+             'C' || n_nationkey::VARCHAR AS country_iso_code,
+             n_name AS city_name,
+             'Zone/' || n_name AS time_zone
+      FROM nation
+    )
+    SELECT i.user_id,
+           l.country_iso_code AS geo_ctry,
+           l.city_name AS geo_city,
+           l.time_zone AS geo_tz
+    FROM ips i
+    LEFT JOIN blocks b ON i.ip_int BETWEEN b.ip_from AND b.ip_to
+    LEFT JOIN loc l ON b.geoname_id = l.geoname_id
+    """,
+)
+def p13_geo_enrichment(spark, sf_dir):
+    # Geolocation derivation stage (reference: NERDd/modules/
+    # geolocation.py geoloc): the GeoLite2 CSV layout — /19 blocks
+    # synthesized from `nation` as real CIDR STRINGS (so the stage's
+    # CIDR parse executes) + a locations dim — broadcast range join,
+    # LEFT semantics (an IP outside every block keeps NULL geo).
+    from nerd_spark.functions.ip import int2ipstr
+    from nerd_spark.ml.fmp import IP_BASE, IP_STRIDE
+    from nerd_spark.plans.enrich import geo_stage
+
+    ips = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn("ip_int", F.lit(IP_BASE) + F.col("entity") * IP_STRIDE)
+    )
+    nation = t(spark, sf_dir, "nation")
+    blocks = nation.filter(F.col("n_nationkey") < 10).select(
+        F.concat(
+            int2ipstr(F.lit(IP_BASE) + F.col("n_nationkey") * 8192),
+            F.lit("/19"),
+        ).alias("network"),
+        F.col("n_nationkey").alias("geoname_id"),
+    )
+    locations = nation.select(
+        F.col("n_nationkey").alias("geoname_id"),
+        F.concat(F.lit("C"), F.col("n_nationkey").cast("string")).alias(
+            "country_iso_code"
+        ),
+        F.col("n_name").alias("city_name"),
+        F.concat(F.lit("Zone/"), F.col("n_name")).alias("time_zone"),
+    )
+    return geo_stage(ips, blocks, locations).select(
+        F.col("entity").alias("user_id"), "geo_ctry", "geo_city", "geo_tz"
+    )

@@ -1,0 +1,125 @@
+"""DNSBL + geolocation derivation stages (plans/enrich.py): fixture-
+fed fixtures stand in for the DNS/mmdb hops; the mechanics — reverse
+query names, per-zone result mapping, CIDR range membership, LEFT
+miss semantics — are pinned here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerd_spark.plans.enrich import (
+    dnsbl_qnames,
+    dnsbl_stage,
+    geo_stage,
+    parse_geolite_blocks,
+)
+
+_CFG = [
+    ("bl.example.org", {"127.0.0.2": "spam", "127.0.0.3": "exploit"}),
+    ("rbl.example.net", {"127.0.0.2": "policy"}),
+]
+
+
+def test_reverse_ip_matches_reference_examples(spark):
+    """The documented examples from the reference's reverse_ip
+    (NERDd/modules/dnsbl.py:74-88), v4 and exploded v6."""
+    from nerd_spark.functions.ip import reverse_ip
+
+    df = spark.createDataFrame(
+        [("100.20.3.4",), ("2001:db8::1000",)], "ip string"
+    )
+    got = dict(df.select("ip", reverse_ip("ip").alias("r")).collect())
+    assert got["100.20.3.4"] == "4.3.20.100"
+    assert got["2001:db8::1000"] == (
+        "0.0.0.1.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.8.b.d.0.1.0.0.2"
+    )
+
+
+def test_dnsbl_stage_fixture_resolver(spark):
+    """Membership from a fixture answers table: multi-zone hits union,
+    unknown rdata drops (the reference's bl[1].get(r.host, {})),
+    NXDOMAIN (absent qname) means clean — and clean entities still
+    get a row with bl=[]."""
+    ips = spark.createDataFrame(
+        [(1, "100.20.3.4"), (2, "10.0.0.9"), (3, "10.0.0.10")],
+        "entity long, ip string",
+    )
+    q = dnsbl_qnames(ips, _CFG)
+    assert q.count() == 6  # 3 ips x 2 zones
+    qn = {
+        (r.entity, r.zone): r.qname for r in q.collect()
+    }
+    assert qn[(1, "bl.example.org")] == "4.3.20.100.bl.example.org"
+
+    answers = spark.createDataFrame(
+        [
+            ("4.3.20.100.bl.example.org", "127.0.0.2"),   # spam
+            ("4.3.20.100.bl.example.org", "127.0.0.3"),   # exploit (2 A recs)
+            ("4.3.20.100.rbl.example.net", "127.0.0.2"),  # policy
+            ("9.0.0.10.bl.example.org", "127.0.0.9"),     # unknown rdata
+            ("9.0.0.10.rbl.example.net", "127.0.0.3"),    # unknown for zone
+        ],
+        "qname string, rdata string",
+    )
+    out = {r.entity: list(r.bl) for r in dnsbl_stage(ips, answers, _CFG).collect()}
+    assert out == {1: ["exploit", "policy", "spam"], 2: [], 3: []}
+
+
+def test_geolite_block_parse_and_range_membership(spark):
+    """CIDR parse arithmetic and boundary membership: first/last
+    address of a block hit, the next address misses; an IP outside
+    every block keeps NULL geo (AddressNotFoundError semantics)."""
+    blocks = spark.createDataFrame(
+        [("10.1.0.0/16", 7), ("192.168.4.0/22", 8)],
+        "network string, geoname_id int",
+    )
+    parsed = {r.geoname_id: (r.ip_from, r.ip_to) for r in parse_geolite_blocks(blocks).collect()}
+    assert parsed[7] == (167837696, 167903231)  # 10.1.0.0 .. 10.1.255.255
+    assert parsed[8][1] - parsed[8][0] == 1024 - 1
+
+    locations = spark.createDataFrame(
+        [(7, "CZ", "Praha", "Europe/Prague"), (8, "DE", "Berlin", "Europe/Berlin")],
+        "geoname_id int, country_iso_code string, city_name string, time_zone string",
+    )
+    ips = spark.createDataFrame(
+        [
+            (1, 167837696),       # 10.1.0.0   first addr of block 7
+            (2, 167903231),       # 10.1.255.255 last addr of block 7
+            (3, 167903232),       # 10.2.0.0   just past -> miss
+            (4, 3232236544 + 5),  # 192.168.4.5 -> block 8
+        ],
+        "entity long, ip_int long",
+    )
+    out = {r.entity: (r.geo_ctry, r.geo_city, r.geo_tz)
+           for r in geo_stage(ips, blocks, locations).collect()}
+    assert out[1] == ("CZ", "Praha", "Europe/Prague")
+    assert out[2] == ("CZ", "Praha", "Europe/Prague")
+    assert out[3] == (None, None, None)
+    assert out[4] == ("DE", "Berlin", "Europe/Berlin")
+
+
+def test_enrich_stages_are_broadcast_plans(spark):
+    """Both stages must plan broadcast joins on the lookup side — no
+    shuffle of the big entity frame (the 100 TB shape: lookups are
+    config/dim-sized)."""
+    ips = spark.createDataFrame([(1, "1.2.3.4")], "entity long, ip string")
+    answers = spark.createDataFrame(
+        [("4.3.2.1.bl.example.org", "127.0.0.2")], "qname string, rdata string"
+    )
+    plan = (
+        dnsbl_stage(ips, answers, _CFG)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    blocks = spark.createDataFrame([("10.0.0.0/8", 1)], "network string, geoname_id int")
+    locations = spark.createDataFrame(
+        [(1, "CZ", "P", "Z")],
+        "geoname_id int, country_iso_code string, city_name string, time_zone string",
+    )
+    ips2 = spark.createDataFrame([(1, 167772161)], "entity long, ip_int long")
+    plan2 = (
+        geo_stage(ips2, blocks, locations)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastExchange" in plan2
