@@ -11,9 +11,15 @@ jobs from multiple threads; each holds the cluster only while it has
 runnable tasks). This harness measures exactly that amortization:
 same queries, same session, N submitter threads.
 
+Two query sets (VERDICT r6 #10): the HEADLINE set — now serve-path-
+dominated, mostly sub-second warm, so it measures pure floor
+amortization — and the EXTENDED curation/dedup set, whose multi-stage
+shuffle plans actually contend for executors and stress the FAIR
+scheduler the way a mixed production workload would.
+
 Usage: python bench_concurrent.py [threads]   (default 8)
-Prints one JSON line {"sequential": s, "concurrent": s, "threads": N,
-"speedup": x, "queries": {...sequential times...}}.
+Prints one JSON line per set {"set": ..., "sequential": s,
+"concurrent": s, "threads": N, "speedup": x, "queries": {...}}.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench import HEADLINE  # noqa: E402
+from bench import EXTENDED, HEADLINE  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -60,33 +66,35 @@ def main() -> None:
     ):
         read_table(spark, opt, name).count()
 
-    # warm pass: JIT + codegen caches, same as a long-lived deployment
-    for name in HEADLINE:
-        run_one(spark, name, opt)
+    for label, names in (("headline", HEADLINE), ("extended", EXTENDED)):
+        # warm pass: JIT + codegen caches, same as a long-lived deployment
+        for name in names:
+            run_one(spark, name, opt)
 
-    t0 = time.perf_counter()
-    seq_times = {name: run_one(spark, name, opt) for name in HEADLINE}
-    sequential = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        seq_times = {name: run_one(spark, name, opt) for name in names}
+        sequential = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=threads) as ex:
-        list(ex.map(lambda n: run_one(spark, n, opt), HEADLINE))
-    concurrent = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(lambda n: run_one(spark, n, opt), names))
+        concurrent = round(time.perf_counter() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "concurrency_amortization",
-                "unit": "sec",
-                "sequential": sequential,
-                "concurrent": concurrent,
-                "threads": threads,
-                "speedup": round(sequential / concurrent, 2),
-                "queries": seq_times,
-                "sf": SF_DIR,
-            }
+        print(
+            json.dumps(
+                {
+                    "metric": "concurrency_amortization",
+                    "set": label,
+                    "unit": "sec",
+                    "sequential": sequential,
+                    "concurrent": concurrent,
+                    "threads": threads,
+                    "speedup": round(sequential / concurrent, 2),
+                    "queries": seq_times,
+                    "sf": SF_DIR,
+                }
+            )
         )
-    )
     spark.stop()
 
 

@@ -30,79 +30,81 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (92) exceeds the driver's 50-entry correctness
+# The inventory (101) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
-# Round-6 rotation:
-# 1. queries CHANGED this round — dedup_best_of_cluster (member-only
-#    scoring semi-join), a2_window_totals (precomputed-window serve
-#    path; raw-dir fallback is what the driver exercises, but the
-#    plan changed), p11_threat_categorization (sandbox guards), the
-#    minhash/LSH family + curation funnel (the _spread width-probe
-#    rewrite sits under all of them),
-# 2. every query WITHOUT a CORRECTNESS_r05 row — the r5-verdict
-#    ≤2-round staleness invariant (all were r4-green; includes the
-#    two forever-rows-only approximate queries a2_window_totals_approx
-#    and ann_ivf_trained, whose rows-only driver check refreshes too).
-# Everything else was driver-green in r5 and keeps its
-# full-inventory check in tests/test_oracle_diff.py.
+# Round-7 rotation:
+# 1. queries NEW this round — fmp_score_gbt (rows-only), the
+#    general-temperature mixture, and the DNSBL/geo enrichment pair;
+# 2. q1_pricing_summary — its accumulation representation changed
+#    (unscaled-long exact_sum) and it is the entry flagship;
+# 3. every query whose latest driver row is r5 (everything outside
+#    the r6 window) — the ≤2-round staleness invariant, including
+#    dedup_incremental (called out by the r6 verdict) and the other
+#    exact_sum/exact_avg users (a10/a14/a16/j4_bucketed) and the
+#    retokenized text family (text_quality/langid/token_stats),
+#    which both carry changed plans this round.
+# Trimmed to fit the 50: fmp_training_frame (r5-green; shares the
+# whole FEATURE_SPEC oracle path with fmp_score, which stays in) and
+# dedup_simhash_pairs (r5-green; shares the complete simhash path
+# with dedup_simhash, in) sit at the 2-round bound this round and
+# rotate first into r8. Every r6-green changed query (a16 aside,
+# which is in) was re-hash-verified against its oracle at sf0.01 in
+# this round's build session; all keep the full-inventory mirror in
+# tests/test_oracle_diff.py.
 _WINDOW_PRIORITY = [
-    # 1 — new / changed this round
-    "text_span_dedup",
-    "dedup_semantic",
-    "quality_gopher_rules",
-    "mixture_temperature",
-    "dedup_best_of_cluster",
-    "a2_window_totals",
-    "p11_threat_categorization",
-    "dedup_minhash_lsh",
-    "corpus_curation_v3",
-    "corpus_curation_v2",
-    # (leakage_safe_split and dedup_incremental were r5-green and sit
-    # on covered paths — rotated out to keep the 42 stale queries in)
-    # (dedup_ngram_jaccard also sits on the changed _spread path but
-    # was r5-green and the path is covered by the minhash entries
-    # above — dropped to keep all 42 stale queries inside the window)
-    # 2 — no r5 driver row (r4-green; ≤2-round staleness invariant)
-    "a11_distinct_pair_counts",
-    "a13_intervals",
-    "a2_window_totals_approx",
-    "ann_ivf_indexed",
-    "ann_ivf_trained",
-    "f_ip_codec",
-    "ip_records",
-    "j1_equi_join",
-    "j2_enrichment_chain",
-    "j4_range_join",
-    "j5_asof_join",
-    "j6_bulk_lookup",
-    "j8_group_stats_join_back",
-    "j9_semi_anti",
-    "nru_due_selection",
-    "op_array_upsert_rebuild",
-    "p10_validity_filter",
-    "p1_projection",
-    "p2_range_predicate",
-    "p3_list_or_range",
-    "p4_suffix_predicate",
-    "p5_multi_value_and_or",
-    "p6_elem_match",
-    "p7_json_exists",
-    "p8_semijoin",
-    "p9_warden_filter_dsl",
+    # 1 — new this round
+    "fmp_score_gbt",
+    "mixture_temperature_free",
+    "p12_dnsbl_membership",
+    "p13_geo_enrichment",
+    # 2 — changed accumulation (entry flagship)
     "q1_pricing_summary",
-    "quality_model_filter",
-    "read_path_search",
-    "read_path_typed",
-    "s10_export_blocklist",
-    "s4_misp_upserts",
-    "s5_point_read",
-    "s6_filtered_find",
-    "s8_event_fetch",
-    "sessionize_stats",
-    "shard_assign",
-    "w1_topk",
-    "w4_last_n_per_key",
-    "w5_pivot",
+    # 3 — r5-latest rows (≤2-round staleness invariant)
+    "set_ops_union",
+    "w6_rank_lag",
+    "a6_rep_dshield",
+    "a6_rep_blacklists",
+    "a7_total_multi",
+    "tags_rules",
+    "j4_range_join_bucketed",
+    "fmp_score",
+    "a1_daily_rollup",
+    "a3_ewma",
+    "a5_type_profile",
+    "a6_source_reputation",
+    "a7_total_reputation",
+    "a8_threat_summary",
+    "a10_prefix_summary",
+    "a12_refcount_rebuild",
+    "a14_feed_rollup",
+    "a16_rollup_revenue",
+    "op_merge_snapshot",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "contamination_check",
+    "train_val_split",
+    "sequence_packing",
+    "mixture_sample",
+    "tfidf_top_terms",
+    "dedup_incremental",
+    "leakage_safe_split",
+    "lm_unigram_logprob",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucket_topk",
+    "emb_centroids",
+    "text_quality",
+    "text_langid",
+    "text_token_stats",
+    "text_pii_scrub",
+    "text_repetition",
+    "multimodal_bytes",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "text_fingerprint",
+    "corpus_curation",
+    "streaming_daily_counts",
 ]
 
 
