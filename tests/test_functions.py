@@ -160,3 +160,32 @@ def test_pii_scrub(spark):
         assert r.left == 0, (s, r.sc)
     # placeholders actually landed
     assert rows[4].sc == "<EMAIL> at <IPV4> ring <PHONE>"
+
+
+def test_unscaled_long_equals_decimal_formulation(spark):
+    """exact_sum's boundary-gated unscaled-long extraction must equal
+    the DECIMAL(18,4) formulation bit-for-bit — including adversarial
+    values parked within a float-ulp of the x.00005 half-up boundary
+    (the region the fast floor path must hand to the exact branch)
+    and negatives."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nerd_spark.queries.base import _dec, _unscaled
+
+    rng = random.Random(42)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(2000)]
+    # adversarial: exact .00005 boundaries (inexact in binary, so the
+    # double lands a hair to one side), scaled across magnitudes
+    vals += [k / 10 + 5e-5 for k in range(-50, 50)]
+    vals += [k + 0.12345 for k in range(-20, 20)]
+    vals += [1234.500049999, 1234.500050001, -1234.500049999, 0.0, 1e-12]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = df.select(
+        _unscaled("v").alias("fast"),
+        (F.col("v").isNotNull() & True).alias("_"),
+        (_dec("v") * 10000).cast("long").alias("exact"),
+    )
+    bad = out.filter(F.col("fast") != F.col("exact")).count()
+    assert bad == 0
