@@ -735,6 +735,13 @@ def a14_feed_rollup(spark, sf_dir):
 def a16_rollup_revenue(spark, sf_dir):
     # Hierarchical rollup over the entity graph (SURVEY A16): the
     # J2/J3-style enrichment chain feeding a multi-level aggregate.
+    #
+    # Deliberately NOT pre-aggregated per customer: a groupBy(custkey)
+    # before the join shuffles all of orders on a |customers|-
+    # cardinality key, where this shape — broadcast-joined dims +
+    # rollup — keeps the big side shuffle-free (map-side partial agg
+    # over ~|nations| groups, one tiny final exchange). Measured 2x
+    # WORSE with the pre-agg at the 80x point (5.1 s vs 2.6 s).
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
