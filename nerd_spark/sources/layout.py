@@ -46,6 +46,14 @@ SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 
 
+def _window_meta_path(window_path: str) -> str:
+    """Sidecar holding the window table's as-of date (one row). Kept
+    OUT of the row schema so a day-roll doesn't force rewriting rows
+    whose window values are unchanged — with a per-row as_of_d every
+    row 'changes' daily and the rewrite can never be bounded."""
+    return window_path + ".meta"
+
+
 def _EMPTY_MAP():
     return F.map_from_entries(
         F.array().cast("array<struct<cat:string,n30:bigint>>")
@@ -226,17 +234,18 @@ def optimize_layout(
         # the just-committed daily summary (compact) rather than
         # re-aggregating raw events.
         sd = spark.read.parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
+        asof_d_df = as_of.select(F.to_date("as_of").alias("as_of_d"))
+        wpath = os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME)
         (
-            window_rollup(
-                sd.select("entity", "d", "cat", "n"),
-                as_of.select(F.to_date("as_of").alias("as_of_d")),
-            )
+            window_rollup(sd.select("entity", "d", "cat", "n"), asof_d_df)
+            .drop("as_of_d")  # anchor lives in the sidecar meta
             .withColumn("wb", _wbucket())
             .repartition("wb")
             .write.mode("overwrite")
             .partitionBy("wb")
-            .parquet(os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME))
+            .parquet(wpath)
         )
+        asof_d_df.write.mode("overwrite").parquet(_window_meta_path(wpath))
 
 
 def update_daily_summary(
@@ -340,11 +349,20 @@ def update_window_summary(
       O(batch entities + touched rows of the table via the outer
       join); at scale the table is entity-bucketed so the join is
       exchange-free on the big side.
-    - **day-roll** (once per day): window membership shifts for every
-      row, so the windowed parts are recomputed from the merged daily
-      summary *pruned to the last max_window+1 date partitions* —
-      never full history — while the all-history `total` stays purely
+    - **day-roll** (once per day): window membership shifts — but only
+      for entities with any activity inside the trailing max_window
+      days (of either anchor): everyone else's windows/vectors are
+      already all-zero and stay so. The windowed parts recompute from
+      the merged daily summary *pruned to those date partitions*, and
+      the rewrite is bounded to buckets containing such ACTIVE
+      entities (plus the batch's); long-idle buckets stay
+      byte-identical on disk. The all-history `total` stays purely
       additive (old total + batch counts).
+
+    The as-of anchor lives in a one-row sidecar (``<path>.meta``),
+    NOT in the row schema — a per-row as_of_d would make every row
+    change on day-roll and unbound the rewrite. Tables written by the
+    earlier per-row-as_of_d format migrate via one full rewrite.
 
     Either way the result is bit-identical to a full
     :func:`window_rollup` over the merged summary (pinned by
@@ -362,7 +380,18 @@ def update_window_summary(
 
     have_old = fsutil.exists(spark, os.path.join(window_path, "_SUCCESS"))
     old = spark.read.parquet(window_path) if have_old else None
-    old_as_of_d = old.select(F.max("as_of_d")).first()[0] if have_old else None
+    meta_p = _window_meta_path(window_path)
+    legacy = old is not None and "as_of_d" in old.columns
+    if old is None:
+        old_as_of_d = None
+    elif fsutil.exists(spark, os.path.join(meta_p, "_SUCCESS")):
+        old_as_of_d = spark.read.parquet(meta_p).first()[0]
+    elif legacy:
+        old_as_of_d = old.select(F.max("as_of_d")).first()[0]
+    else:
+        # table without meta or column (manual surgery): recompute
+        # windows from the summary; totals stay additive
+        old_as_of_d = None
     new_as_of_d = max(filter(None, [old_as_of_d, batch_max_d]))
     asof_df = spark.createDataFrame([(new_as_of_d,)], "as_of_d date")
 
@@ -372,12 +401,11 @@ def update_window_summary(
     zvec_i = F.array_repeat(F.lit(0).cast("int"), _VEC_DAYS)
     _VECS = (("nd_days", zvec_l), ("cats_days", zvec_i), ("err_days", zvec_l))
 
-    # bucket-scoped rewrite is only possible on the same-day path AND
-    # when the stored table is already bucketed (legacy unpartitioned
-    # tables migrate to the bucketed layout via one full rewrite)
-    day_roll = old is None or (
-        old_as_of_d is not None and new_as_of_d > old_as_of_d
-    )
+    # bucket-scoped rewrites need the CURRENT format: bucketed, no
+    # per-row as_of_d (partition files must share one schema). Legacy
+    # tables migrate via one full rewrite.
+    day_roll = old is None or old_as_of_d is None or new_as_of_d > old_as_of_d
+    scoped_ok = old is not None and not legacy and "wb" in old.columns
     touched: list[int] | None = None
 
     if day_roll:
@@ -390,6 +418,32 @@ def update_window_summary(
             .select("entity", "d", "cat", "n")
         )
         winpart = window_rollup(recent, asof_df).drop("total", "as_of_d")
+        if scoped_ok and old_as_of_d is not None:
+            # Bound the rewrite to buckets holding entities ACTIVE in
+            # the trailing window of either anchor (covers both rows
+            # whose windows gain days and rows whose windows age out),
+            # plus the batch's. Entities idle past both windows carry
+            # all-zero windows/vectors before AND after the roll —
+            # their buckets are not rewritten (byte-identical,
+            # tested). The active scan reads only pruned date
+            # partitions of the daily summary.
+            lo_active = min(old_as_of_d, new_as_of_d) - _dt.timedelta(
+                days=max_window
+            )
+            active = (
+                spark.read.parquet(daily_summary_path)
+                .filter(F.col("d") >= F.lit(lo_active))
+                .select(_wbucket().alias("wb"))
+                .unionByName(bd.select(_wbucket().alias("wb")))
+                .distinct()
+            )
+            touched = sorted(r.wb for r in active.collect())
+            if len(touched) >= WINDOW_BUCKETS:
+                touched = None  # every bucket active: plain overwrite
+            else:
+                old = old.filter(F.col("wb").isin(touched))
+        if old is not None and "wb" in old.columns:
+            old = old.drop("wb")
         if old is None:
             # FIRST build: all-history totals from the FULL daily
             # summary — update_daily_summary has already merged this
@@ -441,7 +495,7 @@ def update_window_summary(
             ],
             *[F.coalesce(v, z).alias(v) for v, z in _VECS],
             F.coalesce("cat_counts30", _EMPTY_MAP()).alias("cat_counts30"),
-        ).crossJoin(F.broadcast(asof_df))
+        )
     else:
         # same-day batch: ages unchanged -> additive merge for the
         # event-count measures (each event lands in exactly one batch,
@@ -461,7 +515,7 @@ def update_window_summary(
             .filter(F.col("d") >= F.lit(lo_v))
             .select("entity", "d", "cat", "n")
         )
-        if "wb" in old.columns:
+        if scoped_ok:
             # restrict the merge to the buckets the batch touches: only
             # those partition dirs are rewritten below; every other
             # bucket's files stay byte-identical on disk. The touched
@@ -469,8 +523,10 @@ def update_window_summary(
             touched = sorted(
                 r.wb for r in bd.select(_wbucket().alias("wb")).distinct().collect()
             )
-            old = old.filter(F.col("wb").isin(touched)).drop("wb")
+            old = old.filter(F.col("wb").isin(touched))
             recent_v = recent_v.filter(_wbucket().isin(touched))
+        if "wb" in old.columns:
+            old = old.drop("wb")
         vecs = window_rollup(recent_v, asof_df).select(
             "entity", *[v for v, _ in _VECS]
         )
@@ -517,7 +573,6 @@ def update_window_summary(
                 *[F.coalesce(v, z).alias(v) for v, z in _VECS],
                 "cat_counts30",
             )
-            .crossJoin(F.broadcast(asof_df))
         )
 
     # same lineage-cut + marker discipline as update_daily_summary:
@@ -534,6 +589,9 @@ def update_window_summary(
         # are replaced; untouched bucket files are not rewritten
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.partitionBy("wb").parquet(window_path)
+    # sidecar as-of anchor BEFORE restoring the reader gate: a tear
+    # between the two leaves no _SUCCESS and the next update rebuilds
+    asof_df.write.mode("overwrite").parquet(_window_meta_path(window_path))
     fsutil.touch(spark, success)
 
 

@@ -19,6 +19,10 @@ from nerd_spark.sources.layout import (
 
 
 def _win_rows(df):
+    # as_of_d is NOT part of the row schema (it lives in the sidecar
+    # meta so day-rolls don't force full rewrites); the maintained
+    # table carries the wb bucket partition column, the full rollup
+    # doesn't — compare the value columns.
     return {
         (
             r.entity,
@@ -33,7 +37,6 @@ def _win_rows(df):
             tuple(r.cats_days),
             tuple(r.err_days),
             tuple(sorted((r.cat_counts30 or {}).items())),
-            str(r.as_of_d),
         )
         for r in df.collect()
     }
@@ -43,6 +46,12 @@ def _full_rollup(spark, ev):
     daily = D.daily_rollup(ev, "user_id").select("entity", "d", "cat", "n")
     asof = ev.agg(F.to_date(F.max("ts")).alias("as_of_d"))
     return window_rollup(daily, asof)
+
+
+def _win_meta_asof(spark, wpath):
+    from nerd_spark.sources.layout import _window_meta_path
+
+    return spark.read.parquet(_window_meta_path(wpath)).first()[0]
 
 
 def test_incremental_window_equals_full_rebuild(spark, sf_dir):
@@ -68,9 +77,12 @@ def test_incremental_window_equals_full_rebuild(spark, sf_dir):
         if b.count():
             update_event_summaries(spark, out, b)
 
-    got = _win_rows(spark.read.parquet(os.path.join(out, SUMMARY_WINDOW_DIRNAME)))
+    wpath = os.path.join(out, SUMMARY_WINDOW_DIRNAME)
+    got = _win_rows(spark.read.parquet(wpath))
     want = _win_rows(_full_rollup(spark, ev))
     assert got == want and len(want) > 0
+    # the sidecar anchor tracks the maximum ingested event date
+    assert _win_meta_asof(spark, wpath) == days[-1]
 
 
 def test_a_family_serve_paths_equal_fallback(spark, sf_dir):
@@ -356,3 +368,79 @@ def test_same_day_merge_rewrites_only_touched_buckets(spark, sf_dir):
     got = _win_rows(spark.read.parquet(wpath))
     want = _win_rows(_full_rollup(spark, ev))
     assert got == want
+
+
+def test_day_roll_skips_long_idle_buckets(spark):
+    """A day-roll only rewrites buckets holding entities active inside
+    the trailing window of either anchor: a bucket whose entities all
+    went idle >max_window days ago has all-zero windows before AND
+    after the roll — its files must stay byte-identical — while the
+    rolled table still equals the one-shot rollup exactly."""
+    import datetime as _dt
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from nerd_spark.sources.layout import WINDOW_BUCKETS
+
+    base = _dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # idle entities: one event each on day 0 only (idle for >40 days
+    # by the final anchor); active entities: events on days 35..41
+    for e in range(40):
+        eid += 1
+        rows.append((eid, e, base, "error", 10.0, "{}"))
+    for e in range(40, 48):
+        for day in range(35, 42):
+            eid += 1
+            rows.append(
+                (eid, e, base + _dt.timedelta(days=day), "view", 5.0, "{}")
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    b1 = ev.filter(F.to_date("ts") < F.lit((base + _dt.timedelta(days=41)).date()))
+    b2 = ev.exceptAll(b1)  # the final day -> day-roll
+    assert b2.count() > 0
+
+    out = tempfile.mkdtemp(prefix="nerd_dayroll_")
+    update_event_summaries(spark, out, b1)
+    wpath = os.path.join(out, SUMMARY_WINDOW_DIRNAME)
+
+    def file_hashes():
+        hashes = {}
+        for root, _dirs, files in os.walk(wpath):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    hashes[os.path.relpath(p, wpath)] = hashlib.md5(
+                        open(p, "rb").read()
+                    ).hexdigest()
+        return hashes
+
+    before = file_hashes()
+    update_event_summaries(spark, out, b2)  # rolls day 40 -> 41
+    after = file_hashes()
+
+    active_buckets = {
+        r.wb
+        for r in ev.filter(F.to_date("ts") >= F.lit((base + _dt.timedelta(days=4)).date()))
+        .select(F.pmod(F.hash("user_id"), F.lit(WINDOW_BUCKETS)).alias("wb"))
+        .distinct()
+        .collect()
+    }
+    idle_only = {
+        p: h for p, h in before.items()
+        if int(p.split("/")[0][3:]) not in active_buckets
+    }
+    assert idle_only, "test setup: need at least one idle-only bucket"
+    for p, h in idle_only.items():
+        assert p in after and after[p] == h, f"idle bucket rewritten: {p}"
+
+    got = _win_rows(spark.read.parquet(wpath))
+    want = _win_rows(_full_rollup(spark, ev))
+    assert got == want
+    assert _win_meta_asof(spark, wpath) == (base + _dt.timedelta(days=41)).date()
