@@ -174,3 +174,38 @@ def total_reputation(parts: DataFrame, rep_trust: dict[str, float], out="rep") -
     columns (reference: reputation.py:100-109)."""
     cols = [F.col(c) * F.lit(t) for c, t in rep_trust.items()]
     return parts.select("entity", F.round(prob_or(cols), 6).alias(out))
+
+
+def vector_reputation_columns(days: int = 14) -> dict[str, Column]:
+    """Default-config reputation as row-local expressions over the
+    window table's stored per-age daily vectors (nd_days, cats_days,
+    err_days) — the two pseudo-sources the A7 combination uses.
+
+    Computed at MAINTENANCE time and stored on the row (the reference
+    likewise stores rep.* on the entity record, reputation.py:111-221
+    via the update handler), so the a6/a7 serve paths become pure
+    column reads instead of 28 pow() calls per entity per query.
+    Config-altered deployments (other scales/windows — the
+    reputationq.py family) compute their variant at query time from
+    the same vectors.
+    """
+    denom = sum((days - a) / days for a in range(days))
+    ev_terms = [
+        nonlin(F.col("nd_days")[a], scale=5.0)
+        * nonlin(F.col("cats_days")[a], scale=2.0)
+        * F.lit((days - a) / days)
+        for a in range(days)
+    ]
+    err_terms = [
+        F.when(
+            F.col("err_days")[a] > 0,
+            nonlin(F.col("err_days")[a], 2.0)
+            * nonlin(F.lit(1), 2.0)
+            * F.lit((days - a) / days),
+        ).otherwise(0.0)
+        for a in range(days)
+    ]
+    return {
+        "rep_events": F.round(sum(ev_terms[1:], ev_terms[0]) / F.lit(denom), 6),
+        "rep_err": F.round(sum(err_terms[1:], err_terms[0]) / F.lit(denom), 6),
+    }

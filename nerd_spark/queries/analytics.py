@@ -229,7 +229,7 @@ def _window_table(spark, sf_dir):
         # not fail the query on a missing column
         required = {"entity", "total", "total1", "total7", "total30",
                     "cats7", "nd_days", "cats_days", "err_days",
-                    "cat_counts30"}
+                    "cat_counts30", "rep_events", "rep_err"}
         if required.issubset(set(wt.columns)):
             return wt
     return None
@@ -344,21 +344,13 @@ def a5_type_profile(spark, sf_dir):
 from nerd_spark.queries.base import _REP_DENOM_14, _REP_SQL  # noqa: E402
 
 
-def _rep_from_vectors(scale_events=5.0, scale_cats=2.0, days=14):
-    """rep = Σₐ wₐ·nonlin(ndₐ)·nonlin(catsₐ) / denom as a row-local
-    expression over the window table's daily vectors. Absent days
-    contribute 0 (nonlin(0)=0)."""
-    from nerd_spark.functions.mathx import nonlin
-
-    denom = sum((days - a) / days for a in range(days))
-    terms = [
-        nonlin(F.col("nd_days")[a], scale=scale_events)
-        * nonlin(F.col("cats_days")[a], scale=scale_cats)
-        * F.lit((days - a) / days)
-        for a in range(days)
-    ]
-    return F.round(sum(terms[1:], terms[0]) / F.lit(denom), 6)
-
+# Default-config reputation values are MATERIALIZED on the window
+# table (sources/layout.py::_with_rep_columns, computed from the same
+# daily vectors by plans/derivations.vector_reputation_columns — the
+# reference likewise stores rep.* on the record, reputation.py:111+),
+# so the a6/a7 serve paths below are plain column reads: zero pow()
+# per query. Config-altered variants (reputationq.py) still compute
+# theirs at query time.
 
 _IN_WINDOW_14 = lambda: F.exists("cats_days", lambda c: c > 0)  # noqa: E731
 
@@ -379,8 +371,7 @@ def a6_source_reputation(spark, sf_dir):
     wt = _window_table(spark, sf_dir)
     if wt is not None:
         return wt.filter(_IN_WINDOW_14()).select(
-            F.col("entity").alias("user_id"),
-            _rep_from_vectors().alias("rep_events"),
+            F.col("entity").alias("user_id"), "rep_events"
         )
     dwa = _daily_with_asof(spark, sf_dir, max_age=13)
     return D.source_reputation(dwa, out="rep_events").select(
@@ -428,21 +419,13 @@ def a7_total_reputation(spark, sf_dir):
     # row-local expressions over the window table's daily vectors.
     wt = _window_table(spark, sf_dir)
     if wt is not None:
-        err_terms = [
-            F.when(
-                F.col("err_days")[a] > 0,
-                nonlin(F.col("err_days")[a], 2.0)
-                * nonlin(F.lit(1), 2.0)
-                * F.lit((days - a) / days),
-            ).otherwise(0.0)
-            for a in range(days)
-        ]
-        re_c = _rep_from_vectors()
-        rr_c = F.round(sum(err_terms[1:], err_terms[0]) / F.lit(denom), 6)
         return wt.filter(_IN_WINDOW_14()).select(
             F.col("entity").alias("user_id"),
             F.round(
-                1 - (1 - re_c * 0.9) * (1 - rr_c * 0.6), 6
+                1
+                - (1 - F.col("rep_events") * 0.9)
+                * (1 - F.col("rep_err") * 0.6),
+                6,
             ).alias("rep"),
         )
     # Fallback: derive the (entity, day) frame from the A1 rollup

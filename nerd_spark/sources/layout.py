@@ -77,6 +77,18 @@ WINDOW_BUCKETS = 32
 def _wbucket(col="entity"):
     return F.pmod(F.hash(F.col(col)), F.lit(WINDOW_BUCKETS))
 
+
+def _with_rep_columns(df):
+    """Materialize the default-config reputation columns from the
+    FINAL per-age vectors (after any merge) — applied by every window
+    writer so a6/a7 serve as plain column reads. Row-local, so the
+    cost lands only on rows being (re)written anyway."""
+    from nerd_spark.plans.derivations import vector_reputation_columns
+
+    for name, col in vector_reputation_columns().items():
+        df = df.withColumn(name, col)
+    return df
+
 # per-age daily vectors kept in the window table: ages 0.._VEC_DAYS-1
 # relative to as_of_d. This is the reference's own per-IP daily-bucket
 # record model (event_counter keeps per-day buckets on the entity);
@@ -237,7 +249,9 @@ def optimize_layout(
         asof_d_df = as_of.select(F.to_date("as_of").alias("as_of_d"))
         wpath = os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME)
         (
-            window_rollup(sd.select("entity", "d", "cat", "n"), asof_d_df)
+            _with_rep_columns(
+                window_rollup(sd.select("entity", "d", "cat", "n"), asof_d_df)
+            )
             .drop("as_of_d")  # anchor lives in the sidecar meta
             .withColumn("wb", _wbucket())
             .repartition("wb")
@@ -580,7 +594,7 @@ def update_window_summary(
     # is dropped before the commit and restored after, so a torn
     # multi-partition overwrite leaves no marker and readers fall back
     # to the raw recompute instead of serving mixed state.
-    merged = merged.withColumn("wb", _wbucket()).localCheckpoint()
+    merged = _with_rep_columns(merged).withColumn("wb", _wbucket()).localCheckpoint()
     success = os.path.join(window_path, "_SUCCESS")
     fsutil.delete(spark, success)
     writer = merged.repartition("wb").write.mode("overwrite")
