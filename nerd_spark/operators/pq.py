@@ -1,0 +1,277 @@
+"""Product quantization (PQ) for memory-bounded ANN search.
+
+Completes the ANN scale ladder (brute -> sign-LSH -> IVF-flat ->
+PQ/ADC): the corpus representation shrinks from 4*dim bytes of floats
+to m one-byte codes per vector (32x at dim=64, m=8), so the search
+scan reads codes only — at 100 TB of embeddings this is the difference
+between scanning the corpus and scanning 3 % of it, and the codes for
+a 10^9-vector corpus fit in cluster memory where the raw vectors do
+not. The construction is the classic one (Jegou, Douze & Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+split each vector into m subvectors, vector-quantize each subspace
+with its own k-entry codebook, and answer queries with Asymmetric
+Distance Computation — a per-query (m x k) table of exact
+query-subvector-to-centroid distances, summed by code lookup.
+
+Spark mapping, all JVM-side column math (no Python in any data path):
+
+- training: one distributed Lloyd loop over ALL m subspaces at once
+  (explode to (id, sub, subvector), rank against the broadcast
+  (sub, code, centroid) table); only the m*k*(dim/m)-float codebook
+  ever reaches the driver — same discipline as
+  :func:`~nerd_spark.operators.similarity.kmeans_centroids`.
+- encoding: MAP-ONLY — each code is an argmin over k literal
+  centroid distances (array_position(dists, array_min(dists))),
+  so the corpus-wide encode pass has no exchange at all and runs
+  at scan speed. Encoding is the pass that touches every vector;
+  keeping it shuffle-free is the scale property that matters.
+- search: the per-query ADC table is computed in-plan on the (tiny)
+  query side, flattened to m*k doubles, and broadcast; approximate
+  distance is a zip_with(codes, sequence) lookup-sum — a fold over
+  m elements per (vector, query) pair. Optional exact-cosine rerank
+  of the top-R ADC candidates (the standard two-stage recall fix).
+
+Vectors are L2-normalized throughout (spherical PQ), so ADC L2^2
+order equals cosine order: cos = 1 - d^2/2 on the unit sphere, which
+is also how the approximate `sim` column is derived.
+
+Training is iterative (not SQL-expressible) -> the registered query
+is rows-only, the ann_ivf_trained precedent; recall@10 against the
+exact brute-force baseline is pinned in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nerd_spark.operators.similarity import _as_double, cosine, norm
+
+
+def _unit(col):
+    """L2-normalize an array<double> column (zero vectors pass through
+    unchanged so downstream folds stay NULL-free)."""
+    n = norm(col)
+    return F.when(n > 0, F.transform(col, lambda x: x / n)).otherwise(col)
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_vec(xs):
+    return F.array(*[F.lit(float(x)) for x in xs])
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook training: per-subspace k-means.
+
+    Returns codebooks[sub][code] = centroid (dim/m doubles). Init is
+    the first k corpus vectors' subvectors (deterministic, no RNG);
+    each Lloyd round runs over all m subspaces in ONE distributed
+    pass: explode to (id, sub, sv), broadcast-join the (sub, code,
+    cv) table, rank by (L2^2 asc, code), recompute per-(sub, code)
+    per-dimension means. Empty codes keep their previous centroid.
+    Only the codebook (m*k*(dim/m) floats) reaches the driver.
+    """
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("v")
+    )
+    init = [list(r.v) for r in e.orderBy("id").limit(k).collect()]
+    if not init:
+        return []
+    dim = len(init[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(k, len(init))
+    books = [
+        [init[c][s * dsub : (s + 1) * dsub] for c in range(k)] for s in range(m)
+    ]
+    subs = e.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice("v", s * dsub + 1, F.lit(dsub)).alias("sv"),
+                ),
+            )
+        ).alias("sc"),
+    ).select("id", "sc.sub", "sc.sv")
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(s, c, books[s][c]) for s in range(m) for c in range(k)],
+            "sub int, code int, cv array<double>",
+        )
+        scored = subs.join(F.broadcast(cdf), "sub").select(
+            "id", "sub", "sv", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+        )
+        w = Window.partitionBy("id", "sub").orderBy(F.col("d2"), F.col("code"))
+        assigned = scored.withColumn("r", F.row_number().over(w)).filter(
+            F.col("r") == 1
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mx"))),
+                    lambda st: st["mx"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {(r.sub, r.code): list(r.cv) for r in means}
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(k)] for s in range(m)
+        ]
+    return books
+
+
+def pq_code_expr(v_col, codebooks) -> "F.Column":
+    """codes array<int> for a unit-normalized array<double> column —
+    pure column math: per subspace, argmin over k literal centroid
+    distances. No join, no shuffle: the corpus-wide encode is a
+    map-only projection (plan-asserted in tests)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    v = v_col if not isinstance(v_col, str) else F.col(v_col)
+    codes = []
+    for s in range(m):
+        sv = F.slice(v, s * dsub + 1, dsub)
+        dists = F.array(*[_sq_l2(sv, _lit_vec(codebooks[s][c])) for c in range(k)])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) for the whole corpus — map-only (see pq_code_expr).
+    m bytes of code replace 4*dim bytes of floats: the representation
+    a 100 TB embedding corpus is actually searched from."""
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        pq_code_expr(_unit(_as_double(vec_col)), codebooks).alias("codes"),
+    )
+
+
+def _adc_table_expr(qv_col, codebooks) -> "F.Column":
+    """Flat m*k ADC table for a unit query vector: slot s*k+c holds
+    the EXACT squared L2 distance from the query's s-th subvector to
+    codebook centroid (s, c). Computed in-plan on the query side —
+    per-query cost m*k folds over dim/m elements, negligible next to
+    the corpus scan it parameterizes."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qv = qv_col if not isinstance(qv_col, str) else F.col(qv_col)
+    cells = []
+    for s in range(m):
+        sv = F.slice(qv, s * dsub + 1, dsub)
+        for c in range(k):
+            cells.append(_sq_l2(sv, _lit_vec(codebooks[s][c])))
+    return F.array(*cells)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_pred,
+    codebooks,
+    k: int = 10,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes, optional exact rerank.
+
+    Scan side reads only (id, codes); each (vector, query) distance
+    is an m-element zip_with lookup-sum into the query's broadcast
+    ADC table. With rerank=R > k, the top R ADC candidates are joined
+    back to their full vectors for exact cosine and re-ranked — the
+    standard two-stage recall fix, still touching only Q*R vectors.
+    Output (query_id, neighbor_id, sim, rank) matches the rest of the
+    ANN family (sim from ADC is the unit-sphere identity
+    cos = 1 - d^2/2; after rerank it is exact cosine).
+    """
+    kk = len(codebooks[0])
+    qk = max(k, rerank)
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("v")
+    )
+    corpus = e.select("id", pq_code_expr(F.col("v"), codebooks).alias("codes"))
+    q = e.filter(query_pred(F.col("id"))).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _adc_table_expr(F.col("v"), codebooks).alias("qtab"),
+    )
+    m = len(codebooks)
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.col("qtab"), (s * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            adist.alias("d2"),
+            "qv",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    top = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= qk
+    )
+    if rerank and rerank > k:
+        exact = (
+            top.select("query_id", "neighbor_id", "qv")
+            .join(e.select(F.col("id").alias("neighbor_id"), "v"), "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+    return top.select(
+        "query_id",
+        "neighbor_id",
+        F.round(1 - F.col("d2") / 2, 6).alias("sim"),
+        "rank",
+    )

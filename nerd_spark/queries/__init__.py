@@ -30,11 +30,12 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (101) exceeds the driver's 50-entry correctness
+# The inventory (102) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-7 rotation:
 # 1. queries NEW this round — fmp_score_gbt (rows-only), the
-#    general-temperature mixture, and the DNSBL/geo enrichment pair;
+#    general-temperature mixture, the DNSBL/geo enrichment pair, and
+#    the PQ/ADC ANN search (rows-only: iterative codebook training);
 # 2. q1_pricing_summary — its accumulation representation changed
 #    (unscaled-long exact_sum) and it is the entry flagship;
 # 3. every query whose latest driver row is r5 (everything outside
@@ -44,10 +45,12 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    retokenized text family (text_quality/langid/token_stats),
 #    which both carry changed plans this round.
 # Trimmed to fit the 50: fmp_training_frame (r5-green; shares the
-# whole FEATURE_SPEC oracle path with fmp_score, which stays in) and
+# whole FEATURE_SPEC oracle path with fmp_score, which stays in),
 # dedup_simhash_pairs (r5-green; shares the complete simhash path
-# with dedup_simhash, in) sit at the 2-round bound this round and
-# rotate first into r8. Every r6-green changed query (a16 aside,
+# with dedup_simhash, in) and a6_rep_blacklists (r5-green; shares
+# plans/reputation.py with a6_rep_dshield and a6_source_reputation,
+# both in) sit at the 2-round bound this round and rotate first
+# into r8. Every r6-green changed query (a16 aside,
 # which is in) was re-hash-verified against its oracle at sf0.01 in
 # this round's build session; all keep the full-inventory mirror in
 # tests/test_oracle_diff.py.
@@ -57,13 +60,13 @@ _WINDOW_PRIORITY = [
     "mixture_temperature_free",
     "p12_dnsbl_membership",
     "p13_geo_enrichment",
+    "ann_pq_topk",
     # 2 — changed accumulation (entry flagship)
     "q1_pricing_summary",
     # 3 — r5-latest rows (≤2-round staleness invariant)
     "set_ops_union",
     "w6_rank_lag",
     "a6_rep_dshield",
-    "a6_rep_blacklists",
     "a7_total_multi",
     "tags_rules",
     "j4_range_join_bucketed",

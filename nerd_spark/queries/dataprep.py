@@ -1240,6 +1240,23 @@ def ann_ivf_trained(spark, sf_dir):
     )
 
 
+@query("ann_pq_topk", None)  # PQ training is iterative: rows-only check
+def ann_pq_topk(spark, sf_dir):
+    # Product-quantized ANN with exact rerank: the memory-bounded end
+    # of the ANN family — the corpus scan reads m=8 one-byte codes per
+    # vector (32x smaller than the raw float64[64]) and ranks by ADC
+    # table lookup; the top-100 candidates are re-scored with exact
+    # cosine. Training (per-subspace k-means) is iterative, hence no
+    # SQL oracle; recall@10 >= 0.8 vs brute force is pinned in
+    # tests/test_pq.py, and rerank >= corpus degenerating to the exact
+    # brute-force result is the exactness property tested beside it.
+    from nerd_spark.operators import pq as PQ
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k=32, n_iter=4)
+    return PQ.pq_topk(emb, lambda c: c < 10, books, k=10, rerank=100)
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
