@@ -69,6 +69,11 @@ def main() -> None:
     from nerd_spark.session import get_spark, read_table
     from nerd_spark.sources.layout import optimize_layout
 
+    # Load sampled BEFORE Spark starts: this is the number that says
+    # whether the machine was busy going in. The end-of-run sample
+    # (loadavg_1m_end) mostly reflects the bench's own 32 threads.
+    load_start = os.getloadavg()
+
     spark = get_spark(app_name="nerd_spark_bench")
     # warm the JVM/session so timings aren't charged for codegen bring-up
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -165,8 +170,9 @@ def main() -> None:
         "curation_stages": curation_stages,
         "curation_v3_stages": curation_v3_stages,
         "run_meta": {
-            "loadavg_1m": round(os.getloadavg()[0], 2),
-            "loadavg_5m": round(os.getloadavg()[1], 2),
+            "loadavg_1m": round(load_start[0], 2),
+            "loadavg_5m": round(load_start[1], 2),
+            "loadavg_1m_end": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
             "testdata_fingerprint": _testdata_fingerprint(),
         },
