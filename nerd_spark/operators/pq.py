@@ -275,3 +275,167 @@ def pq_topk(
         F.round(1 - F.col("d2") / 2, 6).alias("sim"),
         "rank",
     )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int = 8,
+    codebooks=None,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 4,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Persist the corpus as an on-disk IVF-PQ index — the structure
+    faiss deploys at billion-vector scale, combining BOTH pruning
+    axes: a coarse quantizer partitions rows into inverted lists
+    (partition pruning: a probe lists n_probe/n_lists of the files),
+    and PQ codes shrink the candidate scan's bytes (column pruning:
+    the ADC pass reads the m-byte ``codes`` column, never the
+    4*dim-byte ``v`` — ReadSchema-asserted in tests). Vectors are
+    PQ-encoded directly rather than as residuals (faiss's
+    by_residual=False variant), which keeps the stored ``v`` the
+    single source of truth for the exact rerank.
+
+    Layout: ``cid=<n>/`` parquet dirs holding (id, v, codes), plus
+    ``<path>.centroids`` and ``<path>.codebooks`` sidecars so probes
+    need neither the corpus nor a training pass. Returns the trained
+    codebooks (for callers that go on to encode queries or batches).
+    """
+    spark = embeddings.sparkSession
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("v")
+    )
+    if centroids is not None:
+        n_lists = len(centroids)
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>"
+        )
+    else:
+        cents = e.filter(F.col("id") < n_lists).select(
+            F.col("id").alias("cid"), F.col("v").alias("cv")
+        )
+    from nerd_spark.operators.similarity import cosine as _cos
+
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "id", "v", "cid", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    corpus = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("id", "v", pq_code_expr(F.col("v"), codebooks).alias("codes"), "cid")
+    )
+    # cluster the write by list id (same rationale as build_ivf_index:
+    # one file per holding task per list, not tasks x lists slivers)
+    corpus.repartition(n_lists, F.col("cid")).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
+    cents.write.mode("overwrite").parquet(path + ".centroids")
+    mm, kk = len(codebooks), len(codebooks[0])
+    spark.createDataFrame(
+        [(s, c, codebooks[s][c]) for s in range(mm) for c in range(kk)],
+        "sub int, code int, cv array<double>",
+    ).write.mode("overwrite").parquet(path + ".codebooks")
+    return codebooks
+
+
+def ivfpq_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int = 50,
+) -> DataFrame:
+    """Search an on-disk IVF-PQ index built by
+    :func:`build_ivfpq_index`.
+
+    ``queries`` is (query_id, qv array<double>). Three bounded steps:
+
+    1. rank the broadcast centroid sidecar -> n_probe lists per
+       query; the probed cids reach the driver (<= n_lists values)
+       as the LITERAL partition filter, exactly like ivf_probe;
+    2. ADC candidate scan over ONLY the pruned lists' (id, codes)
+       columns — the full vectors stay on disk; approximate distance
+       is the zip_with lookup-sum into each query's broadcast table;
+    3. exact rerank: the top-``rerank`` candidates per query (Q*R
+       rows, broadcast) join back to the SAME pruned partitions for
+       their ``v`` and re-score by exact cosine.
+
+    So a query touches n_probe/n_lists of the files, reads m bytes
+    per candidate row, and reads full vectors for only Q*rerank rows.
+    Output (query_id, neighbor_id, sim, rank), the family shape.
+    """
+    cb = spark.read.parquet(path + ".codebooks").collect()  # m*k rows
+    mm = 1 + max(r.sub for r in cb)
+    kk = 1 + max(r.code for r in cb)
+    books = [[None] * kk for _ in range(mm)]
+    for r in cb:
+        books[r.sub][r.code] = list(r.cv)
+    cents = spark.read.parquet(path + ".centroids")
+    from nerd_spark.operators.similarity import cosine as _cos
+
+    q = queries.select(
+        "query_id", _unit(_as_double("qv")).alias("qv")
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", F.round(_cos(F.col("qv"), F.col("cv")), 6).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        qscored.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qv", _adc_table_expr(F.col("qv"), books).alias("qtab"), "cid")
+        .cache()  # consumed twice: the cid collect + the candidate join
+    )
+    probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
+    pruned = spark.read.parquet(path).filter(
+        F.col("cid").isin(probe_cids)
+    ).withColumn("cid", F.col("cid").cast("long"))
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(mm - 1)),
+            lambda c, s: F.element_at(F.col("qtab"), (s * kk + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        pruned.select("id", "codes", "cid")
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), adist.alias("d2"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("d2").alias("d2"))  # neighbor seen via 2 probed lists
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
+    top = (
+        cand.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= max(k, rerank))
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        pruned.select(F.col("id").alias("neighbor_id"), "v")
+        .join(F.broadcast(top), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos(F.col("qv"), F.col("v")), 6).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

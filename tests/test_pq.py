@@ -57,6 +57,53 @@ def test_training_deterministic(spark, sf_dir):
     assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
 
 
+def test_ivfpq_all_probes_full_rerank_equals_brute_force(spark, sf_dir):
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    path = tempfile.mkdtemp(prefix="nerd_ivfpq_t_") + "/idx"
+    PQ.build_ivfpq_index(emb, path, n_lists=4, m=8, k=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = PQ.ivfpq_probe(spark, path, q, k=10, n_probe=4, rerank=n + 1)
+    want = SIM.brute_force_topk(emb, F.col("vec_id") < 5, k=10)
+    gm = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in got.collect()}
+    wm = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in want.collect()}
+    assert gm == wm and len(gm) > 0
+
+
+def test_ivfpq_candidate_scan_reads_codes_not_vectors(spark, sf_dir):
+    import re
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="nerd_ivfpq_p_") + "/idx"
+    PQ.build_ivfpq_index(emb, path, n_lists=4, m=8, k=8, n_iter=1)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    plan = (
+        PQ.ivfpq_probe(spark, path, q, k=5, n_probe=2, rerank=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    idx_scans = [
+        re.search(r"FileScan parquet \[([^\]]*)\]", ln).group(1)
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "/idx]" in ln
+    ]
+    adc = [s for s in idx_scans if "codes" in s]
+    rr = [s for s in idx_scans if re.search(r"\bv#", s)]
+    # the ADC candidate scan projects codes and never the vectors; the
+    # rerank scan projects vectors and never the codes — the column-
+    # pruning half of the IVF-PQ cost model
+    assert adc and all("v#" not in s for s in adc), idx_scans
+    assert rr and all("codes" not in s for s in rr), idx_scans
+
+
 def test_recall_at_sf001_with_shipped_params(spark):
     emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
     books = PQ.train_pq_codebooks(emb, m=8, k=32, n_iter=4)
