@@ -1,4 +1,5 @@
-"""DNSBL + geolocation derivation stages (SURVEY §2.9 plugin family).
+"""DNSBL + geolocation + PTR-hostname derivation stages (SURVEY §2.9
+plugin family).
 
 The reference's enrichment modules are per-record external lookups:
 
@@ -10,6 +11,9 @@ The reference's enrichment modules are per-record external lookups:
 - Geolocation (reference: NERDd/modules/geolocation.py:56-91): look
   the IP up in MaxMind GeoLite2 and set geo.ctry/geo.city/geo.tz,
   leaving the record untouched when the address is unknown.
+- Reverse DNS (reference: NERDd/modules/dns.py:43-81): PTR query on
+  the in-addr.arpa reverse name, storing ``hostname`` (or None on
+  NXDOMAIN/timeout).
 
 Re-expressed as dataset-level derivation stages (the plans/derivations
 discipline — pure DataFrame -> DataFrame, deterministic, one Catalyst
@@ -96,6 +100,38 @@ def dnsbl_stage(
         .distinct()
         .join(listed, "entity", "left")
         .withColumn("bl", F.coalesce("bl", F.array().cast("array<string>")))
+    )
+
+
+def ptr_hostname_stage(
+    ips: DataFrame, answers: DataFrame, ip_col: str = "ip"
+) -> DataFrame:
+    """Reverse-DNS hostname resolution as a derivation stage
+    (reference: NERDd/modules/dns.py:43-81 — the last enrichment
+    module in the pure-data family).
+
+    ips: (entity, ip string); answers: (qname, rdata) — one row per
+    PTR record a resolver returned for ``reverse_ip(ip).in-addr.arpa``
+    (the dns.reversename.from_address shape). Output:
+    (entity, hostname) with the reference's exact semantics:
+
+    - trailing ``.`` trimmed from the answer (dns.py:70-71);
+    - NXDOMAIN / timeout / absent qname -> hostname NULL
+      (dns.py:73-78 stores None);
+    - multiple PTR records collapse to the deterministic first
+      (min rdata) — the reference takes ``rrset[0]``.
+
+    The DNS transport is the answers table (resolver batches are
+    small -> broadcast); the qname build is map-only.
+    """
+    first = answers.groupBy("qname").agg(F.min("rdata").alias("rdata"))
+    q = ips.select(
+        "entity",
+        F.concat(reverse_ip(ip_col), F.lit(".in-addr.arpa")).alias("qname"),
+    )
+    return q.join(F.broadcast(first), "qname", "left").select(
+        "entity",
+        F.regexp_replace("rdata", r"\.$", "").alias("hostname"),
     )
 
 

@@ -617,3 +617,58 @@ def p13_geo_enrichment(spark, sf_dir):
     return geo_stage(ips, blocks, locations).select(
         F.col("entity").alias("user_id"), "geo_ctry", "geo_city", "geo_tz"
     )
+
+
+@query(
+    "p14_ptr_hostname",
+    r"""
+    WITH ips AS (SELECT DISTINCT user_id FROM events),
+    ans AS (
+      SELECT user_id,
+             'host-' || user_id::VARCHAR || '.example.com.' AS rdata
+      FROM ips WHERE user_id % 4 = 0
+      UNION ALL
+      SELECT user_id, 'alt-' || user_id::VARCHAR || '.example.net.'
+      FROM ips WHERE user_id % 6 = 0
+    ),
+    first AS (SELECT user_id, min(rdata) AS rdata FROM ans GROUP BY 1)
+    SELECT i.user_id, regexp_replace(f.rdata, '\.$', '') AS hostname
+    FROM ips i LEFT JOIN first f USING (user_id)
+    """,
+)
+def p14_ptr_hostname(spark, sf_dir):
+    # Reverse-DNS derivation stage (reference: NERDd/modules/dns.py
+    # get_hostname): entity IPs build in-addr.arpa reverse names; a
+    # synthetic PTR answers table stands in for the resolver hop
+    # (user_id % 4 -> host-N.example.com. with the trailing dot the
+    # stage must trim; % 6 adds a SECOND record to exercise the
+    # deterministic-first collapse; everything else is NXDOMAIN ->
+    # hostname NULL, the reference's stored None).
+    from nerd_spark.functions.ip import int2ipstr, reverse_ip
+    from nerd_spark.ml.fmp import IP_BASE, IP_STRIDE
+    from nerd_spark.plans.enrich import ptr_hostname_stage
+
+    ips = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn(
+            "ip", int2ipstr(F.lit(IP_BASE) + F.col("entity") * IP_STRIDE)
+        )
+    )
+    qname = F.concat(reverse_ip("ip"), F.lit(".in-addr.arpa"))
+
+    def _ans(mod, prefix, suffix):
+        return ips.filter(F.col("entity") % mod == 0).select(
+            qname.alias("qname"),
+            F.concat(
+                F.lit(prefix), F.col("entity").cast("string"), F.lit(suffix)
+            ).alias("rdata"),
+        )
+
+    answers = _ans(4, "host-", ".example.com.").unionByName(
+        _ans(6, "alt-", ".example.net.")
+    )
+    return ptr_hostname_stage(ips, answers).select(
+        F.col("entity").alias("user_id"), "hostname"
+    )

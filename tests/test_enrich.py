@@ -123,3 +123,33 @@ def test_enrich_stages_are_broadcast_plans(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastExchange" in plan2
+
+
+def test_ptr_hostname_stage_fixture_resolver(spark):
+    """PTR semantics from the reference's dns.py: trailing-dot trim,
+    NULL on absent qname (NXDOMAIN/timeout), deterministic-first
+    collapse of multi-record answers, broadcast answers join."""
+    from nerd_spark.plans.enrich import ptr_hostname_stage
+
+    ips = spark.createDataFrame(
+        [(1, "100.20.3.4"), (2, "10.0.0.9"), (3, "192.0.2.42")],
+        "entity long, ip string",
+    )
+    answers = spark.createDataFrame(
+        [
+            ("4.3.20.100.in-addr.arpa", "web.example.com."),
+            # entity 2: two PTR records -> min(rdata) wins
+            ("9.0.0.10.in-addr.arpa", "mail.example.org."),
+            ("9.0.0.10.in-addr.arpa", "alpha.example.org."),
+        ],
+        "qname string, rdata string",
+    )
+    out = ptr_hostname_stage(ips, answers)
+    got = {r.entity: r.hostname for r in out.collect()}
+    assert got == {
+        1: "web.example.com",
+        2: "alpha.example.org",
+        3: None,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
