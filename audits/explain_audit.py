@@ -44,6 +44,13 @@ EXPECT = {
     # semantic dedup broadcasts the centroid table (never the corpus)
     "text_span_dedup": ["HashAggregate", "Generate explode"],
     "dedup_semantic": ["BroadcastNestedLoopJoin"],
+    # round 7: the PQ family — ADC scan is a broadcast of the (tiny)
+    # query side against the map-only-encoded corpus; the on-disk
+    # IVF-PQ probe must show the literal cid partition filter (file
+    # pruning) and broadcast-only joins (no corpus shuffle)
+    "ann_pq_topk": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
+    "ann_ivf_indexed": ["PartitionFilters: [cid"],
+    "ann_ivfpq_indexed": ["PartitionFilters: [cid", "BroadcastHashJoin"],
 }
 
 

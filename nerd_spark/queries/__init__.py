@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (102) exceeds the driver's 50-entry correctness
+# The inventory (104) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-7 rotation:
 # 1. queries NEW this round — fmp_score_gbt (rows-only), the
