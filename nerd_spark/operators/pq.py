@@ -237,15 +237,14 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # qtab is consumed map-side by the adist projection; only the
+    # 3-column (query_id, neighbor_id, d2) rows enter the top-k
+    # shuffle — carrying qv (or the 2 KB table) per candidate row
+    # would re-create the fat-row scan PQ exists to avoid
     cand = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            adist.alias("d2"),
-            "qv",
-        )
+        .select("query_id", F.col("id").alias("neighbor_id"), adist.alias("d2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("neighbor_id"))
     top = cand.withColumn("rank", F.row_number().over(w)).filter(
@@ -253,8 +252,9 @@ def pq_topk(
     )
     if rerank and rerank > k:
         exact = (
-            top.select("query_id", "neighbor_id", "qv")
+            top.select("query_id", "neighbor_id")
             .join(e.select(F.col("id").alias("neighbor_id"), "v"), "neighbor_id")
+            .join(F.broadcast(q.select("query_id", "qv")), "query_id")
             .select(
                 "query_id",
                 "neighbor_id",
