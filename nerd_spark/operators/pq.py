@@ -13,23 +13,29 @@ with its own k-entry codebook, and answer queries with Asymmetric
 Distance Computation — a per-query (m x k) table of exact
 query-subvector-to-centroid distances, summed by code lookup.
 
-Spark mapping, all JVM-side column math (no Python in any data path):
+Spark mapping (one documented Arrow boundary, no row-at-a-time
+Python anywhere):
 
 - training: one distributed Lloyd loop over ALL m subspaces at once
   (explode to (id, sub, subvector), rank against the broadcast
   (sub, code, centroid) table); only the m*k*(dim/m)-float codebook
   ever reaches the driver — same discipline as
   :func:`~nerd_spark.operators.similarity.kmeans_centroids`.
-- encoding: MAP-ONLY — each code is an argmin over k literal
-  centroid distances (array_position(dists, array_min(dists))),
-  so the corpus-wide encode pass has no exchange at all and runs
-  at scan speed. Encoding is the pass that touches every vector;
-  keeping it shuffle-free is the scale property that matters.
-- search: the per-query ADC table is computed in-plan on the (tiny)
-  query side, flattened to m*k doubles, and broadcast; approximate
-  distance is a zip_with(codes, sequence) lookup-sum — a fold over
-  m elements per (vector, query) pair. Optional exact-cosine rerank
-  of the top-R ADC candidates (the standard two-stage recall fix).
+- encoding: MAP-ONLY and exchange-free — an Arrow-batched numpy
+  argmin over the (batch, m, k, dim/m) distance tensor
+  (pq_encode_udf; the ml/fmp.py documented-boundary precedent).
+  Encoding is the pass that touches every vector; keeping it
+  shuffle-free is the scale property that matters, and this is one
+  of the measured places where Python beats the JVM plan: the
+  pure-expression argmin is either interpreted HOFs (223 s / 5k
+  rows) or a janino 64 KB-method overflow (pq_code_expr keeps the
+  small-codebook expression variant, with the ceiling documented).
+- search: the per-query ADC table (m*k exact subvector-to-centroid
+  distances, flat array<double>) rides the broadcast query side;
+  approximate distance is m scalar element_at lookups per
+  (vector, query) pair — codegen-compiled, no HOFs (_adc_dist_expr).
+  Optional exact-cosine rerank of the top-R ADC candidates (the
+  standard two-stage recall fix).
 
 Vectors are L2-normalized throughout (spherical PQ), so ADC L2^2
 order equals cosine order: cos = 1 - d^2/2 on the unit sphere, which
@@ -42,8 +48,11 @@ exact brute-force baseline is pinned in tests/test_pq.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from nerd_spark.operators.similarity import _as_double, cosine, norm
 
@@ -55,16 +64,44 @@ def _unit(col):
     return F.when(n > 0, F.transform(col, lambda x: x / n)).otherwise(col)
 
 
-def _sq_l2(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# -- scalar (codegen-compiled) distance math ---------------------------------
+#
+# Spark's higher-order functions (zip_with / aggregate / transform) are
+# CodegenFallback: every evaluation is interpreted, with per-element
+# boxing and a fresh ArrayData per call. A per-(sub, code) HOF fold puts
+# m*k interpreted closures on EVERY corpus row — measured 223 s to
+# encode 5 000 rows at m=8, k=32. The expansions below write the same
+# arithmetic as flat scalar expression trees (element_at + literals),
+# which whole-stage codegen compiles to straight-line Java: the same
+# encode runs at scan speed. Catalyst's subexpression elimination reuses
+# each element_at across the k code distances.
 
 
-def _lit_vec(xs):
-    return F.array(*[F.lit(float(x)) for x in xs])
+def _sq_l2_scalar(v, base: int, center: list[float]):
+    """sum_i (v[base+i] - center[i])^2 as a flat scalar expression
+    (1-based `base`)."""
+    terms = []
+    for i in range(len(center)):
+        d = F.element_at(v, base + i) - F.lit(float(center[i]))
+        terms.append(d * d)
+    return sum(terms[1:], terms[0])
+
+
+def _unit_scalar(col, dim: int):
+    """L2-normalize WITHOUT higher-order functions. A single
+    CodegenFallback expression (transform/aggregate/zip_with) in a
+    projection knocks the WHOLE operator out of whole-stage codegen —
+    measured on the encode path: the scalar distance math above ran
+    interpreted (40 s for 5 000 rows) purely because the _unit
+    normalization beside it was a transform(). With the known dim the
+    norm is a flat sum of squares and the unit vector a CreateArray of
+    scalar divisions, all codegen-compiled."""
+    v = col if not isinstance(col, str) else F.col(col)
+    sq = [F.element_at(v, i + 1) * F.element_at(v, i + 1) for i in range(dim)]
+    n = F.sqrt(sum(sq[1:], sq[0]))
+    return F.when(
+        n > 0, F.array(*[F.element_at(v, i + 1) / n for i in range(dim)])
+    ).otherwise(v)
 
 
 def train_pq_codebooks(
@@ -117,8 +154,16 @@ def train_pq_codebooks(
             [(s, c, books[s][c]) for s in range(m) for c in range(k)],
             "sub int, code int, cv array<double>",
         )
+        # scalar expansion over the known dsub (the _sq_l2 HOF fold
+        # ran interpreted over the n*m*k joined rows — ~3 s/iteration
+        # at sf0.1; this codegen-compiles)
+        d_terms = []
+        for i in range(1, dsub + 1):
+            di = F.element_at("sv", i) - F.element_at("cv", i)
+            d_terms.append(di * di)
         scored = subs.join(F.broadcast(cdf), "sub").select(
-            "id", "sub", "sv", "code", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+            "id", "sub", "sv", "code",
+            sum(d_terms[1:], d_terms[0]).alias("d2"),
         )
         w = Window.partitionBy("id", "sub").orderBy(F.col("d2"), F.col("code"))
         assigned = scored.withColumn("r", F.row_number().over(w)).filter(
@@ -147,20 +192,64 @@ def train_pq_codebooks(
 def pq_code_expr(v_col, codebooks) -> "F.Column":
     """codes array<int> for a unit-normalized array<double> column —
     pure column math: per subspace, argmin over k literal centroid
-    distances. No join, no shuffle: the corpus-wide encode is a
-    map-only projection (plan-asserted in tests)."""
+    distances. No join, no shuffle.
+
+    CEILING: at m*k cells the generated Java exceeds janino's 64 KB
+    method limit somewhere around ~128 cells (measured: m=8, k=32
+    fails to compile and the whole stage runs interpreted at ~4 ms/
+    row). Use for small codebooks; the DEFAULT encode path is
+    :func:`pq_encode`'s Arrow-batched numpy argmin — the same
+    documented-boundary discipline as ml/fmp.py's scorer — which is
+    map-only, exchange-free, and runs the full (n, m, k, d/m)
+    distance tensor through BLAS-grade vectorized code."""
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
     v = v_col if not isinstance(v_col, str) else F.col(v_col)
     codes = []
     for s in range(m):
-        sv = F.slice(v, s * dsub + 1, dsub)
-        dists = F.array(*[_sq_l2(sv, _lit_vec(codebooks[s][c])) for c in range(k)])
+        dists = F.array(
+            *[_sq_l2_scalar(v, s * dsub + 1, codebooks[s][c]) for c in range(k)]
+        )
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         )
     return F.array(*codes)
+
+
+def pq_encode_udf(codebooks):
+    """Arrow-batched numpy PQ encoder: array<float|double> -> codes
+    array<int>. Normalizes internally (spherical PQ), computes the
+    full (batch, m, k) distance tensor vectorized, argmin per
+    subspace (first-min ties, matching array_position-of-min).
+
+    This is the hot corpus-wide pass, and it is one of the few places
+    in the repo where Python beats the JVM plan: the pure-expression
+    formulation is either interpreted HOFs (223 s / 5k rows) or a
+    janino-overflow fallback (see pq_code_expr) — the numpy tensor
+    does the same 10^7 flops per batch in milliseconds, and the
+    operator stays MAP-ONLY (ArrowEvalPython, no exchange;
+    plan-asserted in tests, the ml/fmp.py scoring precedent).
+    """
+    C = np.asarray(codebooks, dtype="float64")  # (m, k, dsub)
+    m, k, dsub = C.shape
+
+    def encode(v):
+        X = np.stack(
+            [
+                np.asarray(x, dtype="float64")
+                if x is not None
+                else np.zeros(m * dsub)
+                for x in v
+            ]
+        )
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        X = np.divide(X, n, out=X.copy(), where=n > 0)
+        Xs = X.reshape(len(X), m, dsub)
+        d = ((Xs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(list(d.argmin(-1).astype("int32")))
+
+    return pandas_udf(encode, "array<int>")
 
 
 def pq_encode(
@@ -169,13 +258,36 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes) for the whole corpus — map-only (see pq_code_expr).
-    m bytes of code replace 4*dim bytes of floats: the representation
-    a 100 TB embedding corpus is actually searched from."""
+    """(id, codes) for the whole corpus — map-only, exchange-free
+    (see pq_encode_udf). m bytes of code replace 4*dim bytes of
+    floats: the representation a 100 TB embedding corpus is actually
+    searched from."""
+    enc = pq_encode_udf(codebooks)
     return embeddings.select(
-        F.col(id_col).alias("id"),
-        pq_code_expr(_unit(_as_double(vec_col)), codebooks).alias("codes"),
+        F.col(id_col).alias("id"), enc(_as_double(vec_col)).alias("codes")
     )
+
+
+def adc_table_udf(codebooks):
+    """Arrow-batched ADC table builder: raw qv -> flat m*k
+    array<double> of exact unit-subvector-to-centroid squared
+    distances (normalizes internally, like the encoder — cosine is
+    scale-invariant, so NO plan ever needs a normalized vector
+    column; the expression-level normalization it replaces ran
+    interpreted at ~1 ms/row, see _unit_scalar). Runs on the QUERY
+    side only (Q rows)."""
+    C = np.asarray(codebooks, dtype="float64")  # (m, k, dsub)
+    m, k, dsub = C.shape
+
+    def table(qv):
+        X = np.stack([np.asarray(x, dtype="float64") for x in qv])
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        X = np.divide(X, n, out=X.copy(), where=n > 0)
+        Xs = X.reshape(len(X), m, dsub)
+        d = ((Xs[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)  # (n, m, k)
+        return pd.Series(list(d.reshape(len(X), m * k)))
+
+    return pandas_udf(table, "array<double>")
 
 
 def _adc_table_expr(qv_col, codebooks) -> "F.Column":
@@ -190,10 +302,22 @@ def _adc_table_expr(qv_col, codebooks) -> "F.Column":
     qv = qv_col if not isinstance(qv_col, str) else F.col(qv_col)
     cells = []
     for s in range(m):
-        sv = F.slice(qv, s * dsub + 1, dsub)
         for c in range(k):
-            cells.append(_sq_l2(sv, _lit_vec(codebooks[s][c])))
+            cells.append(_sq_l2_scalar(qv, s * dsub + 1, codebooks[s][c]))
     return F.array(*cells)
+
+
+def _adc_dist_expr(codes_col, qtab_col, m: int, k: int):
+    """ADC approximate distance: sum_s qtab[s*k + codes[s]] as m flat
+    element_at lookups (codegen-compiled; the HOF formulation put an
+    interpreted closure on every candidate row)."""
+    codes = codes_col if not isinstance(codes_col, str) else F.col(codes_col)
+    qtab = qtab_col if not isinstance(qtab_col, str) else F.col(qtab_col)
+    terms = [
+        F.element_at(qtab, F.lit(s * k + 1) + F.element_at(codes, s + 1))
+        for s in range(m)
+    ]
+    return sum(terms[1:], terms[0])
 
 
 def pq_topk(
@@ -208,8 +332,7 @@ def pq_topk(
     """Approximate top-k by ADC over PQ codes, optional exact rerank.
 
     Scan side reads only (id, codes); each (vector, query) distance
-    is an m-element zip_with lookup-sum into the query's broadcast
-    ADC table. With rerank=R > k, the top R ADC candidates are joined
+    is m scalar lookups into the query's broadcast ADC table. With rerank=R > k, the top R ADC candidates are joined
     back to their full vectors for exact cosine and re-ranked — the
     standard two-stage recall fix, still touching only Q*R vectors.
     Output (query_id, neighbor_id, sim, rank) matches the rest of the
@@ -218,25 +341,21 @@ def pq_topk(
     """
     kk = len(codebooks[0])
     qk = max(k, rerank)
+    # raw vectors throughout: both UDFs normalize internally and the
+    # rerank cosine is scale-invariant, so the plan never pays for a
+    # normalized-array column (expression-level normalization ran
+    # interpreted at ~1 ms/row -- the _unit_scalar janino note)
     e = embeddings.select(
-        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("v")
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
-    corpus = e.select("id", pq_code_expr(F.col("v"), codebooks).alias("codes"))
+    corpus = e.select("id", pq_encode_udf(codebooks)(F.col("v")).alias("codes"))
     q = e.filter(query_pred(F.col("id"))).select(
         F.col("id").alias("query_id"),
         F.col("v").alias("qv"),
-        _adc_table_expr(F.col("v"), codebooks).alias("qtab"),
+        adc_table_udf(codebooks)(F.col("v")).alias("qtab"),
     )
     m = len(codebooks)
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: F.element_at(F.col("qtab"), (s * kk + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    adist = _adc_dist_expr("codes", "qtab", m, kk)
     # qtab is consumed map-side by the adist projection; only the
     # 3-column (query_id, neighbor_id, d2) rows enter the top-k
     # shuffle — carrying qv (or the 2 KB table) per candidate row
@@ -297,7 +416,7 @@ def build_ivfpq_index(
     the ADC pass reads the m-byte ``codes`` column, never the
     4*dim-byte ``v`` — ReadSchema-asserted in tests). Vectors are
     PQ-encoded directly rather than as residuals (faiss's
-    by_residual=False variant), which keeps the stored ``v`` the
+    by_residual=False variant), which keeps the stored raw ``v`` the
     single source of truth for the exact rerank.
 
     Layout: ``cid=<n>/`` parquet dirs holding (id, v, codes), plus
@@ -310,8 +429,12 @@ def build_ivfpq_index(
         codebooks = train_pq_codebooks(
             embeddings, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
+    # raw vectors: the centroid assignment and the probe-time rerank
+    # are cosine (scale-invariant), and the encoder normalizes
+    # internally -- storing raw keeps the index bit-compatible with
+    # the brute-force baseline's arithmetic
     e = embeddings.select(
-        F.col(id_col).alias("id"), _unit(_as_double(vec_col)).alias("v")
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )
     if centroids is not None:
         n_lists = len(centroids)
@@ -331,7 +454,12 @@ def build_ivfpq_index(
     corpus = (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") == 1)
-        .select("id", "v", pq_code_expr(F.col("v"), codebooks).alias("codes"), "cid")
+        .select(
+            "id",
+            "v",
+            pq_encode_udf(codebooks)(F.col("v")).alias("codes"),
+            "cid",
+        )
     )
     # cluster the write by list id (same rationale as build_ivf_index:
     # one file per holding task per list, not tasks x lists slivers)
@@ -365,7 +493,7 @@ def ivfpq_probe(
        as the LITERAL partition filter, exactly like ivf_probe;
     2. ADC candidate scan over ONLY the pruned lists' (id, codes)
        columns — the full vectors stay on disk; approximate distance
-       is the zip_with lookup-sum into each query's broadcast table;
+       is m scalar lookups into each query's broadcast table;
     3. exact rerank: the top-``rerank`` candidates per query (Q*R
        rows, broadcast) join back to the SAME pruned partitions for
        their ``v`` and re-score by exact cosine.
@@ -383,9 +511,7 @@ def ivfpq_probe(
     cents = spark.read.parquet(path + ".centroids")
     from nerd_spark.operators.similarity import cosine as _cos
 
-    q = queries.select(
-        "query_id", _unit(_as_double("qv")).alias("qv")
-    )
+    q = queries.select("query_id", _as_double("qv").alias("qv"))
     qscored = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "qv", "cid", F.round(_cos(F.col("qv"), F.col("cv")), 6).alias("csim")
     )
@@ -393,22 +519,19 @@ def ivfpq_probe(
     probes = (
         qscored.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", _adc_table_expr(F.col("qv"), books).alias("qtab"), "cid")
+        .select(
+            "query_id",
+            "qv",
+            adc_table_udf(books)(F.col("qv")).alias("qtab"),
+            "cid",
+        )
         .cache()  # consumed twice: the cid collect + the candidate join
     )
     probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
     pruned = spark.read.parquet(path).filter(
         F.col("cid").isin(probe_cids)
     ).withColumn("cid", F.col("cid").cast("long"))
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(mm - 1)),
-            lambda c, s: F.element_at(F.col("qtab"), (s * kk + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    adist = _adc_dist_expr("codes", "qtab", mm, kk)
     cand = (
         pruned.select("id", "codes", "cid")
         .join(F.broadcast(probes), "cid")

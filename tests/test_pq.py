@@ -38,9 +38,12 @@ def test_encode_is_map_only_and_codes_bounded(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     books = PQ.train_pq_codebooks(emb, m=8, k=16, n_iter=1)
     codes = PQ.pq_encode(emb, books)
-    plan = codes._jdf.queryExecution().optimizedPlan().toString()
-    for bad in ("Exchange", "Repartition", "Sort", "Join", "Python"):
+    # map-only: no exchange anywhere; the one Python seam is the
+    # documented Arrow-batched encoder (never row-at-a-time)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "Repartition", "Sort", "Join", "BatchEvalPython"):
         assert bad not in plan, f"{bad} in encode plan:\n{plan}"
+    assert "ArrowEvalPython" in plan
     rows = codes.select(
         F.size("codes").alias("m"),
         F.array_min("codes").alias("lo"),
