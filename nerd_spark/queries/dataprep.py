@@ -1253,7 +1253,7 @@ def ann_pq_topk(spark, sf_dir):
     from nerd_spark.operators import pq as PQ
 
     emb = t(spark, sf_dir, "embeddings")
-    books = PQ.train_pq_codebooks(emb, m=8, k=32, n_iter=4)
+    books = PQ.train_pq_codebooks(emb, m=8, k=32, n_iter=4, train_rows=5000)
     return PQ.pq_topk(emb, lambda c: c < 10, books, k=10, rerank=100)
 
 
@@ -1279,7 +1279,9 @@ def ann_ivfpq_indexed(spark, sf_dir):
     )
     if not os.path.exists(os.path.join(path + ".codebooks", "_SUCCESS")):
         cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=3)
-        PQ.build_ivfpq_index(emb, path, m=8, k=32, n_iter=3, centroids=cents)
+        PQ.build_ivfpq_index(
+            emb, path, m=8, k=32, n_iter=3, centroids=cents
+        )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
