@@ -392,6 +392,13 @@ def embedding_neardup(
     Like any LSH dedup, pairs whose hyperplane signs differ land in
     different buckets and are unseen (recall grows with band count;
     the ann_lsh_bucket_topk tradeoff, documented not hidden).
+
+    SIZE len(dims) WITH THE CORPUS: within-bucket comparison is
+    quadratic in bucket size (expected pairs ~ n^2 / 2^bits), so the
+    hyperplane count must grow ~2*log2(n) to keep per-bucket pair
+    counts bounded — the same O(sqrt(n))-cells rule documented on
+    semantic_dedup's n_lists. The 4-bit default is the
+    oracle-checkable toy configuration, not the deployment one.
     """
     from nerd_spark.operators.similarity import cosine, sign_bucket
 

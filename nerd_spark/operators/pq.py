@@ -492,6 +492,62 @@ def build_ivfpq_index(
     return codebooks
 
 
+def ivfpq_append(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch into an existing IVF-PQ index — O(batch),
+    no rebuild, no touch of stored rows.
+
+    The quantizers are FROZEN: centroid and codebook sidecars are
+    read back, the batch is assigned to lists and PQ-encoded with
+    exactly the build-time rules, and the rows land as NEW files
+    inside their lists' ``cid=`` directories (append-mode dynamic
+    partition write). This is the window-table/daily-summary
+    maintenance discipline applied to the ANN index: ingest cost
+    scales with the batch, never the corpus. Probes need no change.
+    Quantizer drift under a shifting distribution is the documented
+    tradeoff (faiss's add-to-trained-index behaves the same);
+    retrain + rebuild is the compaction path. Bit-equal to building
+    the full index with the same quantizers (tested).
+    """
+    cb = spark.read.parquet(path + ".codebooks").collect()
+    mm = 1 + max(r.sub for r in cb)
+    kk = 1 + max(r.code for r in cb)
+    books = [[None] * kk for _ in range(mm)]
+    for r in cb:
+        books[r.sub][r.code] = list(r.cv)
+    cents = spark.read.parquet(path + ".centroids")
+    n_lists = cents.count()
+    from nerd_spark.operators.similarity import cosine as _cos
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    scored = e.crossJoin(
+        F.broadcast(cents.select("cid", "cv"))
+    ).select(
+        "id", "v", "cid", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("csim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    batch = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(
+            "id",
+            "v",
+            pq_encode_udf(books)(F.col("v")).alias("codes"),
+            "cid",
+        )
+    )
+    batch.repartition(n_lists, F.col("cid")).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path)
+
+
 def ivfpq_probe(
     spark,
     path: str,

@@ -107,6 +107,42 @@ def test_ivfpq_candidate_scan_reads_codes_not_vectors(spark, sf_dir):
     assert rr and all("codes" not in s for s in rr), idx_scans
 
 
+def test_ivfpq_append_equals_full_build(spark, sf_dir):
+    """Frozen-quantizer append: building on half the corpus and
+    appending the other half yields bit-identical probe results to
+    one full build with the same quantizers — the O(batch)
+    maintenance property."""
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k=8, n_iter=1)
+    cents = [
+        list(r.v)
+        for r in emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="nerd_ivfpq_app_")
+    p_full, p_inc = base + "/full", base + "/inc"
+    PQ.build_ivfpq_index(emb, p_full, codebooks=books, centroids=cents)
+    PQ.build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), p_inc,
+        codebooks=books, centroids=cents,
+    )
+    PQ.ivfpq_append(spark, p_inc, emb.filter(F.col("vec_id") % 2 == 1))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    want = {
+        tuple(r) for r in PQ.ivfpq_probe(spark, p_full, q, k=10, n_probe=2).collect()
+    }
+    got = {
+        tuple(r) for r in PQ.ivfpq_probe(spark, p_inc, q, k=10, n_probe=2).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_recall_at_sf001_with_shipped_params(spark):
     emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
     books = PQ.train_pq_codebooks(emb, m=8, k=32, n_iter=4)
