@@ -78,10 +78,17 @@ def _spread(docs: DataFrame) -> DataFrame:
             from nerd_spark.sources import fsutil
 
             sample = files[:: max(1, n_files // 3)][:3]
-            mean = sum(fsutil.size(spark, f) for f in sample) / len(sample)
+            # MIN of the sample, not the mean: n_files*min is a true
+            # lower bound on total bytes whenever the sample's
+            # smallest file is representative of the floor, so a
+            # "wide" verdict here can only under-claim width. A mean
+            # skewed by one sampled giant could classify a
+            # mostly-tiny directory as wide and skip the exact probe
+            # this function exists to guarantee.
+            floor = min(fsutil.size(spark, f) for f in sample)
         except Exception:
-            mean = 0.0
-        if n_files * (mean + open_cost) >= par * max_pb:
+            floor = 0.0
+        if n_files * (floor + open_cost) >= par * max_pb:
             return docs
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)

@@ -87,23 +87,6 @@ def _sq_l2_scalar(v, base: int, center: list[float]):
     return sum(terms[1:], terms[0])
 
 
-def _unit_scalar(col, dim: int):
-    """L2-normalize WITHOUT higher-order functions. A single
-    CodegenFallback expression (transform/aggregate/zip_with) in a
-    projection knocks the WHOLE operator out of whole-stage codegen —
-    measured on the encode path: the scalar distance math above ran
-    interpreted (40 s for 5 000 rows) purely because the _unit
-    normalization beside it was a transform(). With the known dim the
-    norm is a flat sum of squares and the unit vector a CreateArray of
-    scalar divisions, all codegen-compiled."""
-    v = col if not isinstance(col, str) else F.col(col)
-    sq = [F.element_at(v, i + 1) * F.element_at(v, i + 1) for i in range(dim)]
-    n = F.sqrt(sum(sq[1:], sq[0]))
-    return F.when(
-        n > 0, F.array(*[F.element_at(v, i + 1) / n for i in range(dim)])
-    ).otherwise(v)
-
-
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
@@ -290,14 +273,21 @@ def adc_table_udf(codebooks):
     array<double> of exact unit-subvector-to-centroid squared
     distances (normalizes internally, like the encoder — cosine is
     scale-invariant, so NO plan ever needs a normalized vector
-    column; the expression-level normalization it replaces ran
-    interpreted at ~1 ms/row, see _unit_scalar). Runs on the QUERY
-    side only (Q rows)."""
+    column; the expression-level normalization this replaces ran
+    interpreted at ~1 ms/row — the PLANS.md HOF/codegen note). Runs
+    on the QUERY side only (Q rows)."""
     C = np.asarray(codebooks, dtype="float64")  # (m, k, dsub)
     m, k, dsub = C.shape
 
     def table(qv):
-        X = np.stack([np.asarray(x, dtype="float64") for x in qv])
+        X = np.stack(
+            [
+                np.asarray(x, dtype="float64")
+                if x is not None
+                else np.zeros(m * dsub)
+                for x in qv
+            ]
+        )
         n = np.linalg.norm(X, axis=1, keepdims=True)
         X = np.divide(X, n, out=X.copy(), where=n > 0)
         Xs = X.reshape(len(X), m, dsub)
@@ -305,23 +295,6 @@ def adc_table_udf(codebooks):
         return pd.Series(list(d.reshape(len(X), m * k)))
 
     return pandas_udf(table, "array<double>")
-
-
-def _adc_table_expr(qv_col, codebooks) -> "F.Column":
-    """Flat m*k ADC table for a unit query vector: slot s*k+c holds
-    the EXACT squared L2 distance from the query's s-th subvector to
-    codebook centroid (s, c). Computed in-plan on the query side —
-    per-query cost m*k folds over dim/m elements, negligible next to
-    the corpus scan it parameterizes."""
-    m = len(codebooks)
-    k = len(codebooks[0])
-    dsub = len(codebooks[0][0])
-    qv = qv_col if not isinstance(qv_col, str) else F.col(qv_col)
-    cells = []
-    for s in range(m):
-        for c in range(k):
-            cells.append(_sq_l2_scalar(qv, s * dsub + 1, codebooks[s][c]))
-    return F.array(*cells)
 
 
 def _adc_dist_expr(codes_col, qtab_col, m: int, k: int):
@@ -361,7 +334,7 @@ def pq_topk(
     # raw vectors throughout: both UDFs normalize internally and the
     # rerank cosine is scale-invariant, so the plan never pays for a
     # normalized-array column (expression-level normalization ran
-    # interpreted at ~1 ms/row -- the _unit_scalar janino note)
+    # interpreted at ~1 ms/row -- the PLANS.md HOF/codegen note)
     e = embeddings.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
     )

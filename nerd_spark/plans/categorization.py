@@ -75,7 +75,13 @@ def _validate(tree: ast.AST, columns: set[str]) -> set[str]:
         if isinstance(node, ast.Attribute):
             if node.attr.startswith("_"):
                 raise ValueError("python trigger: underscore attribute")
-            if node.attr not in _ALLOWED_METHODS | _ALLOWED_RE_FLAGS:
+            # flag attributes are valid ONLY on the re module itself:
+            # `description.IGNORECASE` must reject at compile time
+            # (not silently evaluate to False per row)
+            is_re_flag = node.attr in _ALLOWED_RE_FLAGS and (
+                isinstance(node.value, ast.Name) and node.value.id == "re"
+            )
+            if node.attr not in _ALLOWED_METHODS and not is_re_flag:
                 raise ValueError(f"python trigger: method {node.attr!r} not allowed")
         if isinstance(node, ast.Call):
             f = node.func

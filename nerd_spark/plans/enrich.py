@@ -91,6 +91,8 @@ def dnsbl_stage(
             mapping = (
                 F.when(cond, bl_id) if mapping is None else mapping.when(cond, bl_id)
             )
+    if mapping is None:  # no zones / all result maps empty: all clean
+        mapping = F.lit(None).cast("string")
     hits = joined.withColumn("bl_id", mapping).filter(F.col("bl_id").isNotNull())
     listed = hits.groupBy("entity").agg(
         F.array_sort(F.collect_set("bl_id")).alias("bl")
@@ -125,9 +127,14 @@ def ptr_hostname_stage(
     small -> broadcast); the qname build is map-only.
     """
     first = answers.groupBy("qname").agg(F.min("rdata").alias("rdata"))
+    # v4 reverses under in-addr.arpa, v6 (nibble form from reverse_ip)
+    # under ip6.arpa — dns.reversename.from_address's exact behavior
+    suffix = F.when(
+        F.col(ip_col).contains(":"), F.lit(".ip6.arpa")
+    ).otherwise(F.lit(".in-addr.arpa"))
     q = ips.select(
         "entity",
-        F.concat(reverse_ip(ip_col), F.lit(".in-addr.arpa")).alias("qname"),
+        F.concat(reverse_ip(ip_col), suffix).alias("qname"),
     )
     return q.join(F.broadcast(first), "qname", "left").select(
         "entity",

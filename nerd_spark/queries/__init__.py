@@ -44,13 +44,14 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    exact_sum/exact_avg users (a10/a14/a16/j4_bucketed) and the
 #    retokenized text family (text_quality/langid/token_stats),
 #    which both carry changed plans this round.
-# Trimmed to fit the 50: fmp_training_frame (r5-green; shares the
-# whole FEATURE_SPEC oracle path with fmp_score, which stays in),
-# dedup_simhash_pairs (r5-green; shares the complete simhash path
-# with dedup_simhash, in) and a6_rep_blacklists (r5-green; shares
-# plans/reputation.py with a6_rep_dshield and a6_source_reputation,
-# both in) sit at the 2-round bound this round and rotate first
-# into r8. Every r6-green changed query (a16 aside,
+# Trimmed to fit the 50 (every trim shares its complete code path
+# with an in-window sibling): fmp_training_frame (FEATURE_SPEC path
+# with fmp_score, in), dedup_simhash_pairs (simhash path with
+# dedup_simhash, in), a6_rep_blacklists + a6_rep_dshield
+# (plans/reputation.py with a6_source_reputation, in), and
+# j4_range_join_bucketed (operators/rangejoin.py, whose j4/j5
+# siblings are r6-green). All are r5-green, sit at the 2-round
+# staleness bound, and rotate FIRST into r8. Every r6-green changed query (a16 aside,
 # which is in) was re-hash-verified against its oracle at sf0.01 in
 # this round's build session; all keep the full-inventory mirror in
 # tests/test_oracle_diff.py.
@@ -60,16 +61,16 @@ _WINDOW_PRIORITY = [
     "mixture_temperature_free",
     "p12_dnsbl_membership",
     "p13_geo_enrichment",
+    "p14_ptr_hostname",
     "ann_pq_topk",
+    "ann_ivfpq_indexed",
     # 2 — changed accumulation (entry flagship)
     "q1_pricing_summary",
     # 3 — r5-latest rows (≤2-round staleness invariant)
     "set_ops_union",
     "w6_rank_lag",
-    "a6_rep_dshield",
     "a7_total_multi",
     "tags_rules",
-    "j4_range_join_bucketed",
     "fmp_score",
     "a1_daily_rollup",
     "a3_ewma",

@@ -42,7 +42,14 @@ def _summary_fresh(spark, sf_dir, dirname):
 
     from nerd_spark.sources import fsutil
 
-    success = os.path.join(sf_dir, dirname, "_SUCCESS")
+    from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME, WINDOW_GATE
+
+    # the window table commits through its own gate marker (see
+    # layout.WINDOW_GATE: _SUCCESS is auto-recreated mid-commit on
+    # the full-overwrite path and cannot order against the sidecar
+    # anchor write); the other summaries gate on _SUCCESS
+    marker = WINDOW_GATE if dirname == SUMMARY_WINDOW_DIRNAME else "_SUCCESS"
+    success = os.path.join(sf_dir, dirname, marker)
     if not fsutil.exists(spark, success):
         return False
     events = os.path.join(sf_dir, "events.parquet")

@@ -1216,13 +1216,34 @@ def ann_ivf_indexed(spark, sf_dir):
     path = os.path.join(sf_dir, IVF_INDEX_DIRNAME)
     if not os.path.exists(os.path.join(path + ".centroids", "_SUCCESS")):
         path = os.path.join(
-            tempfile.gettempdir(), f"nerd_spark_ivf_{abs(hash(sf_dir)) % 10**8}"
+            tempfile.gettempdir(), f"nerd_spark_ivf_{_dataset_key(sf_dir)}"
         )
-        SIM.build_ivf_index(emb, path, n_lists=8)
+        if not os.path.exists(os.path.join(path + ".centroids", "_SUCCESS")):
+            SIM.build_ivf_index(emb, path, n_lists=8)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return SIM.ivf_probe(spark, path, q, k=5, n_probe=2)
+
+
+
+def _dataset_key(sf_dir: str) -> str:
+    """Stable cache key for per-dataset derived state in tmp: md5 of
+    (path, embeddings size+mtime). Python's str hash is salted per
+    process, so hash(sf_dir) could never hit across driver runs (each
+    run rebuilt and orphaned an index copy); a content-version key
+    reuses across processes AND invalidates when the table is
+    regenerated in place."""
+    import hashlib
+    import os
+
+    probe = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(probe)
+        sig = f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        sig = sf_dir
+    return hashlib.md5(sig.encode()).hexdigest()[:12]
 
 
 @query("ann_ivf_trained", None)  # k-means training is iterative: rows-only check
@@ -1275,7 +1296,7 @@ def ann_ivfpq_indexed(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     path = os.path.join(
-        tempfile.gettempdir(), f"nerd_spark_ivfpq_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), f"nerd_spark_ivfpq_{_dataset_key(sf_dir)}"
     )
     if not os.path.exists(os.path.join(path + ".codebooks", "_SUCCESS")):
         cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=3)

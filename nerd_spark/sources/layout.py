@@ -46,6 +46,17 @@ SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 
 
+# Reader gate for the window table. A CUSTOM marker, not _SUCCESS:
+# the day-roll path is a plain (non-dynamic) overwrite whose job
+# commit auto-recreates root _SUCCESS BEFORE the sidecar meta anchor
+# is written — gating on _SUCCESS could serve a new-anchor table
+# against a stale anchor after a crash in that window. Spark never
+# creates this file, so deleting it first and touching it only after
+# BOTH the table and the meta commit makes the gate ordering real on
+# every write path (torn state -> no gate -> raw-recompute fallback).
+WINDOW_GATE = "_NERD_GATE"
+
+
 def _window_meta_path(window_path: str) -> str:
     """Sidecar holding the window table's as-of date (one row). Kept
     OUT of the row schema so a day-roll doesn't force rewriting rows
@@ -181,6 +192,7 @@ def optimize_layout(
     from concurrent.futures import ThreadPoolExecutor
 
     from nerd_spark.session import read_table
+    from nerd_spark.sources import fsutil
 
     os.makedirs(out_dir, exist_ok=True)
 
@@ -260,6 +272,7 @@ def optimize_layout(
             .parquet(wpath)
         )
         asof_d_df.write.mode("overwrite").parquet(_window_meta_path(wpath))
+        fsutil.touch(spark, os.path.join(wpath, WINDOW_GATE))
 
 
 def update_daily_summary(
@@ -392,7 +405,7 @@ def update_window_summary(
     if batch_max_d is None:
         return  # empty batch
 
-    have_old = fsutil.exists(spark, os.path.join(window_path, "_SUCCESS"))
+    have_old = fsutil.exists(spark, os.path.join(window_path, WINDOW_GATE))
     old = spark.read.parquet(window_path) if have_old else None
     meta_p = _window_meta_path(window_path)
     legacy = old is not None and "as_of_d" in old.columns
@@ -590,12 +603,14 @@ def update_window_summary(
         )
 
     # same lineage-cut + marker discipline as update_daily_summary:
-    # the merge reads the table the write replaces. The root _SUCCESS
-    # is dropped before the commit and restored after, so a torn
-    # multi-partition overwrite leaves no marker and readers fall back
-    # to the raw recompute instead of serving mixed state.
+    # the merge reads the table the write replaces. The reader gate
+    # (WINDOW_GATE — see its comment for why not _SUCCESS) is dropped
+    # before the commit and restored only after the sidecar anchor is
+    # written, so a tear at ANY point leaves no gate and readers fall
+    # back to the raw recompute instead of serving mixed or
+    # stale-anchor state.
     merged = _with_rep_columns(merged).withColumn("wb", _wbucket()).localCheckpoint()
-    success = os.path.join(window_path, "_SUCCESS")
+    success = os.path.join(window_path, WINDOW_GATE)
     fsutil.delete(spark, success)
     writer = merged.repartition("wb").write.mode("overwrite")
     if touched is not None:
@@ -604,7 +619,7 @@ def update_window_summary(
         writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.partitionBy("wb").parquet(window_path)
     # sidecar as-of anchor BEFORE restoring the reader gate: a tear
-    # between the two leaves no _SUCCESS and the next update rebuilds
+    # between the two leaves no gate and the next update rebuilds
     asof_df.write.mode("overwrite").parquet(_window_meta_path(window_path))
     fsutil.touch(spark, success)
 

@@ -149,3 +149,21 @@ def test_recall_at_sf001_with_shipped_params(spark):
     approx = PQ.pq_topk(emb, lambda c: c < 10, books, k=10, rerank=100)
     exact = SIM.brute_force_topk(emb, F.col("vec_id") < 10, k=10)
     assert SIM.recall_at_k(approx, exact) >= 0.8
+
+
+def test_pq_code_expr_matches_arrow_encoder_small_codebook(spark, sf_dir):
+    """The pure-expression encode variant (small codebooks only — the
+    janino ceiling is documented on pq_code_expr) agrees with the
+    default Arrow encoder on a unit-normalized input."""
+    from nerd_spark.operators.similarity import _as_double
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=4, k=4, n_iter=1)
+    unit = PQ._unit(_as_double("embedding"))
+    expr = emb.select(
+        F.col("vec_id").alias("id"), unit.alias("v")
+    ).select("id", PQ.pq_code_expr(F.col("v"), books).alias("codes"))
+    udf = PQ.pq_encode(emb, books)
+    e_m = {r.id: list(r.codes) for r in expr.collect()}
+    u_m = {r.id: list(r.codes) for r in udf.collect()}
+    assert e_m == u_m and len(e_m) > 0

@@ -94,7 +94,9 @@ def test_a_family_serve_paths_equal_fallback(spark, sf_dir):
 
     out = tempfile.mkdtemp(prefix="nerd_a2_layout_")
     optimize_layout(spark, sf_dir, out, tables=["events"])
-    assert os.path.exists(os.path.join(out, SUMMARY_WINDOW_DIRNAME, "_SUCCESS"))
+    from nerd_spark.sources.layout import WINDOW_GATE
+
+    assert os.path.exists(os.path.join(out, SUMMARY_WINDOW_DIRNAME, WINDOW_GATE))
 
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     for q in (
