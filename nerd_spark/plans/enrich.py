@@ -142,6 +142,149 @@ def ptr_hostname_stage(
     )
 
 
+def parse_caida_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """CAIDA as2types list (reference: NERDd/modules/caida_as_class.py
+    parse_list, :54-77) -> (asn, source, cls). Lines are
+    ``asn|source|class``; ``#`` comments and non-numeric asn lines are
+    dropped (the reference logs-and-skips them). Pure column ops —
+    the list is a broadcast-sized dim (~70k rows at full CAIDA size).
+    """
+    parts = F.split(F.col(line_col), r"\|")
+    return (
+        lines.filter(~F.col(line_col).startswith("#"))
+        .select(
+            F.get(parts, 0).try_cast("long").alias("asn"),
+            F.get(parts, 1).alias("source"),
+            F.get(parts, 2).alias("cls"),
+        )
+        .filter(F.col("asn").isNotNull())
+    )
+
+
+def as_class_stage(
+    asns: DataFrame,
+    caida: DataFrame,
+    class_values: dict[str, str] | None = None,
+    source_confidence: dict[str, float] | None = None,
+    asn_col: str = "asn",
+) -> DataFrame:
+    """CAIDA AS-class enrichment as a derivation stage (reference:
+    NERDd/modules/caida_as_class.py determine_type/search_in_dict,
+    :80-127).
+
+    asns: (entity, asn); caida: (asn, source, cls) from
+    :func:`parse_caida_lines`. Config knobs mirror the reference's
+    ``caida.classes`` (class name -> stored value remap, :60-63) and
+    ``caida.sources`` (source -> confidence, :91-97). Output:
+    (entity, as_class_v, as_class_c) with the reference's exact write
+    semantics — unknown ASN stores the literal ``'unknown'`` (:124),
+    and confidence is stored ONLY when != 1 (:122-123; NULL otherwise).
+
+    Plan: the dim is broadcast (70k rows), the class/confidence maps
+    compile to literal CASE chains — one map-side join, no shuffle.
+    """
+    cls = F.col("cls")
+    if class_values:
+        remap = None
+        for k, v in class_values.items():
+            remap = (F.when(cls == k, v) if remap is None
+                     else remap.when(cls == k, v))
+        cls = remap.otherwise(cls)
+    conf = F.lit(1.0)
+    if source_confidence:
+        c = None
+        for k, v in source_confidence.items():
+            cond = F.col("source") == k
+            c = F.when(cond, float(v)) if c is None else c.when(cond, float(v))
+        conf = c.otherwise(conf)
+    dim = caida.select("asn", "source", cls.alias("_cls"), conf.alias("_conf"))
+    out = asns.join(
+        F.broadcast(dim), asns[asn_col] == dim["asn"], "left"
+    )
+    return out.select(
+        "entity",
+        F.coalesce("_cls", F.lit("unknown")).alias("as_class_v"),
+        F.when(F.col("_conf") != 1.0, F.col("_conf")).alias("as_class_c"),
+    )
+
+
+def _ip4(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+# Reserved/bogon IPv4 ranges (reference: NERDd/modules/reserved_ip.py
+# :14-31 — prefix strings + range regexes; here the same set expressed
+# as the closed int ranges of en.wikipedia.org/wiki/Reserved_IP_addresses,
+# the J4 broadcast-range-join shape instead of per-row string matching).
+# Divergence, documented: the reference's 198.18.0.0/15 regex carries a
+# stray ']' (reserved_ip.py:28) so it can never match; the range is
+# intentionally reserved (RFC 2544), so it matches here.
+RESERVED_RANGES: list[tuple[int, int]] = [
+    (_ip4("0.0.0.0"), _ip4("0.255.255.255")),
+    (_ip4("10.0.0.0"), _ip4("10.255.255.255")),
+    (_ip4("100.64.0.0"), _ip4("100.127.255.255")),
+    (_ip4("127.0.0.0"), _ip4("127.255.255.255")),
+    (_ip4("169.254.0.0"), _ip4("169.254.255.255")),
+    (_ip4("172.16.0.0"), _ip4("172.31.255.255")),
+    (_ip4("192.0.0.0"), _ip4("192.0.0.255")),
+    (_ip4("192.0.2.0"), _ip4("192.0.2.255")),
+    (_ip4("192.168.0.0"), _ip4("192.168.255.255")),
+    (_ip4("198.18.0.0"), _ip4("198.19.255.255")),
+    (_ip4("198.51.100.0"), _ip4("198.51.100.255")),
+    (_ip4("203.0.113.0"), _ip4("203.0.113.255")),
+    (_ip4("224.0.0.0"), _ip4("255.255.255.255")),
+]
+
+
+def reserved_ip_stage(
+    ips: DataFrame, ip_int_col: str = "ip_int"
+) -> DataFrame:
+    """Reserved-range tagging as a derivation stage (reference:
+    NERDd/modules/reserved_ip.py is_reserved, :41-75 — sets
+    ``reserved_range`` to 1/0 on every new IP).
+
+    ips: (entity, ip_int). Output: (entity, reserved_range int).
+    Plan: LEFT broadcast range join against the literal
+    :data:`RESERVED_RANGES` table (disjoint, so at most one match) —
+    map-side, no shuffle, no per-row regex.
+    """
+    spark = ips.sparkSession
+    ranges = spark.createDataFrame(
+        RESERVED_RANGES, "ip_from long, ip_to long"
+    )
+    ip = F.col(ip_int_col)
+    return ips.join(
+        F.broadcast(ranges), ip.between(F.col("ip_from"), F.col("ip_to")), "left"
+    ).select(
+        "entity",
+        F.when(F.col("ip_from").isNotNull(), 1).otherwise(0)
+        .alias("reserved_range"),
+    )
+
+
+def asn_rank_stage(
+    asns: DataFrame, ranks: DataFrame, asn_col: str = "asn"
+) -> DataFrame:
+    """Per-ASN rank enrichment as a derivation stage (reference:
+    NERDd/modules/eml_asn_rank.py get_rank, :38-68 — queries the EML
+    API per new ASN and stores ``eml_rank`` as float; a failed/missing
+    lookup stores nothing, :63-65).
+
+    The API hop becomes a snapshotted rank dim (asn, rank) — the same
+    feed-snapshot substrate the S2/S4 fetch seams produce (and the
+    right shape for bgp_rank.py's CIRCL feed too). Output:
+    (entity, eml_rank double, NULL when the ASN is absent from the
+    snapshot). Plan: one broadcast dim join, map-side.
+    """
+    dim = ranks.select(
+        F.col(asn_col).alias("_asn"), F.col("rank").cast("double").alias("eml_rank")
+    )
+    return asns.join(
+        F.broadcast(dim), asns[asn_col] == dim["_asn"], "left"
+    ).select("entity", "eml_rank")
+
+
 def parse_geolite_blocks(blocks: DataFrame,
                          network_col: str = "network") -> DataFrame:
     """GeoLite2-CSV blocks (network 'a.b.c.d/p', geoname_id) ->

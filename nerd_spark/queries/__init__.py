@@ -30,85 +30,87 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (104) exceeds the driver's 50-entry correctness
+# The inventory (107) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
-# Round-7 rotation:
-# 1. queries NEW this round — fmp_score_gbt (rows-only), the
-#    general-temperature mixture, the DNSBL/geo enrichment pair, and
-#    the PQ/ADC ANN search (rows-only: iterative codebook training);
-# 2. q1_pricing_summary — its accumulation representation changed
-#    (unscaled-long exact_sum) and it is the entry flagship;
-# 3. every query whose latest driver row is r5 (everything outside
-#    the r6 window) — the ≤2-round staleness invariant, including
-#    dedup_incremental (called out by the r6 verdict) and the other
-#    exact_sum/exact_avg users (a10/a14/a16/j4_bucketed) and the
-#    retokenized text family (text_quality/langid/token_stats),
-#    which both carry changed plans this round.
-# Trimmed to fit the 50 (every trim shares its complete code path
-# with an in-window sibling): fmp_training_frame (FEATURE_SPEC path
-# with fmp_score, in), dedup_simhash_pairs (simhash path with
-# dedup_simhash, in), a6_rep_blacklists + a6_rep_dshield
-# (plans/reputation.py with a6_source_reputation, in), and
-# j4_range_join_bucketed (operators/rangejoin.py, whose j4/j5
-# siblings are r6-green). All are r5-green, sit at the 2-round
-# staleness bound, and rotate FIRST into r8. Every r6-green changed query (a16 aside,
-# which is in) was re-hash-verified against its oracle at sf0.01 in
-# this round's build session; all keep the full-inventory mirror in
-# tests/test_oracle_diff.py.
+# Round-8 rotation:
+# 1. the five r5-latest queries the r7 trim scheduled first (the
+#    ≤2-round staleness invariant is now binding on them);
+# 2. queries NEW this round — the p15/p16/p17 enrichment stages
+#    (CAIDA AS-class, reserved-IP tagging, ASN rank);
+# 3. the six formerly rows-only queries that now carry self-oracle
+#    goldens (queries/golden.py) — their oracle status changed, so
+#    the driver must re-record them as hash rows: the trained ANN
+#    family (ivf_trained/pq/ivfpq), the GBT scorer, the free-T
+#    mixture, and the HLL a2 variant;
+# 4. the r6-latest remainder (everything green in r6 but outside the
+#    r7 window), trimmed by 11 to fit: the trims all have an
+#    unchanged code path this round AND a fresher sibling on the same
+#    module (curation v2/v3 compose in-window stage queries;
+#    best_of_cluster/minhash_lsh/semantic/span share operators/
+#    dedup.py+components.py with dedup_exact/clusters, r7-green;
+#    mixture_temperature shares temperature_mixture with the
+#    in-window free-T variant; quality_gopher_rules shares
+#    ml/quality.py with quality_model_filter, in; shard_assign shares
+#    operators/sampling.py with train_val_split r7-green;
+#    f_ip_codec's functions/ip path underlies in-window p16 and
+#    r7-green p12/p14; op_array_upsert_rebuild shares
+#    operators/merge.py with op_merge_snapshot r7-green). They sit at
+#    the staleness bound and rotate FIRST into r9.
 _WINDOW_PRIORITY = [
-    # 1 — new this round
-    "fmp_score_gbt",
-    "mixture_temperature_free",
-    "p12_dnsbl_membership",
-    "p13_geo_enrichment",
-    "p14_ptr_hostname",
+    # 1 — r5-latest (staleness bound)
+    "a6_rep_blacklists",
+    "a6_rep_dshield",
+    "dedup_simhash_pairs",
+    "fmp_training_frame",
+    "j4_range_join_bucketed",
+    # 2 — new this round
+    "p15_as_class",
+    "p16_reserved_ip",
+    "p17_asn_rank",
+    # 3 — rows-only -> self-oracle golden (changed oracle status)
+    "ann_ivf_trained",
     "ann_pq_topk",
     "ann_ivfpq_indexed",
-    # 2 — changed accumulation (entry flagship)
-    "q1_pricing_summary",
-    # 3 — r5-latest rows (≤2-round staleness invariant)
-    "set_ops_union",
-    "w6_rank_lag",
-    "a7_total_multi",
-    "tags_rules",
-    "fmp_score",
-    "a1_daily_rollup",
-    "a3_ewma",
-    "a5_type_profile",
-    "a6_source_reputation",
-    "a7_total_reputation",
-    "a8_threat_summary",
-    "a10_prefix_summary",
-    "a12_refcount_rebuild",
-    "a14_feed_rollup",
-    "a16_rollup_revenue",
-    "op_merge_snapshot",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "contamination_check",
-    "train_val_split",
-    "sequence_packing",
-    "mixture_sample",
-    "tfidf_top_terms",
-    "dedup_incremental",
-    "leakage_safe_split",
-    "lm_unigram_logprob",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_bucket_topk",
-    "emb_centroids",
-    "text_quality",
-    "text_langid",
-    "text_token_stats",
-    "text_pii_scrub",
-    "text_repetition",
-    "multimodal_bytes",
-    "ann_ivf_topk",
-    "dedup_embedding_cosine",
-    "text_fingerprint",
-    "corpus_curation",
-    "streaming_daily_counts",
+    "fmp_score_gbt",
+    "mixture_temperature_free",
+    "a2_window_totals_approx",
+    # 4 — r6-latest remainder
+    "a11_distinct_pair_counts",
+    "a13_intervals",
+    "a2_window_totals",
+    "ann_ivf_indexed",
+    "ip_records",
+    "j1_equi_join",
+    "j2_enrichment_chain",
+    "j4_range_join",
+    "j5_asof_join",
+    "j6_bulk_lookup",
+    "j8_group_stats_join_back",
+    "j9_semi_anti",
+    "nru_due_selection",
+    "p10_validity_filter",
+    "p11_threat_categorization",
+    "p1_projection",
+    "p2_range_predicate",
+    "p3_list_or_range",
+    "p4_suffix_predicate",
+    "p5_multi_value_and_or",
+    "p6_elem_match",
+    "p7_json_exists",
+    "p8_semijoin",
+    "p9_warden_filter_dsl",
+    "quality_model_filter",
+    "read_path_search",
+    "read_path_typed",
+    "s10_export_blocklist",
+    "s4_misp_upserts",
+    "s5_point_read",
+    "s6_filtered_find",
+    "s8_event_fetch",
+    "sessionize_stats",
+    "w1_topk",
+    "w4_last_n_per_key",
+    "w5_pivot",
 ]
 
 

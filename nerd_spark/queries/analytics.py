@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from nerd_spark.plans import derivations as D
 from nerd_spark.queries.base import exact_avg, exact_sum, nonlin_sql, query, t
+from nerd_spark.queries.golden import golden_oracle
 
 # Shared SQL fragments ------------------------------------------------------
 
@@ -899,7 +900,10 @@ def op_array_upsert_rebuild(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("a2_window_totals_approx")  # rows-only
+@query("a2_window_totals_approx", golden_oracle("a2_window_totals_approx"))
+# HLL sketch values are engine-specific by design (the exact-distinct
+# variant a2_window_totals is the semantic oracle); this pins Spark's
+# own sketch output via the committed golden (queries/golden.py).
 def a2_window_totals_approx(spark, sf_dir):
     # approx_count_distinct replaces count_distinct at the 100 TB
     # scale point (SURVEY A2 note): HLL sketches merge map-side, so

@@ -25,6 +25,25 @@ from nerd_spark.operators import multimodal as MM
 from nerd_spark.operators import sampling as SAMP
 from nerd_spark.operators import similarity as SIM
 from nerd_spark.queries.base import query, t
+from nerd_spark.queries.golden import golden_oracle
+
+
+def _assert_recall_floor(emb, approx, floor: float, k: int = 10):
+    """Hard in-path recall floor for the trained ANN queries: compute
+    recall@k of `approx` against the exact brute-force top-k on the
+    same corpus/queries and raise if it drops below `floor`. Runs
+    eagerly when the query is built (both sides are Q*k tiny), so a
+    silently-degraded trained index fails loudly in the driver's
+    correctness run instead of sliding past a rows-only check. The
+    committed goldens (queries/golden.py) pin replay determinism;
+    this pins semantics."""
+    exact = SIM.brute_force_topk(emb, F.col("vec_id") < 10, k=k)
+    r = SIM.recall_at_k(approx, exact)
+    if r < floor:
+        raise AssertionError(
+            f"ANN recall@{k} {r:.3f} below pinned floor {floor}"
+        )
+    return approx
 
 # Shared DuckDB fragments ---------------------------------------------------
 
@@ -372,9 +391,10 @@ def mixture_temperature(spark, sf_dir):
     return SAMP.temperature_mixture(t(spark, sf_dir, "documents"))
 
 
-@query("mixture_temperature_free")  # rows-only: pow(p, 1/T) is
-# float-library-dependent at the last ulp, so no hash oracle (the
-# ann_ivf_trained precedent); the T=0.5 query above stays hash-exact.
+@query("mixture_temperature_free", golden_oracle("mixture_temperature_free"))
+# pow(p, 1/T) is float-library-dependent at the last ulp, so no
+# closed-form hash oracle (the T=0.5 query above stays hash-exact);
+# the oracle is the committed pinned-seed golden (queries/golden.py).
 def mixture_temperature_free(spark, sf_dir):
     # The general-temperature path (operators/sampling.py::
     # temperature_mixture with T != 0.5): arbitrary T>0 via
@@ -1246,22 +1266,24 @@ def _dataset_key(sf_dir: str) -> str:
     return hashlib.md5(sig.encode()).hexdigest()[:12]
 
 
-@query("ann_ivf_trained", None)  # k-means training is iterative: rows-only check
+@query("ann_ivf_trained", golden_oracle("ann_ivf_trained"))
 def ann_ivf_trained(spark, sf_dir):
     # IVF-flat with a trained coarse quantizer: deterministic spherical
     # k-means (5 Lloyd iterations, cosine assignment) replaces the
     # first-N-vectors quantizer of ann_ivf_topk. Not SQL-expressible
-    # (iterative); recall@10 vs ann_cosine_topk is asserted in tests
-    # and reported in PLANS.md (0.96 at sf0.1 with 16 lists / 4
-    # probes, i.e. scanning ~25% of the corpus).
+    # (iterative), so the oracle is the committed pinned-seed golden
+    # (queries/golden.py) + the in-path recall floor below; recall@10
+    # is 0.96 at sf0.1 with 16 lists / 4 probes, 0.85 at sf0.01
+    # (fewer vectors per list); 0.80 is the family floor.
     emb = t(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=5)
-    return SIM.ivf_topk(
+    out = SIM.ivf_topk(
         emb, lambda c: c < 10, k=10, n_lists=16, n_probe=4, centroids=cents
     )
+    return _assert_recall_floor(emb, out, floor=0.80)
 
 
-@query("ann_pq_topk", None)  # PQ training is iterative: rows-only check
+@query("ann_pq_topk", golden_oracle("ann_pq_topk"))
 def ann_pq_topk(spark, sf_dir):
     # Product-quantized ANN with exact rerank: the memory-bounded end
     # of the ANN family — the corpus scan reads m=8 one-byte codes per
@@ -1271,14 +1293,17 @@ def ann_pq_topk(spark, sf_dir):
     # SQL oracle; recall@10 >= 0.8 vs brute force is pinned in
     # tests/test_pq.py, and rerank >= corpus degenerating to the exact
     # brute-force result is the exactness property tested beside it.
+    # Oracle: committed pinned-seed golden (queries/golden.py) + the
+    # in-path recall floor.
     from nerd_spark.operators import pq as PQ
 
     emb = t(spark, sf_dir, "embeddings")
     books = PQ.train_pq_codebooks(emb, m=8, k=32, n_iter=4, train_rows=5000)
-    return PQ.pq_topk(emb, lambda c: c < 10, books, k=10, rerank=100)
+    out = PQ.pq_topk(emb, lambda c: c < 10, books, k=10, rerank=100)
+    return _assert_recall_floor(emb, out, floor=0.80)
 
 
-@query("ann_ivfpq_indexed", None)  # iterative training: rows-only check
+@query("ann_ivfpq_indexed", golden_oracle("ann_ivfpq_indexed"))
 def ann_ivfpq_indexed(spark, sf_dir):
     # The combined on-disk structure faiss deploys at billion-vector
     # scale: inverted lists prune PARTITIONS (a probe lists
@@ -1306,7 +1331,8 @@ def ann_ivfpq_indexed(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return PQ.ivfpq_probe(spark, path, q, k=10, n_probe=4, rerank=100)
+    out = PQ.ivfpq_probe(spark, path, q, k=10, n_probe=4, rerank=100)
+    return _assert_recall_floor(emb, out, floor=0.80)
 
 
 @query(

@@ -13,6 +13,7 @@ from nerd_spark.plans.categorization import CategoryRule, categorize
 from nerd_spark.plans.filters import EntityQuery, search
 from nerd_spark.plans.tags_dsl import tag_table
 from nerd_spark.queries.base import _REP_SQL, query, t
+from nerd_spark.queries.golden import golden_oracle
 
 # ---------------------------------------------------------------------------
 # P11 — threat categorization triggers
@@ -271,9 +272,11 @@ def fmp_training_frame(spark, sf_dir):
     )
 
 
-@query("fmp_score_gbt")  # rows-only: boosted-tree scores have no
-# closed-form SQL oracle; determinism + AUC + no-Python-in-plan are
-# pinned by tests/test_fmp_train.py::test_gbt_train_score_roundtrip
+@query("fmp_score_gbt", golden_oracle("fmp_score_gbt"))
+# Boosted-tree scores have no closed-form SQL oracle; the oracle is
+# the committed pinned-seed golden (queries/golden.py). Determinism +
+# AUC + no-Python-in-plan are additionally pinned by
+# tests/test_fmp_train.py::test_gbt_train_score_roundtrip.
 def fmp_score_gbt(spark, sf_dir):
     # Train->score roundtrip for the Spark-native GBT family
     # (ml/gbt.py): fit on the temporal training frame, score the full
@@ -671,4 +674,169 @@ def p14_ptr_hostname(spark, sf_dir):
     )
     return ptr_hostname_stage(ips, answers).select(
         F.col("entity").alias("user_id"), "hostname"
+    )
+
+@query(
+    "p15_as_class",
+    """
+    WITH asns AS (
+      SELECT DISTINCT user_id, user_id % 40 AS asn FROM events
+    ),
+    dim AS (
+      SELECT n_nationkey AS asn,
+             'CAIDA_' || CAST(n_nationkey % 2 AS VARCHAR) AS source,
+             CASE n_nationkey % 3 WHEN 0 THEN 'Transit/Access'
+                  WHEN 1 THEN 'Content' ELSE 'Enterprise' END AS cls
+      FROM nation
+    )
+    SELECT a.user_id,
+           coalesce(CASE WHEN d.cls = 'Transit/Access' THEN 'access'
+                         ELSE d.cls END, 'unknown') AS as_class_v,
+           CASE WHEN d.source = 'CAIDA_1' THEN CAST(0.7 AS DOUBLE)
+           END AS as_class_c
+    FROM asns a LEFT JOIN dim d USING (asn)
+    """,
+)
+def p15_as_class(spark, sf_dir):
+    # CAIDA AS-class enrichment stage (reference: NERDd/modules/
+    # caida_as_class.py — asn !NEW -> determine_type -> caida_as_class
+    # .v/.c): the as2types list is synthesized from `nation` as raw
+    # "asn|source|class" LINES (so the stage's parser executes),
+    # salted with a comment line and a non-numeric-asn line the parser
+    # must drop (parse_list:58-71 logs-and-skips). Config exercises
+    # both knobs: a class remap (classes.Transit/Access -> 'access')
+    # and a per-source confidence (CAIDA_1 -> 0.7, stored only when
+    # != 1). ASNs 25-39 miss the 25-row dim -> 'unknown'.
+    from nerd_spark.plans.enrich import as_class_stage, parse_caida_lines
+
+    asns = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn("asn", F.col("entity") % 40)
+    )
+    nation = t(spark, sf_dir, "nation")
+    lines = nation.select(
+        F.concat(
+            F.col("n_nationkey").cast("string"),
+            F.lit("|CAIDA_"),
+            (F.col("n_nationkey") % 2).cast("string"),
+            F.lit("|"),
+            F.element_at(
+                F.array(F.lit("Transit/Access"), F.lit("Content"),
+                        F.lit("Enterprise")),
+                (F.col("n_nationkey") % 3 + 1).cast("int"),
+            ),
+        ).alias("line")
+    )
+    salt = spark.createDataFrame(
+        [("# CAIDA as2types comment",), ("ASXX|bad|line",)], "line string"
+    )
+    caida = parse_caida_lines(lines.unionByName(salt))
+    out = as_class_stage(
+        asns,
+        caida,
+        class_values={"Transit/Access": "access"},
+        source_confidence={"CAIDA_1": 0.7},
+    )
+    return out.select(
+        F.col("entity").alias("user_id"), "as_class_v", "as_class_c"
+    )
+
+
+@query(
+    "p16_reserved_ip",
+    """
+    WITH ips AS (
+      SELECT DISTINCT user_id,
+             CASE user_id % 5
+               WHEN 0 THEN 167772160 + user_id
+               WHEN 1 THEN 134744064 + user_id
+               WHEN 2 THEN 1681915904 + user_id
+               WHEN 3 THEN 3405804032 + user_id
+               ELSE 3758096384 + user_id
+             END AS ip_int
+      FROM events
+    )
+    SELECT user_id,
+           CASE WHEN (ip_int BETWEEN 0 AND 16777215)
+                  OR (ip_int BETWEEN 167772160 AND 184549375)
+                  OR (ip_int BETWEEN 1681915904 AND 1686110207)
+                  OR (ip_int BETWEEN 2130706432 AND 2147483647)
+                  OR (ip_int BETWEEN 2851995648 AND 2852061183)
+                  OR (ip_int BETWEEN 2886729728 AND 2887778303)
+                  OR (ip_int BETWEEN 3221225472 AND 3221225727)
+                  OR (ip_int BETWEEN 3221225984 AND 3221226239)
+                  OR (ip_int BETWEEN 3232235520 AND 3232301055)
+                  OR (ip_int BETWEEN 3323068416 AND 3323199487)
+                  OR (ip_int BETWEEN 3325256704 AND 3325256959)
+                  OR (ip_int BETWEEN 3405803776 AND 3405804031)
+                  OR (ip_int BETWEEN 3758096384 AND 4294967295)
+                THEN 1 ELSE 0 END AS reserved_range
+    FROM ips
+    """,
+)
+def p16_reserved_ip(spark, sf_dir):
+    # Reserved/bogon tagging stage (reference: NERDd/modules/
+    # reserved_ip.py — ip !NEW -> is_reserved -> reserved_range 1/0).
+    # Entity IPs are synthesized to land in five representative spots:
+    # 10/8 (reserved), 8.8/16 (public), 100.64/10 (reserved CGN),
+    # just past 203.0.113/24 (public), and 224/3 multicast (reserved).
+    # The oracle mirrors the RESERVED_RANGES literal table as explicit
+    # BETWEENs, so the range-join semantics are checked end-to-end.
+    from nerd_spark.plans.enrich import reserved_ip_stage
+
+    base = (
+        F.when(F.col("entity") % 5 == 0, 167772160)
+        .when(F.col("entity") % 5 == 1, 134744064)
+        .when(F.col("entity") % 5 == 2, 1681915904)
+        .when(F.col("entity") % 5 == 3, 3405804032)
+        .otherwise(3758096384)
+    )
+    ips = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn("ip_int", base + F.col("entity"))
+    )
+    return reserved_ip_stage(ips).select(
+        F.col("entity").alias("user_id"), "reserved_range"
+    )
+
+
+@query(
+    "p17_asn_rank",
+    """
+    WITH asns AS (
+      SELECT DISTINCT user_id, user_id % 30 AS asn FROM events
+    ),
+    dim AS (
+      SELECT n_nationkey AS asn,
+             round(CAST(100 AS DOUBLE) / (n_nationkey + 1), 4) AS eml_rank
+      FROM nation
+    )
+    SELECT a.user_id, d.eml_rank
+    FROM asns a LEFT JOIN dim d USING (asn)
+    """,
+)
+def p17_asn_rank(spark, sf_dir):
+    # Per-ASN rank enrichment stage (reference: NERDd/modules/
+    # eml_asn_rank.py — asn !NEW/every1d -> get_rank -> eml_rank; the
+    # API hop snapshots into a rank dim, the same substrate
+    # bgp_rank.py's CIRCL feed would use). ASNs 25-29 miss the dim ->
+    # NULL eml_rank (the reference stores nothing on a failed lookup).
+    from nerd_spark.plans.enrich import asn_rank_stage
+
+    asns = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn("asn", F.col("entity") % 30)
+    )
+    ranks = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("asn"),
+        F.round(F.lit(100.0) / (F.col("n_nationkey") + 1), 4).alias("rank"),
+    )
+    return asn_rank_stage(asns, ranks).select(
+        F.col("entity").alias("user_id"), "eml_rank"
     )

@@ -153,3 +153,138 @@ def test_ptr_hostname_stage_fixture_resolver(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_parse_caida_lines_drops_comments_and_bad_asn(spark):
+    """parse_list semantics (reference caida_as_class.py:54-77):
+    '#' comments skipped, non-numeric asn logged-and-skipped, the
+    rest split on '|'."""
+    from nerd_spark.plans.enrich import parse_caida_lines
+
+    lines = spark.createDataFrame(
+        [
+            ("# as2types CAIDA file",),
+            ("15169|mlp|Content",),
+            ("ASXX|bad|line",),
+            ("64500|self|Transit/Access",),
+        ],
+        "line string",
+    )
+    rows = {r.asn: (r.source, r.cls) for r in parse_caida_lines(lines).collect()}
+    assert rows == {
+        15169: ("mlp", "Content"),
+        64500: ("self", "Transit/Access"),
+    }
+
+
+def test_as_class_stage_remap_confidence_and_unknown(spark):
+    """determine_type semantics (caida_as_class.py:100-127): class
+    value remapped through config, confidence stored ONLY when != 1,
+    unknown ASN stores literal 'unknown'."""
+    from nerd_spark.plans.enrich import as_class_stage
+
+    asns = spark.createDataFrame(
+        [(1, 15169), (2, 64500), (3, 999)], "entity long, asn long"
+    )
+    caida = spark.createDataFrame(
+        [(15169, "mlp", "Content"), (64500, "self", "Transit/Access")],
+        "asn long, source string, cls string",
+    )
+    out = {
+        r.entity: (r.as_class_v, r.as_class_c)
+        for r in as_class_stage(
+            asns,
+            caida,
+            class_values={"Transit/Access": "access"},
+            source_confidence={"mlp": 0.5},
+        ).collect()
+    }
+    assert out == {
+        1: ("Content", 0.5),   # confidence != 1 -> stored
+        2: ("access", None),   # remapped class, confidence 1 -> NULL
+        3: ("unknown", None),  # miss -> literal 'unknown'
+    }
+
+
+def test_reserved_ip_stage_range_membership(spark):
+    """is_reserved semantics (reserved_ip.py:41-75) over the int-range
+    formulation: one representative inside each tricky range (CGN /10,
+    172.16/12, 198.18/15 — the ref's typo'd regex — and multicast),
+    plus publics just outside the boundaries."""
+    from nerd_spark.plans.enrich import reserved_ip_stage
+
+    def ip4(s):
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    cases = {
+        "9.255.255.255": 0,
+        "10.0.0.1": 1,
+        "100.63.255.255": 0,
+        "100.64.0.0": 1,
+        "100.127.255.255": 1,
+        "100.128.0.0": 0,
+        "172.15.255.255": 0,
+        "172.16.0.0": 1,
+        "172.31.255.255": 1,
+        "172.32.0.0": 0,
+        "198.17.255.255": 0,
+        "198.18.0.1": 1,
+        "198.19.255.255": 1,
+        "198.20.0.0": 0,
+        "203.0.113.7": 1,
+        "203.0.114.0": 0,
+        "223.255.255.255": 0,
+        "224.0.0.0": 1,
+        "255.255.255.255": 1,
+    }
+    ips = spark.createDataFrame(
+        [(i, ip4(s)) for i, s in enumerate(cases)], "entity long, ip_int long"
+    )
+    got = {
+        r.entity: r.reserved_range
+        for r in reserved_ip_stage(ips).collect()
+    }
+    for i, (s, want) in enumerate(cases.items()):
+        assert got[i] == want, s
+
+
+def test_asn_rank_stage_left_miss(spark):
+    """get_rank semantics (eml_asn_rank.py:38-68): rank as double from
+    the snapshot dim; an ASN absent from the snapshot stores nothing
+    (NULL here)."""
+    from nerd_spark.plans.enrich import asn_rank_stage
+
+    asns = spark.createDataFrame([(1, 100), (2, 200)], "entity long, asn long")
+    ranks = spark.createDataFrame([(100, 0.25)], "asn long, rank double")
+    out = {r.entity: r.eml_rank for r in asn_rank_stage(asns, ranks).collect()}
+    assert out == {1: 0.25, 2: None}
+
+
+def test_new_enrich_stages_are_broadcast_plans(spark):
+    """The r8 stages keep the family plan shape: broadcast on the
+    dim/literal side, never a shuffle of the entity frame."""
+    from nerd_spark.plans.enrich import (
+        as_class_stage,
+        asn_rank_stage,
+        reserved_ip_stage,
+    )
+
+    asns = spark.createDataFrame([(1, 5)], "entity long, asn long")
+    caida = spark.createDataFrame(
+        [(5, "s", "Content")], "asn long, source string, cls string"
+    )
+    ranks = spark.createDataFrame([(5, 1.0)], "asn long, rank double")
+    ips = spark.createDataFrame([(1, 167772161)], "entity long, ip_int long")
+    for df in (
+        as_class_stage(asns, caida),
+        asn_rank_stage(asns, ranks),
+        reserved_ip_stage(ips),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan
+            or "BroadcastExchange" in plan
+        )
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
