@@ -72,7 +72,22 @@ def main() -> None:
     # Load sampled BEFORE Spark starts: this is the number that says
     # whether the machine was busy going in. The end-of-run sample
     # (loadavg_1m_end) mostly reflects the bench's own 32 threads.
+    # Gate (r7 verdict #2: the committed r7 bench started at loadavg
+    # 6.2 and understated the round by ~25%): wait for the machine to
+    # go idle before timing; if it never does within the budget,
+    # proceed but mark the record loudly so a reader discounts it.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAXLOAD", "2.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] > max_load and waited < wait_budget:
+        time.sleep(10)
+        waited += 10
     load_start = os.getloadavg()
+    load_gate = (
+        "ok"
+        if load_start[0] <= max_load
+        else f"FAILED: started at loadavg {load_start[0]:.2f} after {int(waited)}s wait"
+    )
 
     spark = get_spark(app_name="nerd_spark_bench")
     # warm the JVM/session so timings aren't charged for codegen bring-up
@@ -170,6 +185,7 @@ def main() -> None:
         "curation_stages": curation_stages,
         "curation_v3_stages": curation_v3_stages,
         "run_meta": {
+            "load_gate": load_gate,
             "loadavg_1m": round(load_start[0], 2),
             "loadavg_5m": round(load_start[1], 2),
             "loadavg_1m_end": round(os.getloadavg()[0], 2),

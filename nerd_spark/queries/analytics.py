@@ -733,18 +733,42 @@ def a16_rollup_revenue(spark, sf_dir):
     # rollup — keeps the big side shuffle-free (map-side partial agg
     # over ~|nations| groups, one tiny final exchange). Measured 2x
     # WORSE with the pre-agg at the 80x point (5.1 s vs 2.6 s).
-    o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
+    #
+    # The orders||customer join itself (r7's residual): on a
+    # layout-optimized dir the co-partitioned bucketed pair
+    # (sources/layout.py::write_join_pair) serves it as a
+    # zero-exchange zero-sort SMJ over bucketed scans — the
+    # beyond-broadcast 100 TB path. On raw dirs, customer projects to
+    # two longs and is broadcast EXPLICITLY (good to ~1e8 customers;
+    # auto-broadcast gave up past the 10 MB threshold at the 80x
+    # point, planning the shuffle the r7 verdict flagged).
+    from nerd_spark.queries.base import exact_sum_u4
+    from nerd_spark.sources.layout import bucketed_pair
+
+    pair = bucketed_pair(spark, sf_dir)
+    if pair is not None:
+        o, c = pair
+        joined0 = o.join(
+            c.select("c_custkey", "c_nationkey"),
+            o.o_custkey == c.c_custkey,
+        )
+    else:
+        o = t(spark, sf_dir, "orders")
+        c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        joined0 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    joined = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined = joined0.join(
+        F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    rev = (
+        exact_sum_u4("o_totalprice_u4", "revenue")
+        if "o_totalprice_u4" in o.columns
+        else exact_sum("o_totalprice", "revenue")
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(exact_sum("o_totalprice", "revenue"))
+        .agg(rev)
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
             F.coalesce("n_name", F.lit("ALL")).alias("n_name"),

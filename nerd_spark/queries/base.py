@@ -149,6 +149,25 @@ def exact_sum_wide(col, alias: str, ndigits: int = 2):
     return F.round(F.sum(_dec(col)).cast("double"), ndigits).alias(alias)
 
 
+def exact_sum_u4(col, alias: str, ndigits: int = 2):
+    """:func:`exact_sum` over a PRE-MATERIALIZED unscaled-4dp long
+    column (layout.py writes them at ingest for lineitem/orders money
+    measures): the scan sums stored longs — no per-row double->long
+    conversion at query time. Bit-identical to exact_sum on the raw
+    double by construction."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(col) / F.lit(1e4), ndigits).alias(alias)
+
+
+def exact_avg_u4(col, alias: str, ndigits: int = 6):
+    """:func:`exact_avg` over a pre-materialized unscaled long."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round((F.sum(c) / F.lit(1e4)) / F.count(c), ndigits).alias(alias)
+
+
 def exact_avg(col, alias: str, ndigits: int = 6):
     """Spark: exact-sum / count in double, rounded. Same compact-long
     accumulation (and overflow bound) as :func:`exact_sum`."""

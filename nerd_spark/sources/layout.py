@@ -205,6 +205,33 @@ def optimize_layout(
             # keep the storage schema identical to the source (raw
             # nanos long) so read_table's shim applies on re-read
             df = df.drop("ts").withColumnRenamed("ts_ns", "ts")
+        if name in ("lineitem", "orders"):
+            # Materialize the unscaled-4dp-long view of the money
+            # measures at ingest (queries/base.py::_unscaled): q1/a16
+            # then SUM stored longs instead of running the
+            # double->unscaled conversion per row per run — PLANS.md
+            # r7 localized the residual q1 gap to exactly that scan
+            # constant. Bit-identical to the on-the-fly path by
+            # construction, so serve parity holds; the raw-dir path
+            # (and every oracle) is unchanged.
+            from nerd_spark.queries.base import _unscaled
+
+            if name == "lineitem":
+                disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                df = (
+                    df.withColumn(
+                        "l_extendedprice_u4", _unscaled("l_extendedprice")
+                    )
+                    .withColumn("l_discprice_u4", _unscaled(disc))
+                    .withColumn(
+                        "l_charge_u4", _unscaled(disc * (1 + F.col("l_tax")))
+                    )
+                    .withColumn("l_discount_u4", _unscaled("l_discount"))
+                )
+            else:
+                df = df.withColumn(
+                    "o_totalprice_u4", _unscaled("o_totalprice")
+                )
         (
             df.repartitionByRange(n_files, sort_col)
             .sortWithinPartitions(sort_col)
@@ -217,6 +244,17 @@ def optimize_layout(
     # serializing — the scheduler interleaves their tasks across cores.
     with ThreadPoolExecutor(max_workers=4) as pool:
         list(pool.map(_rewrite, tables or list(_LAYOUT)))
+    if build_indexes and (
+        tables is None or {"orders", "customer"} <= set(tables)
+    ):
+        # Co-partitioned orders||customer on custkey (the a16 join
+        # key): both sides bucketed+sorted, so the fact-dim join plans
+        # a zero-exchange zero-sort SortMergeJoin over bucketed scans.
+        # This is the beyond-broadcast scale path — at SF where
+        # customer no longer broadcasts (~1e8+ rows), the join cost is
+        # the co-located scan itself. Registered as external catalog
+        # tables under out_dir (bucket metadata needs the catalog).
+        write_join_pair(spark, out_dir)
     if build_indexes and (tables is None or "embeddings" in tables):
         # Derived index structures are ingest-time work too: the IVF
         # inverted-list layout (corpus partitioned by coarse-centroid
@@ -681,6 +719,60 @@ def prune_summary(
             fsutil.delete(spark, os.path.join(summary_path, d), recursive=True)
             dropped.append(d)
     return dropped
+
+
+def bucketed_pair_names(data_dir: str) -> tuple[str, str]:
+    """Catalog table names for the co-partitioned orders/customer pair
+    of a layout dir (hash-suffixed: one session can hold pairs for
+    several layout dirs — tests + bench — without collision)."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(data_dir).encode()).hexdigest()[:10]
+    return f"orders_bkt_{h}", f"customer_bkt_{h}"
+
+
+def write_join_pair(
+    spark: SparkSession, data_dir: str, n_buckets: int = 32
+) -> tuple[str, str]:
+    """Write orders + customer bucketed AND sorted on custkey as
+    external tables rooted under data_dir; returns the catalog names.
+    Both sides share the bucket count, so a custkey equi-join plans
+    SortMergeJoin over the bucketed scans with no Exchange and no
+    Sort (asserted in tests/test_plan_shapes_r4.py)."""
+    from nerd_spark.session import read_table
+
+    ot, ct = bucketed_pair_names(data_dir)
+    specs = [
+        ("orders", ot, "o_custkey"),
+        ("customer", ct, "c_custkey"),
+    ]
+    for name, tbl, key in specs:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            # repartition on the bucket expression FIRST: the writer
+            # then emits exactly one file per bucket, which is what
+            # lets the reader trust sortBy and drop the per-side Sort
+            # (multi-file buckets are individually sorted but not
+            # merged, so Spark must re-sort them)
+            read_table(spark, data_dir, name)
+            .repartition(n_buckets, F.col(key))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(data_dir, f"{tbl}.bucketed"))
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    return ot, ct
+
+
+def bucketed_pair(spark: SparkSession, data_dir: str):
+    """(orders_df, customer_df) from the co-partitioned pair if this
+    layout dir has one, else None — queries fall back to raw reads."""
+    ot, ct = bucketed_pair_names(data_dir)
+    if spark.catalog.tableExists(ot) and spark.catalog.tableExists(ct):
+        return spark.table(ot), spark.table(ct)
+    return None
 
 
 def write_bucketed(
