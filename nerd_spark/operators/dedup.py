@@ -78,17 +78,19 @@ def _spread(docs: DataFrame) -> DataFrame:
             from nerd_spark.sources import fsutil
 
             sample = files[:: max(1, n_files // 3)][:3]
-            # MIN of the sample, not the mean: n_files*min is a true
-            # lower bound on total bytes whenever the sample's
-            # smallest file is representative of the floor, so a
-            # "wide" verdict here can only under-claim width. A mean
-            # skewed by one sampled giant could classify a
-            # mostly-tiny directory as wide and skip the exact probe
-            # this function exists to guarantee.
+            # MIN of the sample — but even the min is only an
+            # ESTIMATE of the per-file floor: unsampled files can be
+            # smaller still, so n_files*min is not a true lower bound
+            # on total bytes (ADVICE r7). Treat it as a screen only:
+            # skip the exact probe ONLY when the estimate clears the
+            # width threshold with a 4x margin (a directory would
+            # need its unsampled files 4x smaller than the sampled
+            # min on average to be misclassified); anything closer
+            # falls through to the exact split-count probe below.
             floor = min(fsutil.size(spark, f) for f in sample)
         except Exception:
             floor = 0.0
-        if n_files * (floor + open_cost) >= par * max_pb:
+        if n_files * (floor + open_cost) >= 4 * par * max_pb:
             return docs
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)

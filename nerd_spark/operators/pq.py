@@ -432,9 +432,9 @@ def build_ivfpq_index(
             [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>"
         )
     else:
-        cents = e.filter(F.col("id") < n_lists).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv")
-        )
+        from nerd_spark.operators.similarity import _default_centroids
+
+        cents = _default_centroids(e, n_lists)
     from nerd_spark.operators.similarity import cosine as _cos
 
     scored = e.crossJoin(F.broadcast(cents)).select(
@@ -462,6 +462,11 @@ def build_ivfpq_index(
         [(s, c, codebooks[s][c]) for s in range(mm) for c in range(kk)],
         "sub int, code int, cv array<double>",
     ).write.mode("overwrite").parquet(path + ".codebooks")
+    # build-size marker: the staleness bound (ivfpq_maintenance_due)
+    # compares rows-now against rows-at-training-time
+    spark.createDataFrame(
+        [(embeddings.count(),)], "build_rows long"
+    ).write.mode("overwrite").parquet(path + ".meta")
     return codebooks
 
 
@@ -571,12 +576,25 @@ def ivfpq_probe(
             adc_table_udf(books)(F.col("qv")).alias("qtab"),
             "cid",
         )
-        .cache()  # consumed twice: the cid collect + the candidate join
+        # consumed twice: the cid collect + the candidate join. Not
+        # explicitly unpersisted (ADVICE r7, declined with cause —
+        # the r7 ivf_probe precedent): the cache entry's lifetime is
+        # the caller's DataFrame reference; when it is GC'd,
+        # ContextCleaner reclaims the cached RDD. An eager unpersist
+        # here would invalidate the lazy result before the caller
+        # materializes it.
+        .cache()
     )
     probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
     pruned = spark.read.parquet(path).filter(
         F.col("cid").isin(probe_cids)
     ).withColumn("cid", F.col("cid").cast("long"))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes (ivfpq_delete): mask tombstoned rows from
+        # both the ADC candidate scan and the rerank join-back —
+        # broadcast anti-join over the already-pruned partitions only
+        pruned = pruned.join(F.broadcast(tomb), "id", "left_anti")
     adist = _adc_dist_expr("codes", "qtab", mm, kk)
     cand = (
         pruned.select("id", "codes", "cid")
@@ -608,3 +626,117 @@ def ivfpq_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle: deletes (tombstones), list compaction, staleness bound
+# — the reference's cleaner/updater discipline (NERDd/modules/cleaner.py
+# removes expired entities; scripts/update_db_meta_info.js refreshes
+# derived state) applied to the ANN index.
+# ---------------------------------------------------------------------------
+
+
+def _read_tombstones(spark, path: str):
+    """Tombstone set (id) for an index, or None when there are none."""
+    from nerd_spark.sources import fsutil
+
+    tpath = path + ".tombstones"
+    if not fsutil.exists(spark, tpath):
+        return None
+    df = spark.read.parquet(tpath).select("id").distinct()
+    return df
+
+
+def ivfpq_delete(spark, path: str, ids) -> None:
+    """Delete vectors from an IVF-PQ index by id — O(batch), LSM
+    discipline: the ids land as an APPEND to the ``<path>.tombstones``
+    sidecar; no stored row is touched. Probes anti-join the tombstone
+    set (broadcast, candidate rows only); :func:`ivfpq_compact`
+    physically reclaims the space later. Re-inserting a deleted id
+    requires compaction first (the tombstone would mask the new row —
+    same rule as any tombstone store).
+
+    ``ids`` is a DataFrame with an ``id`` column or an iterable of ints.
+    """
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    ids.select(F.col("id").cast("long")).write.mode("append").parquet(
+        path + ".tombstones"
+    )
+
+
+def ivfpq_compact(spark, path: str) -> int:
+    """Physically drop tombstoned rows — O(touched lists), never a
+    full rebuild: only the ``cid=`` partitions that actually hold a
+    tombstoned row are rewritten (write-aside to ``<path>.compact``,
+    then an atomic per-partition swap); untouched list files are not
+    read past their id column, not rewritten, byte-identical after
+    (tested). Clears the tombstone sidecar on success. Returns the
+    number of lists rewritten.
+    """
+    from nerd_spark.sources import fsutil
+
+    tomb = _read_tombstones(spark, path)
+    if tomb is None:
+        return 0
+    # which lists hold tombstoned rows: a column-pruned (id, cid) scan
+    touched = [
+        r.cid
+        for r in spark.read.parquet(path)
+        .select("id", "cid")
+        .join(F.broadcast(tomb), "id", "left_semi")
+        .select("cid")
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        fsutil.delete(spark, path + ".tombstones", recursive=True)
+        return 0
+    keep = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(touched))
+        .join(F.broadcast(tomb), "id", "left_anti")
+    )
+    aside = path + ".compact"
+    fsutil.delete(spark, aside, recursive=True)
+    keep.repartition(len(touched), F.col("cid")).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(aside)
+    for cid in touched:
+        old = f"{path}/cid={cid}"
+        new = f"{aside}/cid={cid}"
+        fsutil.delete(spark, old, recursive=True)
+        if fsutil.exists(spark, new):  # a fully-deleted list has no dir
+            fsutil.rename(spark, new, old)
+    fsutil.delete(spark, aside, recursive=True)
+    fsutil.delete(spark, path + ".tombstones", recursive=True)
+    return len(touched)
+
+
+def ivfpq_maintenance_due(
+    spark, path: str, max_append_frac: float = 0.10
+) -> bool:
+    """Staleness bound for the frozen-quantizer append path: True when
+    the rows appended since training exceed ``max_append_frac`` of the
+    current corpus — the retrain-and-rebuild trigger. The 0.10 default
+    is calibrated from measured recall drift at sf0.01 (PLANS.md r8:
+    recall@10 0.82 at +11% appends, 0.68 at +33%, 0.62 at +100% —
+    with the caveat that at this scale quantizer-training-set size is
+    a confound; production trains on a bounded sample, so the pure
+    append-drift signal is smaller). Indexes built before the meta
+    sidecar existed report True (unknown staleness -> maintain)."""
+    from nerd_spark.sources import fsutil
+
+    if not fsutil.exists(spark, path + ".meta"):
+        return True
+    build_rows = spark.read.parquet(path + ".meta").collect()[0].build_rows
+    now = spark.read.parquet(path).count()
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        now -= tomb.join(
+            spark.read.parquet(path).select("id"), "id", "left_semi"
+        ).count()
+    if now <= 0:
+        return True
+    appended = max(0, now - build_rows)
+    return appended / now > max_append_frac

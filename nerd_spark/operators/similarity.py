@@ -177,6 +177,25 @@ def kmeans_centroids(
     return cents
 
 
+def _default_centroids(e, n_lists: int):
+    """Deterministic no-training coarse quantizer: the n_lists corpus
+    vectors with the SMALLEST ids, numbered 0..n_lists-1 in id order.
+    For dense 0-based id domains this is bit-identical to the old
+    ``id < n_lists`` filter (so the IVF oracles are unchanged), but it
+    also provisions the full list count on sparse or offset id
+    domains, where the filter silently yielded fewer — possibly zero —
+    lists (ADVICE r7)."""
+    w0 = Window.orderBy("id")
+    return (
+        e.orderBy("id")
+        .limit(n_lists)
+        .select(
+            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_pred,
@@ -205,9 +224,7 @@ def ivf_topk(
             "cid long, cv array<double>",
         )
     else:
-        cents = e.filter(F.col("id") < n_lists).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv")
-        )
+        cents = _default_centroids(e, n_lists)
     # assign every vector to its nearest centroid (rank 1), queries to
     # their n_probe nearest lists
     scored = e.crossJoin(F.broadcast(cents)).select(
@@ -267,9 +284,7 @@ def build_ivf_index(
             [(i, c) for i, c in enumerate(centroids)], "cid long, cv array<double>"
         )
     else:
-        cents = e.filter(F.col("id") < n_lists).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv")
-        )
+        cents = _default_centroids(e, n_lists)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
     )
@@ -400,9 +415,7 @@ def semantic_dedup(
             "cid long, cv array<double>",
         )
     else:
-        cents = e.filter(F.col("id") < n_lists).select(
-            F.col("id").alias("cid"), F.col("v").alias("cv")
-        )
+        cents = _default_centroids(e, n_lists)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
     )

@@ -1238,13 +1238,57 @@ def ann_ivf_indexed(spark, sf_dir):
         path = os.path.join(
             tempfile.gettempdir(), f"nerd_spark_ivf_{_dataset_key(sf_dir)}"
         )
-        if not os.path.exists(os.path.join(path + ".centroids", "_SUCCESS")):
-            SIM.build_ivf_index(emb, path, n_lists=8)
+        _build_index_once(
+            path,
+            os.path.join(path + ".centroids", "_SUCCESS"),
+            lambda: SIM.build_ivf_index(emb, path, n_lists=8),
+        )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return SIM.ivf_probe(spark, path, q, k=5, n_probe=2)
 
+
+
+def _build_index_once(path: str, gate: str, build) -> None:
+    """Cross-process check-then-build for a tmp-cached index.
+
+    _dataset_key deliberately makes the tmp path stable across
+    processes, which opened a race (ADVICE r7): two concurrent
+    drivers could both pass the missing-gate check and overwrite the
+    same path, one reading while the other is mid-overwrite. An
+    O_CREAT|O_EXCL lock file serializes builders; the loser waits for
+    the winner's gate file (bounded), and a stale lock (dead builder)
+    is stolen after the wait budget.
+    """
+    import time
+
+    if os.path.exists(gate):
+        return
+    lock = path + ".lock"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        for _ in range(240):  # wait up to 2 min for the builder
+            if os.path.exists(gate):
+                return
+            if not os.path.exists(lock):
+                break  # builder exited (possibly failed): fall through
+            time.sleep(0.5)
+        try:  # steal the stale lock and build ourselves
+            os.unlink(lock)
+        except OSError:
+            pass
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        if not os.path.exists(gate):
+            build()
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def _dataset_key(sf_dir: str) -> str:
@@ -1323,11 +1367,13 @@ def ann_ivfpq_indexed(spark, sf_dir):
     path = os.path.join(
         tempfile.gettempdir(), f"nerd_spark_ivfpq_{_dataset_key(sf_dir)}"
     )
-    if not os.path.exists(os.path.join(path + ".codebooks", "_SUCCESS")):
+    def _build():
         cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=3)
-        PQ.build_ivfpq_index(
-            emb, path, m=8, k=32, n_iter=3, centroids=cents
-        )
+        PQ.build_ivfpq_index(emb, path, m=8, k=32, n_iter=3, centroids=cents)
+
+    _build_index_once(
+        path, os.path.join(path + ".codebooks", "_SUCCESS"), _build
+    )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )

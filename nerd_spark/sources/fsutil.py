@@ -52,6 +52,14 @@ def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """FileSystem.rename — atomic dir/file move on HDFS and local FS
+    (the commit step of write-aside-then-swap maintenance)."""
+    fs, s = _fs(spark, src)
+    _, d = _fs(spark, dst)
+    return bool(fs.rename(s, d))
+
+
 def touch(spark: SparkSession, path: str) -> None:
     """Create (or truncate) a zero-byte marker file — the _SUCCESS
     commit-marker pattern."""

@@ -167,3 +167,119 @@ def test_pq_code_expr_matches_arrow_encoder_small_codebook(spark, sf_dir):
     e_m = {r.id: list(r.codes) for r in expr.collect()}
     u_m = {r.id: list(r.codes) for r in udf.collect()}
     assert e_m == u_m and len(e_m) > 0
+
+
+def _mk_index(spark, emb, base, frac=None):
+    books = PQ.train_pq_codebooks(emb, m=8, k=8, n_iter=1)
+    cents = [
+        list(r.v)
+        for r in emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    PQ.build_ivfpq_index(emb, base, codebooks=books, centroids=cents)
+    return books, cents
+
+
+def test_ivfpq_delete_compact_bit_equal_rebuild(spark, sf_dir):
+    """Lifecycle (r8): tombstone delete -> probe excludes the ids
+    immediately; compaction -> probe bit-equal to an index REBUILT
+    without the deleted rows (same frozen quantizers); untouched list
+    partitions are not rewritten (byte-identical files)."""
+    import glob
+    import os
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(emb, m=8, k=8, n_iter=1)
+    cents = [
+        list(r.v)
+        for r in emb.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="nerd_ivfpq_life_")
+    p_live, p_ref = base + "/live", base + "/ref"
+    PQ.build_ivfpq_index(emb, p_live, codebooks=books, centroids=cents)
+    # delete every 7th vector (but never the queries)
+    dead_pred = (F.col("vec_id") % 7 == 0) & (F.col("vec_id") >= 5)
+    dead = emb.filter(dead_pred).select(F.col("vec_id").alias("id"))
+    PQ.build_ivfpq_index(
+        emb.filter(~dead_pred), p_ref, codebooks=books, centroids=cents
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    want = {
+        tuple(r)
+        for r in PQ.ivfpq_probe(spark, p_ref, q, k=10, n_probe=2).collect()
+    }
+    PQ.ivfpq_delete(spark, p_live, dead)
+    got_tomb = {
+        tuple(r)
+        for r in PQ.ivfpq_probe(spark, p_live, q, k=10, n_probe=2).collect()
+    }
+    assert got_tomb == want and len(want) > 0  # logical delete suffices
+
+    # snapshot per-partition file bytes to prove untouched lists stay
+    def _files(p):
+        out = {}
+        for f in glob.glob(os.path.join(p, "cid=*", "*.parquet")):
+            out[os.path.relpath(f, p)] = os.path.getsize(f)
+        return out
+
+    before = _files(p_live)
+    dead_cids = {
+        r.cid
+        for r in spark.read.parquet(p_live)
+        .select("id", "cid")
+        .join(dead, "id", "left_semi")
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    n = PQ.ivfpq_compact(spark, p_live)
+    assert n == len(dead_cids) > 0
+    after = _files(p_live)
+    untouched_before = {
+        f: s for f, s in before.items()
+        if int(f.split("=")[1].split("/")[0]) not in dead_cids
+    }
+    untouched_after = {
+        f: s for f, s in after.items()
+        if int(f.split("=")[1].split("/")[0]) not in dead_cids
+    }
+    assert untouched_before == untouched_after
+    got_compact = {
+        tuple(r)
+        for r in PQ.ivfpq_probe(spark, p_live, q, k=10, n_probe=2).collect()
+    }
+    assert got_compact == want
+    # tombstones cleared; second compact is a no-op
+    assert PQ.ivfpq_compact(spark, p_live) == 0
+
+
+def test_ivfpq_maintenance_due_flips_on_append_drift(spark, sf_dir):
+    """Staleness bound: fresh build -> not due; appending past the
+    drift fraction -> due (the retrain trigger)."""
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    books = PQ.train_pq_codebooks(half, m=8, k=8, n_iter=1)
+    cents = [
+        list(r.v)
+        for r in half.orderBy("vec_id")
+        .limit(4)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="nerd_ivfpq_drift_")
+    PQ.build_ivfpq_index(half, base + "/idx", codebooks=books, centroids=cents)
+    assert not PQ.ivfpq_maintenance_due(spark, base + "/idx", 0.25)
+    PQ.ivfpq_append(spark, base + "/idx", emb.filter(F.col("vec_id") % 2 == 1))
+    assert PQ.ivfpq_maintenance_due(spark, base + "/idx", 0.25)
+    # a wider bound tolerates the same append volume
+    assert not PQ.ivfpq_maintenance_due(spark, base + "/idx", 0.60)
