@@ -1261,6 +1261,7 @@ def _build_index_once(path: str, gate: str, build) -> None:
     the winner's gate file (bounded), and a stale lock (dead builder)
     is stolen after the wait budget.
     """
+    import os
     import time
 
     if os.path.exists(gate):
