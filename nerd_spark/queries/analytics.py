@@ -742,9 +742,36 @@ def a16_rollup_revenue(spark, sf_dir):
     # two longs and is broadcast EXPLICITLY (good to ~1e8 customers;
     # auto-broadcast gave up past the 10 MB threshold at the 80x
     # point, planning the shuffle the r7 verdict flagged).
-    from nerd_spark.queries.base import exact_sum_u4
-    from nerd_spark.sources.layout import bucketed_pair
+    import os
 
+    from nerd_spark.queries.base import exact_sum_u4
+    from nerd_spark.sources.layout import (
+        SUMMARY_A16_DIRNAME,
+        bucketed_pair,
+        summary_fresh,
+    )
+
+    # Serve path (r8): the ingest-maintained (r_name, n_name) revenue
+    # partials — additive u4 longs, so re-deriving the rollup margins
+    # from the 25-row base is bit-identical to the 4-way join
+    # (tests/test_q1_a16_serve.py); gate falls back to the join.
+    if summary_fresh(
+        spark,
+        sf_dir,
+        SUMMARY_A16_DIRNAME,
+        sources=("orders.parquet", "customer.parquet"),
+        expect_cols=("r_name", "n_name", "rev_u4"),
+    ):
+        s = spark.read.parquet(os.path.join(sf_dir, SUMMARY_A16_DIRNAME))
+        return (
+            s.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("rev_u4") / F.lit(1e4), 2).alias("revenue"))
+            .select(
+                F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+                F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+                "revenue",
+            )
+        )
     pair = bucketed_pair(spark, sf_dir)
     if pair is not None:
         o, c = pair

@@ -44,6 +44,8 @@ IVF_INDEX_DIRNAME = "ivf_embeddings.index"
 SUMMARY_DAILY_DIRNAME = "summary_daily.parquet"
 SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
+SUMMARY_Q1_DIRNAME = "summary_q1_daily.parquet"
+SUMMARY_A16_DIRNAME = "summary_a16_rollup.parquet"
 
 
 # Reader gate for the window table. A CUSTOM marker, not _SUCCESS:
@@ -244,9 +246,58 @@ def optimize_layout(
     # serializing — the scheduler interleaves their tasks across cores.
     with ThreadPoolExecutor(max_workers=4) as pool:
         list(pool.map(_rewrite, tables or list(_LAYOUT)))
+    if build_indexes and (tables is None or "lineitem" in tables):
+        # Per-(shipdate, flag, status) partial aggregates for the q1
+        # family — the reference's cron-refreshed meta-table
+        # discipline (scripts/update_db_meta_info.js) applied to the
+        # pricing summary: every q1 measure is additive (long u4
+        # sums, exact-integer quantity sums, counts), so the daily
+        # partials re-aggregate to BIT-IDENTICAL final values while
+        # the query scan shrinks from |lineitem| to |days|x6 rows.
+        # The shipdate filter hits the partial's group key exactly.
+        # At 100 TB the ingest job maintains this incrementally
+        # (append a day -> merge a day), like the daily summary.
+        li = read_table(spark, out_dir, "lineitem")
+        (
+            li.groupBy("l_shipdate", "l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("qty_sum"),
+                F.sum("l_extendedprice_u4").alias("ep_u4"),
+                F.sum("l_discprice_u4").alias("dp_u4"),
+                F.sum("l_charge_u4").alias("ch_u4"),
+                F.sum("l_discount_u4").alias("disc_u4"),
+                F.count("l_extendedprice_u4").alias("n_ep"),
+                F.count("l_discount_u4").alias("n_disc"),
+                F.count("l_quantity").alias("n_qty"),
+                F.count("*").alias("cnt"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, SUMMARY_Q1_DIRNAME))
+        )
     if build_indexes and (
         tables is None or {"orders", "customer"} <= set(tables)
     ):
+        # Base (region, nation) revenue partials for a16: the rollup
+        # margins re-derive from the 25-row base exactly (additive u4
+        # longs), so serving is bit-identical to the 4-way join.
+        o = read_table(spark, out_dir, "orders")
+        c = read_table(spark, out_dir, "customer")
+        n = read_table(spark, out_dir, "nation")
+        r = read_table(spark, out_dir, "region")
+        (
+            o.join(
+                F.broadcast(c.select("c_custkey", "c_nationkey")),
+                o.o_custkey == F.col("c_custkey"),
+            )
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.sum("o_totalprice_u4").alias("rev_u4"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, SUMMARY_A16_DIRNAME))
+        )
         # Co-partitioned orders||customer on custkey (the a16 join
         # key): both sides bucketed+sorted, so the fact-dim join plans
         # a zero-exchange zero-sort SortMergeJoin over bucketed scans.
@@ -721,6 +772,43 @@ def prune_summary(
     return dropped
 
 
+def summary_fresh(
+    spark: SparkSession,
+    data_dir: str,
+    dirname: str,
+    sources: tuple[str, ...] = ("events.parquet",),
+    expect_cols: tuple[str, ...] = (),
+) -> bool:
+    """True iff the derived summary exists, committed, no older than
+    any of its source tables (mtime probe through the Hadoop FS
+    layer — rewrites/appends under a source bump its dir mtime past
+    the summary's commit), and carries the expected columns (an
+    older-schema table falls back instead of failing). The general
+    form of analytics._summary_fresh for non-events sources."""
+    from nerd_spark.sources import fsutil
+
+    success = os.path.join(data_dir, dirname, "_SUCCESS")
+    if not fsutil.exists(spark, success):
+        return False
+    smtime = fsutil.mtime(spark, success)
+    for src in sources:
+        try:
+            if fsutil.mtime(spark, os.path.join(data_dir, src)) > smtime:
+                return False
+        except Exception:  # source absent (pure derived-state dir)
+            continue
+    if expect_cols:
+        try:
+            cols = set(
+                spark.read.parquet(os.path.join(data_dir, dirname)).columns
+            )
+        except Exception:
+            return False
+        if not set(expect_cols) <= cols:
+            return False
+    return True
+
+
 def bucketed_pair_names(data_dir: str) -> tuple[str, str]:
     """Catalog table names for the co-partitioned orders/customer pair
     of a layout dir (hash-suffixed: one session can hold pairs for
@@ -768,11 +856,17 @@ def write_join_pair(
 
 def bucketed_pair(spark: SparkSession, data_dir: str):
     """(orders_df, customer_df) from the co-partitioned pair if this
-    layout dir has one, else None — queries fall back to raw reads."""
+    layout dir has one AND it is no older than the source tables it
+    was written from (the pair is derived state like any summary — a
+    changed orders/customer table makes it silently wrong, not just
+    slow), else None — queries fall back to raw reads."""
     ot, ct = bucketed_pair_names(data_dir)
-    if spark.catalog.tableExists(ot) and spark.catalog.tableExists(ct):
-        return spark.table(ot), spark.table(ct)
-    return None
+    if not (spark.catalog.tableExists(ot) and spark.catalog.tableExists(ct)):
+        return None
+    for tbl, src in ((ot, "orders.parquet"), (ct, "customer.parquet")):
+        if not summary_fresh(spark, data_dir, f"{tbl}.bucketed", (src,)):
+            return None
+    return spark.table(ot), spark.table(ct)
 
 
 def write_bucketed(

@@ -54,17 +54,37 @@ def test_q1_a16_identical_raw_vs_layout(spark, sf_dir, layout_dir):
         assert a.equals(b), name
 
 
-def test_q1_layout_scan_reads_longs_not_doubles(spark, layout_dir):
-    """On an optimized dir the q1 scan must NOT read the money doubles
-    at all — the whole point of the materialization (ReadSchema
-    prunes to the u4 longs + group/filter columns)."""
+def test_q1_serves_from_partials_then_falls_back_to_u4_scan(spark, layout_dir):
+    """Fresh optimized dir: q1 reads ONLY the |days|x6 partial table
+    (no lineitem scan at all). After the source table changes (dir
+    mtime bumps past the summary commit), the gate falls back to the
+    lineitem scan — which must read the u4 longs, never the money
+    doubles (ReadSchema-pruned)."""
+    from nerd_spark.sources import fsutil
+    from nerd_spark.sources.layout import SUMMARY_Q1_DIRNAME
+
     df = REGISTRY["q1_pricing_summary"](spark, layout_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    scan = [l for l in plan.splitlines() if "ReadSchema" in l and "lineitem" in l]
-    assert scan, plan
-    assert "l_extendedprice_u4" in scan[0]
-    assert "l_extendedprice:" not in scan[0].replace("l_extendedprice_u4", "")
-    assert "l_tax" not in scan[0]
+    assert SUMMARY_Q1_DIRNAME.split(".")[0] in plan
+    assert "lineitem" not in plan
+
+    want = normalize(df.toPandas())
+    # staleness: adding a (Spark-hidden) file bumps the dir mtime
+    fsutil.touch(spark, os.path.join(layout_dir, "lineitem.parquet", "_stale"))
+    df2 = REGISTRY["q1_pricing_summary"](spark, layout_dir)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    try:
+        scan = [
+            l for l in plan2.splitlines()
+            if "ReadSchema" in l and "lineitem" in l
+        ]
+        assert scan, plan2
+        assert "l_extendedprice_u4" in scan[0]
+        assert "l_extendedprice:" not in scan[0].replace("l_extendedprice_u4", "")
+        assert "l_tax" not in scan[0]
+        assert normalize(df2.toPandas()).equals(want)  # fallback == serve
+    finally:
+        fsutil.delete(spark, os.path.join(layout_dir, "lineitem.parquet", "_stale"))
 
 
 def test_bucketed_pair_join_no_exchange_no_sort(spark, layout_dir):
@@ -89,11 +109,53 @@ def test_bucketed_pair_join_no_exchange_no_sort(spark, layout_dir):
     assert "Sort " not in plan.replace("SortMergeJoin", "SMJ"), plan
 
 
-def test_a16_uses_bucketed_pair_when_present(spark, layout_dir):
-    """a16 on an optimized dir must read the catalog pair (bucketed
-    scan) and the stored o_totalprice_u4 longs."""
+def test_bucketed_pair_serves_when_summary_absent(spark, layout_dir):
+    """The pair is the beyond-broadcast scale path: with the a16
+    summary gone (but sources unchanged), a16 reads the catalog pair
+    as a bucketed scan."""
+    import shutil
+
+    from nerd_spark.sources.layout import SUMMARY_A16_DIRNAME
+
+    want = normalize(REGISTRY["a16_rollup_revenue"](spark, layout_dir).toPandas())
+    sdir = os.path.join(layout_dir, SUMMARY_A16_DIRNAME)
+    saved = sdir + ".bak"
+    shutil.move(sdir, saved)
+    try:
+        df = REGISTRY["a16_rollup_revenue"](spark, layout_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ot, _ = bucketed_pair_names(layout_dir)
+        assert "Bucketed: true" in plan or ot in plan
+        assert normalize(df.toPandas()).equals(want)
+    finally:
+        shutil.move(saved, sdir)
+
+
+def test_a16_serves_from_partials_then_falls_back(spark, layout_dir):
+    """Fresh optimized dir: a16 reads only the 25-row (r, n) revenue
+    partials. When orders changes, EVERY derived path is stale — the
+    summary gate AND the bucketed pair's own freshness check (the
+    pair is derived state too; serving it after a source change would
+    be silently wrong, not just slow) — so a16 falls back to the raw
+    join, which still reads the stored u4 longs."""
+    from nerd_spark.sources import fsutil
+    from nerd_spark.sources.layout import SUMMARY_A16_DIRNAME, bucketed_pair
+
     df = REGISTRY["a16_rollup_revenue"](spark, layout_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    ot, _ = bucketed_pair_names(layout_dir)
-    assert "Bucketed: true" in plan or ot in plan
-    assert "o_totalprice_u4" in plan
+    assert SUMMARY_A16_DIRNAME.split(".")[0] in plan
+    assert "orders" not in plan
+
+    want = normalize(df.toPandas())
+    fsutil.touch(spark, os.path.join(layout_dir, "orders.parquet", "_stale"))
+    try:
+        assert bucketed_pair(spark, layout_dir) is None  # pair stale too
+        df2 = REGISTRY["a16_rollup_revenue"](spark, layout_dir)
+        plan2 = df2._jdf.queryExecution().executedPlan().toString()
+        assert "orders.parquet" in plan2  # raw join path
+        assert "o_totalprice_u4" in plan2
+        assert normalize(df2.toPandas()).equals(want)
+    finally:
+        # note: the delete bumps the dir mtime again, so the pair
+        # (correctly) stays suspect for this layout_dir afterwards
+        fsutil.delete(spark, os.path.join(layout_dir, "orders.parquet", "_stale"))
