@@ -162,6 +162,16 @@ def _pair_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:
     map-side from shingle arrays. Candidates are rare by
     construction, so Spark broadcasts `cand` and both joins stream
     `sets` map-side: verification never shuffles the corpus.
+
+    Deliberately NOT pinned with an explicit broadcast hint (r7
+    verdict #3 considered one): on a pathological corpus — giant
+    near-dup cliques — `cand` grows quadratically in clique size, and
+    a forced broadcast would OOM the driver exactly when the input is
+    worst. Letting Catalyst/AQE choose means the degenerate case
+    degrades to a shuffled join of (id, shingle-set) rows — slower,
+    but bounded and correct; the common case (cand under the 64 MB
+    threshold — 1.6 M pairs measured ~26 MB at the 80x point) stays
+    the map-side broadcast plan.
     """
     sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
     a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
