@@ -81,7 +81,15 @@ def golden_oracle(name: str) -> str | None:
         for row in g["rows"]
     )
     guard = g["guard"]
+    # explicit casts: DuckDB types a bare decimal literal in VALUES as
+    # DECIMAL, whose canonical string form diverges from a double's
+    # for integral values ('1.0' vs '1') — cast every column to the
+    # captured type so the compare sees real doubles/bigints
+    sql_t = {"float": "DOUBLE", "int": "BIGINT", "str": "VARCHAR"}
+    proj = ", ".join(
+        f"CAST({c} AS {sql_t[t]}) AS {c}" for c, t in zip(cols, types)
+    )
     return (
-        f"SELECT * FROM (VALUES\n{rows}\n) AS g({', '.join(cols)})\n"
+        f"SELECT {proj} FROM (VALUES\n{rows}\n) AS g({', '.join(cols)})\n"
         f"WHERE (SELECT count(*) FROM {guard['table']}) = {guard['count']}"
     )

@@ -288,3 +288,62 @@ def test_new_enrich_stages_are_broadcast_plans(spark):
             or "BroadcastExchange" in plan
         )
         assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_reserved_ranges_match_reference_semantics_property(spark):
+    """Property (random IPs): reserved_ip_stage agrees with a faithful
+    re-implementation of the reference's matcher (reserved_ip.py:
+    prefix list + range regexes, INCLUDING its quirks) everywhere
+    except the single documented divergence — 198.18.0.0/15, where the
+    reference's regex carries a stray ']' and can never match, while
+    the range is intentionally reserved (RFC 2544)."""
+    import random
+    import re
+
+    prefixes = ["0.", "10.", "127.", "169.254.", "192.0.0.", "192.0.2.",
+                "192.168.", "198.51.100.", "203.0.113.", "255.255.255.255"]
+    regexes = [
+        re.compile(r"100\.(6[4-9]|[7-9][0-9]|1[0-1][0-9]|12[0-7])\.\d{1,3}\.\d{1,3}"),
+        re.compile(r"172\.(1[6-9]|2[0-9]|3[0-1])\.\d{1,3}\.\d{1,3}"),
+        re.compile(r"198\.1[8-9]\.\d{1,3}\.\d{1,3}]"),  # ref's typo kept
+        re.compile(r"2(2[4-9]|[3-4][0-9]|5[0-5])\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+    ]
+
+    def ref_is_reserved(ip: str) -> int:
+        for p in prefixes:
+            if ip.startswith(p):
+                return 1
+        for rx in regexes:
+            if rx.search(ip):
+                return 1
+        return 0
+
+    rnd = random.Random(8)
+    ips = [
+        ".".join(str(rnd.randrange(256)) for _ in range(4)) for _ in range(400)
+    ]
+    # force coverage of the divergent and boundary-rich ranges
+    ips += ["198.18.5.5", "198.19.255.1", "100.64.3.3", "172.20.0.1",
+            "169.254.9.9", "203.0.113.200", "224.1.2.3", "239.9.9.9"]
+
+    def ip4(s):
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    from nerd_spark.plans.enrich import reserved_ip_stage
+
+    frame = spark.createDataFrame(
+        [(i, ip4(s)) for i, s in enumerate(ips)], "entity long, ip_int long"
+    )
+    got = {r.entity: r.reserved_range for r in reserved_ip_stage(frame).collect()}
+    diverged = []
+    for i, s in enumerate(ips):
+        want = ref_is_reserved(s)
+        if got[i] != want:
+            diverged.append(s)
+    # every divergence must be inside 198.18.0.0/15 (ours=1, ref's
+    # typo'd regex=0) — anything else is a real bug
+    for s in diverged:
+        a, b = (int(x) for x in s.split(".")[:2])
+        assert a == 198 and b in (18, 19), f"unexpected divergence at {s}"
+        assert got[ips.index(s)] == 1
