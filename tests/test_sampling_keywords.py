@@ -148,3 +148,50 @@ def test_incremental_subset_of_full_pairs(spark, sf_dir):
     # incremental pairs = exactly the full pairs touching the batch
     expect = {p for p in full if p[0] % 5 == 4 or p[1] % 5 == 4}
     assert inc == expect
+
+
+def test_term_count_pairs_rle_and_projection_binding(spark, sf_dir):
+    """The RLE waist: (a) equals the explode+groupBy word count
+    exactly; (b) its optimized plan keeps the sorted-token array in
+    its OWN projection (exactly one array_sort) — if a future
+    CollapseProject change re-nests it into the HOF lambdas, the
+    sort re-evaluates per element and the operator goes O(n^2)
+    (measured 70x at sf0.1); (c) empty/whitespace docs yield []."""
+    from pyspark.sql import functions as F
+
+    from nerd_spark.functions.text import tokens
+    from nerd_spark.operators.keywords import term_count_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    extra = docs.limit(2).withColumn("text", F.lit("  ")).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    docs = docs.unionByName(extra)
+
+    rle = term_count_pairs(docs)
+    got = (
+        rle.select("doc_id", F.explode("tc").alias("p"))
+        .select("doc_id", "p.term", "p.tf")
+    )
+    want = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    # whitespace-only docs survive with an empty array (not null/missing)
+    empties = rle.filter(F.col("doc_id") >= 10_000_000)
+    assert empties.count() == 2
+    assert empties.filter(F.size("tc") != 0).count() == 0
+
+    # plan binding on a single-branch frame (the union above has one
+    # array_sort per branch, which would double-count)
+    plan = (
+        term_count_pairs(read_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("array_sort") == 1, plan
