@@ -32,13 +32,8 @@ DEFAULT_WEIGHTS = {
 }
 
 
-def quality_scores(
-    docs: DataFrame,
-    weights: dict[str, float] | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """(doc_id, q_score) — logistic quality score per document."""
+def _score_expr(text_col: str, weights: dict[str, float] | None) -> F.Column:
+    """The logistic quality score as a single column expression."""
     w = dict(DEFAULT_WEIGHTS, **(weights or {}))
     q = quality_features(text_col)
     z = (
@@ -48,9 +43,19 @@ def quality_scores(
         + F.lit(float(w["stopword_ratio"])) * q["stopword_ratio"]
         + F.lit(float(w["mean_token_len"])) * q["mean_token_len"]
     )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
+def quality_scores(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, q_score) — logistic quality score per document."""
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.round(score, 6).alias("q_score")
+        F.col(id_col).alias("doc_id"),
+        _score_expr(text_col, weights).alias("q_score"),
     )
 
 
@@ -63,13 +68,14 @@ def quality_filter(
 ) -> DataFrame:
     """Append (q_score, kept) to every doc; downstream stages filter
     on `kept` (materializing the flag instead of dropping rows keeps
-    the rejection set auditable — the curation-pipeline norm)."""
-    scored = quality_scores(docs, weights, id_col, text_col)
-    return docs.join(scored, on=docs[id_col] == scored["doc_id"]).select(
-        docs["*"],
-        scored["q_score"],
-        (scored["q_score"] >= threshold).alias("kept"),
-    )
+    the rejection set auditable — the curation-pipeline norm).
+
+    One select, no join: the score is a closed-form expression over
+    the row itself, so joining a scored frame back on doc_id would
+    re-shuffle the full text for nothing (and multiply rows on a
+    duplicate id, which a per-row column can't)."""
+    scored = docs.withColumn("q_score", _score_expr(text_col, weights))
+    return scored.withColumn("kept", F.col("q_score") >= threshold)
 
 
 def gopher_rules(
