@@ -370,6 +370,58 @@ def incremental_minhash_pairs(
     return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
 
 
+def incremental_minhash_pairs_indexed(
+    docs: DataFrame,
+    bands: DataFrame,
+    new_ids,
+    id_col="doc_id",
+    text_col="text",
+    k=3,
+    threshold=0.5,
+) -> DataFrame:
+    """incremental_minhash_pairs served from the PERSISTED band index
+    (sources/layout.py MINHASH_BANDS_DIRNAME): `bands` is the (id, b,
+    h) table covering the corpus including the batch, so no signature
+    is computed at query time at all — candidate generation is one
+    equi-join of the index against its own (broadcast) batch slice.
+    `bands` must have been built at the same (k, n_bands,
+    rows_per_band) family; the caller owns that contract (the
+    registered query only reads the index at the default family).
+
+    Verification re-shingles ONLY candidate docs: the candidate-id
+    set semi-joins the corpus down before any text is tokenized, so
+    the per-batch cost is O(batch + collisions) in both compute and
+    shuffle — the contract the non-indexed variant documents but can
+    only deliver once this index exists. The candidate pair set is
+    checkpointed (it feeds both the id-prune and the verify join, and
+    it is collision-sized — small by the LSH banding argument — not
+    corpus-sized)."""
+    bands_new = bands.filter(new_ids(F.col("id")))
+    cand = (
+        bands.alias("x")
+        .join(F.broadcast(bands_new.alias("y")), ["b", "h"])
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.least("x.id", "y.id").alias("a_id"),
+            F.greatest("x.id", "y.id").alias("b_id"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    cand_ids = (
+        cand.select(F.col("a_id").alias("cid"))
+        .union(cand.select(F.col("b_id").alias("cid")))
+        .distinct()
+    )
+    cdocs = docs.join(
+        F.broadcast(cand_ids), docs[id_col] == F.col("cid"), "semi"
+    )
+    sets = shingle_arrays(_spread(cdocs), id_col, text_col, k).select(
+        "id", F.array_distinct("sarr").alias("ss")
+    )
+    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
+
+
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text", bits=16) -> DataFrame:
     """Per-doc SimHash over distinct whitespace tokens.
 

@@ -481,10 +481,29 @@ def tfidf_top_terms(spark, sf_dir):
 def dedup_incremental(spark, sf_dir):
     # Continuous-ingestion dedup (operators/dedup.py): the batch
     # (doc_id % 5 = 4 stands in for an arriving micro-batch) checks
-    # itself and the existing corpus via the persisted band index;
-    # old-old pairs are never recomputed, batch side broadcasts.
+    # itself and the existing corpus; old-old pairs are never
+    # recomputed, batch side broadcasts. On an optimized dir the
+    # corpus band signatures come from the PERSISTED index
+    # (layout-time build, freshness-gated like every summary) so no
+    # corpus doc is re-shingled at query time — the O(batch +
+    # collisions) contract for real. Raw dirs (every oracle compare)
+    # recompute in-query, same result.
+    from nerd_spark.sources.layout import MINHASH_BANDS_DIRNAME, summary_fresh
+
     docs = t(spark, sf_dir, "documents")
-    return DD.incremental_minhash_pairs(docs, lambda c: c % 5 == 4)
+    batch = lambda c: c % 5 == 4  # noqa: E731
+    if summary_fresh(
+        spark,
+        sf_dir,
+        MINHASH_BANDS_DIRNAME,
+        sources=("documents.parquet",),
+        expect_cols=("id", "b", "h"),
+    ):
+        import os
+
+        bands = spark.read.parquet(os.path.join(sf_dir, MINHASH_BANDS_DIRNAME))
+        return DD.incremental_minhash_pairs_indexed(docs, bands, batch)
+    return DD.incremental_minhash_pairs(docs, batch)
 
 
 @query(

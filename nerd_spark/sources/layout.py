@@ -46,6 +46,11 @@ SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 SUMMARY_Q1_DIRNAME = "summary_q1_daily.parquet"
 SUMMARY_A16_DIRNAME = "summary_a16_rollup.parquet"
+# Banded MinHash signatures of `documents` (id, b, h) at the default
+# (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
+# the incremental-dedup contract assumes. Parameters are part of the
+# index identity: a query at non-default parameters must not read it.
+MINHASH_BANDS_DIRNAME = "minhash_bands.parquet"
 
 
 # Reader gate for the window table. A CUSTOM marker, not _SUCCESS:
@@ -317,6 +322,27 @@ def optimize_layout(
         emb = read_table(spark, out_dir, "embeddings")
         SIM.build_ivf_index(
             emb, os.path.join(out_dir, IVF_INDEX_DIRNAME), n_lists=8
+        )
+    if build_indexes and (tables is None or "documents" in tables):
+        # Persisted MinHash band index: continuous-ingestion dedup
+        # (operators/dedup.py::incremental_minhash_pairs_indexed) is
+        # O(batch + collisions) ONLY when the corpus band table
+        # already exists — computing it per batch re-shingles the
+        # whole corpus. Building it at ingest (12 narrow rows/doc)
+        # mirrors the IVF index; at 100 TB the ingest job appends a
+        # batch's bands in the same pass that archives the batch.
+        from nerd_spark.operators.dedup import (
+            _spread,
+            minhash_band_table,
+            shingle_arrays,
+        )
+
+        dd = read_table(spark, out_dir, "documents")
+        (
+            minhash_band_table(shingle_arrays(_spread(dd), "doc_id", "text", 3))
+            .coalesce(max(1, min(scale, 16)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, MINHASH_BANDS_DIRNAME))
         )
     if build_indexes and (tables is None or "events" in tables):
         # Precomputed summary table (the reference's cron-refreshed

@@ -159,3 +159,35 @@ def test_a16_serves_from_partials_then_falls_back(spark, layout_dir):
         # note: the delete bumps the dir mtime again, so the pair
         # (correctly) stays suspect for this layout_dir afterwards
         fsutil.delete(spark, os.path.join(layout_dir, "orders.parquet", "_stale"))
+
+
+def test_dedup_incremental_indexed_equals_raw(spark, sf_dir, layout_dir):
+    """The persisted-band-index path returns exactly the in-query
+    recompute's pairs, and a fresh optimized dir actually takes the
+    indexed path (no corpus re-shingle: the band index is read, and
+    only candidate docs are re-shingled for verification)."""
+    from nerd_spark.sources.layout import MINHASH_BANDS_DIRNAME, summary_fresh
+
+    assert summary_fresh(
+        spark, layout_dir, MINHASH_BANDS_DIRNAME,
+        sources=("documents.parquet",), expect_cols=("id", "b", "h"),
+    )
+    a = normalize(REGISTRY["dedup_incremental"](spark, sf_dir).toPandas())
+    b = normalize(REGISTRY["dedup_incremental"](spark, layout_dir).toPandas())
+    assert a.equals(b)
+    # path probe: with the in-query recompute disabled, the optimized
+    # dir still serves (indexed path) while the raw dir cannot. (The
+    # eager cand checkpoint severs lineage, so inputFiles() can't see
+    # the band scan — hence the functional probe.)
+    from unittest import mock
+
+    from nerd_spark.operators import dedup as DD
+
+    with mock.patch.object(
+        DD, "incremental_minhash_pairs",
+        side_effect=AssertionError("full recompute path taken"),
+    ):
+        c = normalize(REGISTRY["dedup_incremental"](spark, layout_dir).toPandas())
+        assert a.equals(c)
+        with pytest.raises(AssertionError, match="full recompute"):
+            REGISTRY["dedup_incremental"](spark, sf_dir)
