@@ -335,3 +335,179 @@ def geo_stage(
         F.col("city_name").alias("geo_city"),
         F.col("time_zone").alias("geo_tz"),
     )
+
+
+def bgp_rank_stage(
+    asns: DataFrame, ranks: DataFrame, asn_col: str = "asn"
+) -> DataFrame:
+    """CIRCL BGP-rank enrichment as a derivation stage (reference:
+    NERDd/modules/bgp_rank.py set_bgprank, :35-83 — per-ASN API
+    lookup storing ``circl_bgprank``).
+
+    ranks is the snapshot dim sources/apienrich.py::snapshot_bgp_ranks
+    builds from the triggered batch: an ASN the API knows is present
+    with its rank; an ASN the API does NOT know is present with 0.0
+    (the reference stores the 0.0 — :74-83); an ASN whose lookup
+    errored is ABSENT and must stay untouched (the reference returns
+    None, :80-82) -> NULL here, so the merge layer can skip it.
+
+    Output: (entity, circl_bgprank double). Plan: one broadcast dim
+    join, map-side — the dim is bounded by the triggered batch.
+    """
+    dim = ranks.select(
+        F.col(asn_col).alias("_asn"),
+        F.col("circl_bgprank").cast("double").alias("circl_bgprank"),
+    )
+    return asns.join(
+        F.broadcast(dim), asns[asn_col] == dim["_asn"], "left"
+    ).select("entity", "circl_bgprank")
+
+
+def shodan_decisions(entities: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """Shodan/InternetDB update decisions (reference:
+    NERDd/modules/shodan.py shodan(), :60-119).
+
+    entities: (entity ip, had_shodan bool — record already carries a
+    shodan attr, long_active bool — the _ttl.long_active tag, weekly
+    bool — this trigger is the !every1w cron, not !NEW/!refresh).
+    snapshot: sources/apienrich.py::snapshot_internetdb output.
+
+    Decision column mirrors the reference branches:
+    - 'skip'   weekly AND NOT long_active (DONT_UPDATE_SHORT_LIVED_IPS
+               gate, :76-80) — the fetch never happens
+    - 'set'    API has data (:108-119) -> the three arrays
+    - 'remove' API 404 and the record had shodan data (:81-86)
+    - 'none'   404 with nothing to remove (:87), or the entity is
+               absent from the snapshot (fetch failed, :97-101)
+
+    Plan: one equi join of the triggered batch against its own
+    snapshot — both sides are batch-sized; AQE picks the strategy.
+    """
+    gated = entities.withColumn(
+        "_skip", F.col("weekly") & ~F.col("long_active")
+    )
+    snap = snapshot.select(
+        F.col("ip").alias("entity"), "found", "ports", "tags", "cpes"
+    )
+    j = gated.join(snap, "entity", "left")
+    action = (
+        F.when(F.col("_skip"), F.lit("skip"))
+        .when(F.col("found"), F.lit("set"))
+        .when(
+            F.col("found").eqNullSafe(F.lit(False)) & F.col("had_shodan"),
+            F.lit("remove"),
+        )
+        .otherwise(F.lit("none"))
+    )
+    keep = F.col("action") == "set"
+    return j.select(
+        "entity",
+        action.alias("action"),
+        "found",
+        "ports", "tags", "cpes",
+    ).select(
+        "entity",
+        "action",
+        *[F.when(keep, F.col(c)).alias(c) for c in ("ports", "tags", "cpes")],
+    )
+
+
+def shodan_ops(decisions: DataFrame) -> DataFrame:
+    """Decisions -> merge wire-format ops (operators/merge.py):
+    'set' -> three ``set shodan.{ports,tags,cpes}`` ops (the reference
+    emits exactly these three, :113-118); 'remove' -> one
+    ``remove shodan`` (pops the subtree, :84-86); 'skip'/'none' emit
+    nothing."""
+    from nerd_spark.operators.merge import stable_seq
+
+    sets = decisions.filter(F.col("action") == "set")
+    set_rows = None
+    for field in ("ports", "tags", "cpes"):
+        r = sets.select(
+            F.col("entity").alias("eid"),
+            F.lit("set").alias("op"),
+            F.lit(f"shodan.{field}").alias("key"),
+            F.to_json(F.struct(F.col(field).alias("value"))).alias("params"),
+        )
+        set_rows = r if set_rows is None else set_rows.unionByName(r)
+    removes = decisions.filter(F.col("action") == "remove").select(
+        F.col("entity").alias("eid"),
+        F.lit("remove").alias("op"),
+        F.lit("shodan").alias("key"),
+        F.lit("{}").alias("params"),
+    )
+    return stable_seq(set_rows.unionByName(removes))
+
+
+def passive_dns_decisions(
+    resolved: DataFrame, bl_meta: DataFrame, bl_member: DataFrame
+) -> DataFrame:
+    """Passive-DNS domain-blacklist decisions (reference:
+    NERDd/modules/passive_dns.py passive_dns_query(), :92-144).
+
+    resolved: (entity ip, domain) pairs from
+    sources/apienrich.py::snapshot_passive_dns (already negative-
+    filtered, de-duplicated, dot-stripped). bl_meta: (blname,
+    t string) — one row per configured domain blacklist with its
+    last-update time (the Redis ``dbl:<id>:time`` key, :36-44).
+    bl_member: (blname, domain) membership pairs (``dbl:<id>:list``).
+
+    The reference checks EVERY domain against EVERY blacklist and
+    emits v=1 (on-list) or v=0 (off-list) with the list's update time
+    (:131-143) -> cross the pairs with the blacklist catalogue
+    (broadcast — a config handful), LEFT join membership, derive v.
+
+    Output: (entity, blname, domain, v int, t). Plan: one broadcast
+    nested-loop against bl_meta + one equi join on (blname, domain);
+    the membership join shuffles only when the blacklist is too big to
+    broadcast.
+    """
+    crossed = resolved.crossJoin(F.broadcast(bl_meta))
+    hit = bl_member.select("blname", "domain", F.lit(1).alias("v"))
+    return (
+        crossed.join(F.broadcast(hit), ["blname", "domain"], "left")
+        .select(
+            "entity",
+            "blname",
+            "domain",
+            F.coalesce("v", F.lit(0)).alias("v"),
+            "t",
+        )
+    )
+
+
+def passive_dns_ops(decisions: DataFrame) -> DataFrame:
+    """Decisions -> merge wire-format ops on the ``dbl`` array
+    (reference :137-143): on-list -> ``array_upsert dbl {n,d}``
+    [set v 1, set t time, append h time] (inserts the entry and grows
+    the hit history); off-list -> ``array_update dbl {n,d}``
+    [set v 0, set t time] (updates an EXISTING entry only — a domain
+    never seen on the list gets no entry, matching array_update's
+    no-op-when-absent semantics in operators/merge.py)."""
+    from nerd_spark.operators.merge import stable_seq
+
+    query = F.struct(F.col("blname").alias("n"), F.col("domain").alias("d"))
+    t_params = F.to_json(F.struct(F.col("t").alias("value")))
+    on_ops = F.array(
+        F.array(F.lit("set"), F.lit("v"), F.lit('{"value": 1}')),
+        F.array(F.lit("set"), F.lit("t"), t_params),
+        F.array(F.lit("append"), F.lit("h"), t_params),
+    )
+    off_ops = F.array(
+        F.array(F.lit("set"), F.lit("v"), F.lit('{"value": 0}')),
+        F.array(F.lit("set"), F.lit("t"), t_params),
+    )
+    rows = decisions.select(
+        F.col("entity").alias("eid"),
+        F.when(F.col("v") == 1, F.lit("array_upsert"))
+        .otherwise(F.lit("array_update"))
+        .alias("op"),
+        F.lit("dbl").alias("key"),
+        F.to_json(
+            F.struct(
+                query.alias("query"),
+                F.when(F.col("v") == 1, on_ops).otherwise(off_ops).alias("ops"),
+            )
+        ).alias("params"),
+    )
+    return stable_seq(rows)

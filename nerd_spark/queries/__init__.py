@@ -30,13 +30,14 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (107) exceeds the driver's 50-entry correctness
+# The inventory (110) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
 #    ≤2-round staleness invariant is now binding on them);
-# 2. queries NEW this round — the p15/p16/p17 enrichment stages
-#    (CAIDA AS-class, reserved-IP tagging, ASN rank);
+# 2. queries NEW this round — the p15–p20 enrichment stages
+#    (CAIDA AS-class, reserved-IP tagging, ASN rank, CIRCL BGP rank,
+#    Shodan InternetDB, Passive-DNS domain blacklists);
 # 3. the six formerly rows-only queries that now carry self-oracle
 #    goldens (queries/golden.py) — their oracle status changed, so
 #    the driver must re-record them as hash rows: the trained ANN
@@ -67,6 +68,9 @@ _WINDOW_PRIORITY = [
     "p15_as_class",
     "p16_reserved_ip",
     "p17_asn_rank",
+    "p18_bgp_rank",
+    "p19_shodan",
+    "p20_passive_dns",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -74,19 +78,22 @@ _WINDOW_PRIORITY = [
     "fmp_score_gbt",
     "mixture_temperature_free",
     "a2_window_totals_approx",
-    # 4 — r6-latest remainder
+    # 4 — r6-latest remainder (three more trims to fit the late-round
+    #    p18/p19/p20 additions, same fresher-sibling rule:
+    #    a2_window_totals serves from the same layout window table as
+    #    in-window a2_window_totals_approx; j4_range_join shares
+    #    operators/rangejoin.py with in-window j4_range_join_bucketed
+    #    and j5; j9_semi_anti shares the relational join family with
+    #    in-window j6/j8. All three rotate FIRST into r9.)
     "a11_distinct_pair_counts",
     "a13_intervals",
-    "a2_window_totals",
     "ann_ivf_indexed",
     "ip_records",
     "j1_equi_join",
     "j2_enrichment_chain",
-    "j4_range_join",
     "j5_asof_join",
     "j6_bulk_lookup",
     "j8_group_stats_join_back",
-    "j9_semi_anti",
     "nru_due_selection",
     "p10_validity_filter",
     "p11_threat_categorization",

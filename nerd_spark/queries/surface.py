@@ -840,3 +840,206 @@ def p17_asn_rank(spark, sf_dir):
     return asn_rank_stage(asns, ranks).select(
         F.col("entity").alias("user_id"), "eml_rank"
     )
+
+
+@query(
+    "p18_bgp_rank",
+    """
+    WITH asns AS (
+      SELECT DISTINCT user_id, user_id % 32 AS asn FROM events
+    ),
+    dim AS (
+      SELECT n_nationkey AS asn,
+             CASE WHEN n_nationkey >= 20 THEN 0.0
+                  ELSE round(n_nationkey * 0.37 + 0.5, 4) END AS circl_bgprank
+      FROM nation
+    )
+    SELECT a.user_id, d.circl_bgprank
+    FROM asns a LEFT JOIN dim d USING (asn)
+    """,
+)
+def p18_bgp_rank(spark, sf_dir):
+    # CIRCL BGP-rank enrichment stage (reference: NERDd/modules/
+    # bgp_rank.py set_bgprank — asn !NEW/every1d -> POST to the
+    # ranking API -> set circl_bgprank). The API hop is
+    # sources/apienrich.py::snapshot_bgp_ranks; here the snapshot dim
+    # is synthesized with the API's THREE outcome bands: ranked
+    # (asn < 20), not-found (20-24: the API answers rank 0.0 and the
+    # reference STORES it), errored (25-31: absent from the snapshot
+    # -> NULL, the reference stores nothing).
+    from nerd_spark.plans.enrich import bgp_rank_stage
+
+    asns = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .withColumn("asn", F.col("entity") % 32)
+    )
+    ranks = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("asn"),
+        F.when(F.col("n_nationkey") >= 20, F.lit(0.0))
+        .otherwise(F.round(F.col("n_nationkey") * 0.37 + 0.5, 4))
+        .alias("circl_bgprank"),
+    )
+    return bgp_rank_stage(asns, ranks).select(
+        F.col("entity").alias("user_id"), "circl_bgprank"
+    )
+
+
+@query(
+    "p19_shodan",
+    """
+    WITH ents AS (
+      SELECT DISTINCT user_id,
+             user_id % 3 = 0 AS had_shodan,
+             user_id % 2 = 0 AS long_active,
+             user_id % 5 = 0 AS weekly
+      FROM events
+    ),
+    snap AS (  -- fetch snapshot: user_id%7=6 errored out (absent)
+      SELECT user_id, user_id % 4 <> 1 AS found FROM ents
+      WHERE user_id % 7 <> 6 AND NOT (weekly AND NOT long_active)
+    ),
+    dec AS (
+      SELECT e.user_id, e.had_shodan,
+             CASE WHEN e.weekly AND NOT e.long_active THEN 'skip'
+                  WHEN s.found THEN 'set'
+                  WHEN s.found = false AND e.had_shodan THEN 'remove'
+                  ELSE 'none' END AS action
+      FROM ents e LEFT JOIN snap s USING (user_id)
+    )
+    SELECT user_id, action,
+           CASE WHEN action = 'set'
+                THEN '22,' || (user_id % 1000)::VARCHAR END AS ports_s,
+           CASE WHEN action = 'set'
+                THEN CASE WHEN user_id % 2 = 0 THEN 'honeypot'
+                          ELSE 'vpn,proxy' END END AS tags_s,
+           CASE WHEN action = 'set'
+                THEN 'cpe:/a:x:' || (user_id % 5)::VARCHAR END AS cpes_s
+    FROM dec
+    """,
+)
+def p19_shodan(spark, sf_dir):
+    # Shodan/InternetDB enrichment decisions (reference: NERDd/
+    # modules/shodan.py shodan()). The fetch seam is sources/
+    # apienrich.py::snapshot_internetdb; the synthesized snapshot
+    # exercises every reference branch: the weekly short-lived skip
+    # gate, found -> set ports/tags/cpes, 404+had_shodan -> remove,
+    # 404 alone / fetch error (absent row) -> no update.
+    from nerd_spark.plans.enrich import shodan_decisions
+
+    ents = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("entity"))
+        .distinct()
+        .select(
+            "entity",
+            (F.col("entity") % 3 == 0).alias("had_shodan"),
+            (F.col("entity") % 2 == 0).alias("long_active"),
+            (F.col("entity") % 5 == 0).alias("weekly"),
+        )
+    )
+    uid = F.col("entity")
+    snap = (
+        ents.filter(
+            (uid % 7 != 6) & ~(F.col("weekly") & ~F.col("long_active"))
+        )
+        .select(
+            uid.alias("ip"),
+            (uid % 4 != 1).alias("found"),
+            F.array(F.lit(22), (uid % 1000).cast("int")).alias("ports"),
+            F.when(uid % 2 == 0, F.array(F.lit("honeypot")))
+            .otherwise(F.array(F.lit("vpn"), F.lit("proxy")))
+            .alias("tags"),
+            F.array(F.concat(F.lit("cpe:/a:x:"), (uid % 5).cast("string")))
+            .alias("cpes"),
+        )
+    )
+    dec = shodan_decisions(ents, snap)
+    return dec.select(
+        F.col("entity").alias("user_id"),
+        "action",
+        F.array_join(F.col("ports").cast("array<string>"), ",").alias("ports_s"),
+        F.array_join("tags", ",").alias("tags_s"),
+        F.array_join("cpes", ",").alias("cpes_s"),
+    )
+
+
+@query(
+    "p20_passive_dns",
+    """
+    WITH resolved AS (
+      SELECT DISTINCT user_id,
+             'host' || (user_id % 9)::VARCHAR || '.example' AS domain
+      FROM events
+      UNION
+      SELECT DISTINCT user_id,
+             'alt' || (user_id % 4)::VARCHAR || '.example' AS domain
+      FROM events WHERE user_id % 3 = 0
+    ),
+    bl_meta AS (
+      SELECT r_name AS blname,
+             '2024-01-0' || (r_regionkey + 1)::VARCHAR AS t,
+             r_regionkey FROM region
+    ),
+    bl_member AS (
+      SELECT r.r_name AS blname,
+             'host' || (n.n_nationkey % 9)::VARCHAR || '.example' AS domain
+      FROM region r JOIN nation n ON n.n_nationkey % 5 = r.r_regionkey
+      WHERE n.n_nationkey % 2 = 0
+    )
+    SELECT p.user_id, m.blname, p.domain,
+           CASE WHEN b.domain IS NOT NULL THEN 1 ELSE 0 END AS v, m.t
+    FROM resolved p
+    CROSS JOIN bl_meta m
+    LEFT JOIN (SELECT DISTINCT blname, domain FROM bl_member) b
+      ON b.blname = m.blname AND b.domain = p.domain
+    """,
+)
+def p20_passive_dns(spark, sf_dir):
+    # Passive-DNS domain-blacklist checks (reference: NERDd/modules/
+    # passive_dns.py passive_dns_query() — resolve the IP's domains,
+    # check each against every Redis domain blacklist, emit v=1/v=0
+    # dbl entries stamped with the list's update time). The resolver
+    # hop is sources/apienrich.py::snapshot_passive_dns; membership
+    # and catalogue dims are synthesized from region/nation.
+    from nerd_spark.plans.enrich import passive_dns_decisions
+
+    uid = F.col("user_id")
+    base = t(spark, sf_dir, "events").select("user_id").distinct()
+    resolved = (
+        base.select(
+            uid.alias("entity"),
+            F.concat(F.lit("host"), (uid % 9).cast("string"), F.lit(".example"))
+            .alias("domain"),
+        )
+        .unionByName(
+            base.filter(uid % 3 == 0).select(
+                uid.alias("entity"),
+                F.concat(
+                    F.lit("alt"), (uid % 4).cast("string"), F.lit(".example")
+                ).alias("domain"),
+            )
+        )
+        .distinct()
+    )
+    bl_meta = t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("blname"),
+        F.concat(F.lit("2024-01-0"), (F.col("r_regionkey") + 1).cast("string"))
+        .alias("t"),
+    )
+    nk = F.col("n_nationkey")
+    bl_member = (
+        t(spark, sf_dir, "region")
+        .crossJoin(t(spark, sf_dir, "nation").filter(nk % 2 == 0))
+        .filter(nk % 5 == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("blname"),
+            F.concat(F.lit("host"), (nk % 9).cast("string"), F.lit(".example"))
+            .alias("domain"),
+        )
+        .distinct()
+    )
+    return passive_dns_decisions(resolved, bl_meta, bl_member).select(
+        F.col("entity").alias("user_id"), "blname", "domain", "v", "t"
+    )

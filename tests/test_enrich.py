@@ -347,3 +347,208 @@ def test_reserved_ranges_match_reference_semantics_property(spark):
         a, b = (int(x) for x in s.split(".")[:2])
         assert a == 198 and b in (18, 19), f"unexpected divergence at {s}"
         assert got[ips.index(s)] == 1
+
+
+def test_api_enrich_fetchers_over_loopback_http():
+    """The per-entity API pullers (sources/apienrich.py): every HTTP
+    status branch the reference modules handle — InternetDB 200/404/
+    429-retry/500 (shodan.py:74-119), Passive DNS negative-record
+    filtering + FQDN dot strip + non-200 skip + token redaction in
+    error logs (passive_dns.py:108-134), CIRCL BGP POST body + rank
+    parse + not-found-as-0.0 + error skip (bgp_rank.py:53-83)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from nerd_spark.sources.apienrich import (
+        fetch_bgp_rank,
+        fetch_internetdb,
+        fetch_passive_dns,
+    )
+
+    hits = {"n429": 0}
+    posted = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def _send(self, code, doc):
+            body = _json.dumps(doc).encode()
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/idb/1.2.3.4":
+                self._send(200, {"ports": [22, 443], "tags": ["vpn"],
+                                 "cpes": ["cpe:/a:openbsd:openssh"]})
+            elif self.path == "/idb/1.2.3.5":
+                self._send(404, {"detail": "No information available"})
+            elif self.path == "/idb/1.2.3.6":
+                hits["n429"] += 1
+                if hits["n429"] <= 2:
+                    self._send(429, {})
+                else:
+                    self._send(200, {"ports": [80]})
+            elif self.path == "/idb/1.2.3.7":
+                self._send(500, {})
+            elif self.path.startswith("/pdns/ip/"):
+                self._send(200, [
+                    {"domain": "a.example."},
+                    {"domain": "a.example."},      # dup from 2nd server
+                    {"domain": "bad.example.", "reply": "NXDOMAIN"},
+                    {"domain": "b.example."},
+                    {"rrtype": "A"},               # no domain key
+                ])
+            else:
+                self._send(404, {})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = _json.loads(self.rfile.read(n))
+            posted.append(body)
+            if body["asn"] == 65001:
+                self._send(200, {"meta": {"asn": 65001},
+                                 "response": {"asn_description": "X",
+                                              "ranking": {"rank": 2.5,
+                                                          "position": 10,
+                                                          "total_known_asns": 99}}})
+            else:  # unknown ASN: the API's not-found shape
+                self._send(200, {"meta": {"asn": body["asn"]},
+                                 "response": {"asn_description": "",
+                                              "ranking": {"rank": 0.0,
+                                                          "position": None,
+                                                          "total_known_asns": 99}}})
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        idb = f"{base}/idb"
+        # 200 -> found with the three arrays
+        assert fetch_internetdb("1.2.3.4", idb) == {
+            "ip": "1.2.3.4", "found": True, "ports": [22, 443],
+            "tags": ["vpn"], "cpes": ["cpe:/a:openbsd:openssh"]}
+        # 404 -> found=False (drives the remove branch)
+        assert fetch_internetdb("1.2.3.5", idb)["found"] is False
+        # 429 with the reference's retry budget (0) -> give up
+        slept = []
+        assert fetch_internetdb("1.2.3.6", idb, max_retries=0,
+                                _sleep=slept.append) is None
+        # 429 twice then 200 with budget 2 -> success after sleeping
+        hits["n429"] = 0
+        got = fetch_internetdb("1.2.3.6", idb, max_retries=2,
+                               rate_limit_sleep=7, _sleep=slept.append)
+        assert got["ports"] == [80] and slept == [7, 7]
+        # unexpected status -> None (no update)
+        assert fetch_internetdb("1.2.3.7", idb) is None
+
+        # passive DNS: negatives dropped, dups collapsed, dot stripped
+        doms = fetch_passive_dns("9.9.9.9", f"{base}/pdns/", token="sec")
+        assert doms == ["a.example", "b.example"]
+        # non-200 -> None
+        assert fetch_passive_dns("9.9.9.9", f"{base}/nope/", token="sec") is None
+
+        # connection error -> None, token redacted from the log line
+        class Log:
+            msg = None
+
+            def error(self, m):
+                self.msg = m
+
+        log = Log()
+        assert fetch_passive_dns("9.9.9.9", "http://127.0.0.1:1/x/",
+                                 token="sec", log=log) is None
+        assert "sec" not in log.msg and "<REDACTED>" in log.msg
+
+        # BGP rank: POST body matches the reference's literal JSON
+        assert fetch_bgp_rank(65001, f"{base}/bgp") == 2.5
+        assert posted[-1] == {"asn": 65001, "address_family": "v4"}
+        # not-found: rank 0.0 comes back and IS a value (stored)
+        assert fetch_bgp_rank(64999, f"{base}/bgp") == 0.0
+        # connection error -> None (no update)
+        assert fetch_bgp_rank(65001, "http://127.0.0.1:1/bgp") is None
+    finally:
+        srv.shutdown()
+
+
+def test_shodan_and_pdns_ops_merge_roundtrip(spark):
+    """The wire-format emitters feed operators/merge.py and land the
+    reference's record shapes: set shodan.{ports,tags,cpes} builds the
+    subtree, remove shodan pops it (shodan.py:84-118); dbl
+    array_upsert inserts + appends history while array_update only
+    touches existing entries (passive_dns.py:137-143)."""
+    import json as _json
+
+    from nerd_spark.operators.merge import merge_changelog
+    from nerd_spark.plans.enrich import (
+        passive_dns_decisions,
+        passive_dns_ops,
+        shodan_decisions,
+        shodan_ops,
+    )
+
+    ents = spark.createDataFrame(
+        [("ip1", False, True, False),   # fresh, found -> set
+         ("ip2", True, True, True),     # weekly, long_active, 404 -> remove
+         ("ip3", True, False, True),    # weekly short-lived -> skip
+         ("ip4", False, True, False)],  # fetch failed (absent) -> none
+        "entity string, had_shodan boolean, long_active boolean, weekly boolean",
+    )
+    snap = spark.createDataFrame(
+        [("ip1", True, [22], ["vpn"], ["cpe:/a:x"]),
+         ("ip2", False, None, None, None)],
+        "ip string, found boolean, ports array<int>, tags array<string>, "
+        "cpes array<string>",
+    )
+    dec = {r["entity"]: r["action"]
+           for r in shodan_decisions(ents, snap).collect()}
+    assert dec == {"ip1": "set", "ip2": "remove", "ip3": "skip",
+                   "ip4": "none"}
+
+    ops = shodan_ops(shodan_decisions(ents, snap))
+    base = spark.createDataFrame(
+        [("ip1", "{}"),
+         ("ip2", _json.dumps({"shodan": {"ports": [1]}, "asn": 7}))],
+        "eid string, record string",
+    )
+    merged = {r["eid"]: _json.loads(r["record"])
+              for r in merge_changelog(base, ops).collect()}
+    assert merged["ip1"]["shodan"] == {"ports": [22], "tags": ["vpn"],
+                                       "cpes": ["cpe:/a:x"]}
+    assert "shodan" not in merged["ip2"] and merged["ip2"]["asn"] == 7
+
+    resolved = spark.createDataFrame(
+        [("ip1", "a.example"), ("ip1", "b.example")],
+        "entity string, domain string",
+    )
+    bl_meta = spark.createDataFrame(
+        [("dbl1", "2024-01-01")], "blname string, t string"
+    )
+    bl_member = spark.createDataFrame(
+        [("dbl1", "a.example")], "blname string, domain string"
+    )
+    pd_dec = passive_dns_decisions(resolved, bl_meta, bl_member)
+    got = {(r["domain"], r["v"]) for r in pd_dec.collect()}
+    assert got == {("a.example", 1), ("b.example", 0)}
+
+    # record already tracks b.example (off-list update refreshes it);
+    # a.example is new (upsert inserts + starts the history array)
+    pd_base = spark.createDataFrame(
+        [("ip1", _json.dumps({"dbl": [
+            {"n": "dbl1", "d": "b.example", "v": 1, "t": "2023-12-31",
+             "h": ["2023-12-31"]}]}))],
+        "eid string, record string",
+    )
+    out = merge_changelog(pd_base, passive_dns_ops(pd_dec)).collect()
+    rec = _json.loads(out[0]["record"])
+    by_domain = {e["d"]: e for e in rec["dbl"]}
+    assert by_domain["a.example"] == {
+        "n": "dbl1", "d": "a.example", "v": 1, "t": "2024-01-01",
+        "h": ["2024-01-01"]}
+    # off-list: v flipped to 0, t refreshed, history NOT extended
+    assert by_domain["b.example"]["v"] == 0
+    assert by_domain["b.example"]["t"] == "2024-01-01"
+    assert by_domain["b.example"]["h"] == ["2023-12-31"]
