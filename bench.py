@@ -156,6 +156,27 @@ def main() -> None:
     curation_stages = corpus_curation_v2_stages(spark, data_dir)
     curation_v3_stages = corpus_curation_v3_stages(spark, data_dir)
 
+    def _cpu_canary() -> float:
+        """Seconds for a fixed single-thread workload (hash spin +
+        numpy matmul). Guest loadavg cannot see HOST contention on a
+        shared VM — two back-to-back runs of this bench have measured
+        uniformly 2.3x apart at guest-idle — so every record carries
+        this calibration number: compare bench rows only after
+        checking their canaries agree (~±10%). Nominal on a quiet
+        host here: ~0.13 s."""
+        import hashlib
+
+        import numpy as np
+
+        t0 = time.perf_counter()
+        h = b"x" * 64
+        for _ in range(60_000):
+            h = hashlib.md5(h).digest()
+        a = np.random.default_rng(7).random((384, 384))
+        for _ in range(12):
+            a = a @ a % 1.0
+        return round(time.perf_counter() - t0, 4)
+
     def _testdata_fingerprint() -> str:
         """Stable hash of the input dir's (name, size) listing — a
         bench row is only comparable to rows with the same data."""
@@ -190,6 +211,7 @@ def main() -> None:
             "loadavg_5m": round(load_start[1], 2),
             "loadavg_1m_end": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
+            "cpu_canary_sec": _cpu_canary(),
             "testdata_fingerprint": _testdata_fingerprint(),
         },
     }

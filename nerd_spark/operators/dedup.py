@@ -97,6 +97,51 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def waist_checkpoint(df: DataFrame, min_bytes: int | None = None) -> DataFrame:
+    """Materialize a multi-consumer pipeline waist — but only when the
+    source corpus is big enough for the saved recomputation to beat
+    the materialization's own job cost.
+
+    The funnel/tf waists (corpus_curation_v2/v3, keywords._tf_waist)
+    feed 2-3 downstream actions; at the 80x design point an eager
+    localCheckpoint saves whole re-executions of the tokenize/regex
+    stages (measured: v3 10.3 -> 5.9 s, tfidf 3 corpus scans -> 1).
+    At test SF the same checkpoint LOSES: each extra eager job costs
+    ~0.3 s of fixed scheduling/serialization while a redundant scan
+    pass costs milliseconds (measured: v3 cold 14.1 s with vs 7.2 s
+    without at sf0.1). Decision: estimate the source bytes from the
+    plan's own FileIndex (``inputFiles`` + a sampled FS stat — the
+    same probe discipline as :func:`_spread`) and skip the checkpoint
+    under ``spark.nerd.waistMinBytes`` (default 8 MiB of source
+    parquet, ~10x the sf0.1 corpus and ~1/6 of the measured-win 80x
+    point). Unknown size (in-memory lineage, stat failure) -> assume
+    big and checkpoint: the scale path must never silently degrade.
+
+    On a cluster, .checkpoint()/a parquet write is the fault-tolerant
+    equivalent of the localCheckpoint taken here.
+    """
+    spark = df.sparkSession
+    if min_bytes is None:
+        min_bytes = _bytes_conf(spark, "spark.nerd.waistMinBytes", 8 << 20)
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        from nerd_spark.sources import fsutil
+
+        n = len(files)
+        sample = files[:: max(1, n // 8)][:8]
+        try:
+            sizes = [fsutil.size(spark, f) for f in sample]
+            est = int(sum(sizes) / len(sizes) * n)
+            if est < min_bytes:
+                return df
+        except Exception:
+            pass
+    return df.localCheckpoint()
+
+
 def _bytes_conf(spark, key: str, default: int) -> int:
     """A byte-valued SQL conf ('134217728b', '128m', plain int)."""
     import re

@@ -114,7 +114,9 @@ def term_count_pairs(
 def _tf_waist(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, term, tf) — distinct by construction, materialized
     once as the compact per-doc RLE arrays (one row per doc)."""
-    waist = term_count_pairs(docs, id_col, text_col).localCheckpoint()
+    from nerd_spark.operators.dedup import waist_checkpoint
+
+    waist = waist_checkpoint(term_count_pairs(docs, id_col, text_col))
     return waist.select("doc_id", F.explode("tc").alias("p")).select(
         "doc_id", "p.term", "p.tf"
     )

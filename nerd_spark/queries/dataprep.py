@@ -1744,13 +1744,17 @@ def corpus_curation_v3(spark, sf_dir):
             "doc_id",
         )
         .filter(F.length(F.trim("text")) > 0)
-        # second funnel waist (r8): ev/tr/the d2 anti-join all branch
-        # off `cleaned`, so without this the gopher gate + span-dedup
-        # shuffle re-execute 3x inside the d2 materialization job —
-        # measured 5.8 s -> 3.9 s for the whole funnel. Same
-        # persisted-corpus-version discipline as d2 below.
-        .localCheckpoint()
     )
+    # second funnel waist (r8): ev/tr/the d2 anti-join all branch
+    # off `cleaned`, so without this the gopher gate + span-dedup
+    # shuffle re-execute 3x inside the d2 materialization job —
+    # measured 5.8 -> 3.9 s for the whole funnel at 80x. UNCONDITIONAL
+    # at every SF (unlike keywords' size-adaptive tf waist): the
+    # funnel checkpoints also split one monolithic Catalyst plan —
+    # quality regex + span-dedup subtrees duplicated per consumer —
+    # into small jobs, and the measured sf0.1 cold effect is the
+    # checkpoint WINNING 2x (v3 6.7 s vs 14.7 s bench-cold without).
+    cleaned = cleaned.localCheckpoint()
     ev = cleaned.filter(F.col("doc_id") % 19 == 3)
     tr = cleaned.filter(F.col("doc_id") % 19 != 3)
     contaminated = (

@@ -195,3 +195,29 @@ def test_term_count_pairs_rle_and_projection_binding(spark, sf_dir):
         .toString()
     )
     assert plan.count("array_sort") == 1, plan
+
+
+def test_waist_checkpoint_is_size_adaptive(spark, sf_dir):
+    """waist_checkpoint (operators/dedup.py): below the source-bytes
+    threshold the frame is returned UNCHANGED (lazy lineage — the
+    checkpoint jobs cost more than the recompute they save at test
+    SF); at/above it the lineage is truncated to a LogicalRDD; an
+    unknown size (in-memory lineage) must assume-big and checkpoint
+    so the scale path never silently degrades."""
+    from nerd_spark.operators.dedup import waist_checkpoint
+    from nerd_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    small = waist_checkpoint(docs, min_bytes=1 << 40)  # 1 TiB floor
+    assert "LogicalRDD" not in small._jdf.queryExecution().optimizedPlan().toString()
+    assert small is docs
+
+    big = waist_checkpoint(docs, min_bytes=1)
+    assert "LogicalRDD" in big._jdf.queryExecution().optimizedPlan().toString()
+    assert big.count() == docs.count()
+
+    # in-memory lineage: no input files -> assume big, checkpoint
+    mem = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = waist_checkpoint(mem, min_bytes=1 << 40)
+    assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().toString()
