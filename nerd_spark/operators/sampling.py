@@ -275,3 +275,65 @@ def temperature_mixture(
         F.col("n") >= 1, F.sequence(F.lit(0).cast("long"), F.col("n") - 1)
     ).otherwise(F.array().cast("array<long>"))
     return joined.select("doc_id", "source", F.explode(epochs).alias("epoch"))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-
+    Spirakis A-ES estimator: each row draws u = uniform(0,1) from its
+    id hash and keys itself with ln(u)/w (order-equivalent to the
+    textbook u^(1/w)); the top-k rows by key ARE an exact
+    without-replacement sample with inclusion probability
+    proportional to weight. The quality-weighted corpus-selection
+    primitive ("keep the best 10M documents, weighted by quality
+    score") that mixture_sample's per-source rates can't express.
+
+    Deterministic (same id+salt -> same draw) and fully
+    distributable:
+    - global (strata_col=None): orderBy+limit compiles to
+      TakeOrderedAndProject — every partition keeps its local top-k
+      and only n_partitions*k rows ever move, never a full sort
+      (plan-asserted in tests);
+    - per-stratum: one shuffle on the stratum, rank window, same
+      guarantee per group. At 100 TB run it on the (id, weight,
+      stratum) projection — never the payload — and join the winners
+      back.
+
+    The ranking key rounds to 6 dp with the id as tiebreak (the
+    suite's float-oracle convention): ln() differs from other engines
+    in the last ulp, and rounding + a total tiebreak keeps the
+    selected SET engine-independent. Weights must be > 0 — a
+    non-positive weight raises in-plan (the temperature_mixture
+    guard discipline), because ln(u)/w would silently flip its sign
+    and sample the WORST rows.
+    """
+    u = (_id_hash(id_col, salt) + F.lit(0.5)) / F.lit(_HASH_SPAN)
+    w = F.col(weight_col).cast("double")
+    key_raw = F.round(F.log(u) / w, 6)
+    skey = F.when(
+        w <= 0,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight for "),
+                F.col(id_col).cast("string"),
+                F.lit(" — ln(u)/w flips sign at w<=0; filter or fix weights"),
+            )
+        ).cast("double"),
+    ).otherwise(key_raw)
+    keyed = docs.withColumn("skey", skey)
+    if strata_col is None:
+        return keyed.orderBy(F.col("skey").desc(), F.col(id_col)).limit(k)
+    wnd = Window.partitionBy(strata_col).orderBy(
+        F.col("skey").desc(), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("_rnk", F.row_number().over(wnd))
+        .filter(F.col("_rnk") <= k)
+        .drop("_rnk")
+    )

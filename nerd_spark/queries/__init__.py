@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (110) exceeds the driver's 50-entry correctness
+# The inventory (111) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -71,6 +71,7 @@ _WINDOW_PRIORITY = [
     "p18_bgp_rank",
     "p19_shodan",
     "p20_passive_dns",
+    "weighted_sample_topk",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -84,7 +85,9 @@ _WINDOW_PRIORITY = [
     #    in-window a2_window_totals_approx; j4_range_join shares
     #    operators/rangejoin.py with in-window j4_range_join_bucketed
     #    and j5; j9_semi_anti shares the relational join family with
-    #    in-window j6/j8. All three rotate FIRST into r9.)
+    #    in-window j6/j8; p7_json_exists shares the relational
+    #    predicate family with in-window p5/p6. All four rotate FIRST
+    #    into r9.)
     "a11_distinct_pair_counts",
     "a13_intervals",
     "ann_ivf_indexed",
@@ -103,7 +106,6 @@ _WINDOW_PRIORITY = [
     "p4_suffix_predicate",
     "p5_multi_value_and_or",
     "p6_elem_match",
-    "p7_json_exists",
     "p8_semijoin",
     "p9_warden_filter_dsl",
     "quality_model_filter",

@@ -2074,3 +2074,46 @@ def corpus_curation_v2_stages(spark, sf_dir) -> dict[str, float]:
     ).write.format("noop").mode("overwrite").save()
     out["split_shard"] = round(time.perf_counter() - t0, 3)
     return out
+
+
+@query(
+    "weighted_sample_topk",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(length(text) % 97 + 1 AS DOUBLE) AS wt
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, wt,
+             ({_hex8("md5('ws' || CAST(doc_id AS VARCHAR))", 1)} + 0.5)
+               / 4294967296.0 AS u
+      FROM w
+    ),
+    keyed AS (
+      SELECT doc_id, source, wt, round(ln(u) / wt, 6) AS skey FROM h
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY skey DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT doc_id, source, wt, skey FROM r WHERE rnk <= 10
+    """,
+)
+def weighted_sample_topk(spark, sf_dir):
+    # Quality-weighted corpus selection (operators/sampling.py::
+    # weighted_sample, Efraimidis-Spirakis A-ES): keep the 10
+    # highest-drawn docs per source, inclusion probability
+    # proportional to a per-doc weight (here a deterministic
+    # text-length proxy standing in for a quality-model score).
+    # Exactly-k without replacement — what mixture_sample's
+    # expected-rate thinning can't promise.
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.length("text") % 97 + 1).cast("double").alias("wt"),
+    )
+    return SAMP.weighted_sample(
+        docs, weight_col="wt", k=10, strata_col="source", salt="ws"
+    )

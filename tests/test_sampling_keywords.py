@@ -221,3 +221,63 @@ def test_waist_checkpoint_is_size_adaptive(spark, sf_dir):
     mem = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     out = waist_checkpoint(mem, min_bytes=1 << 40)
     assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_weighted_sample_aes_properties(spark):
+    """weighted_sample (Efraimidis-Spirakis A-ES): exact k without
+    replacement; inclusion frequency across independent salts tracks
+    the weights; the global path compiles to TakeOrderedAndProject
+    (per-partition top-k, never a full sort); non-positive weights
+    raise in-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from nerd_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "s", 100.0 if i < 5 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, wt double")
+
+    # exact k, no replacement, deterministic per salt
+    got = weighted_sample(df, "wt", k=10, salt="a")
+    ids = [r.doc_id for r in got.collect()]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    again = [r.doc_id for r in weighted_sample(df, "wt", k=10, salt="a").collect()]
+    assert sorted(ids) == sorted(again)
+
+    # global path: TakeOrderedAndProject, not a global Sort+Limit
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # weight-proportional inclusion: the five w=100 docs (5/100 of
+    # rows, ~84% of total weight) should dominate the sample across
+    # salts — each heavy doc included far more often than any light one
+    heavy_hits = light_hits = 0
+    for s in range(30):
+        picked = {
+            r.doc_id
+            for r in weighted_sample(df, "wt", k=10, salt=f"s{s}").collect()
+        }
+        heavy_hits += sum(1 for i in picked if i < 5)
+        light_hits += sum(1 for i in picked if i >= 5)
+    # expectation: heavies ~5*30=150 (always in), lights ~150/95 each
+    assert heavy_hits >= 120, (heavy_hits, light_hits)
+    assert heavy_hits / 5 > 10 * (light_hits / 95)
+
+    # per-stratum: k per group even when a group has fewer rows
+    df2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0), (3, "b", 1.0)],
+        "doc_id long, source string, wt double",
+    )
+    per = weighted_sample(df2, "wt", k=2, strata_col="source").collect()
+    by_src = {}
+    for r in per:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert len(by_src["a"]) == 2 and len(by_src["b"]) == 1
+
+    # non-positive weight: in-plan raise (would silently sample the
+    # WORST rows otherwise)
+    bad = spark.createDataFrame(
+        [(1, "a", 0.0)], "doc_id long, source string, wt double"
+    )
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample(bad, "wt", k=1).collect()
