@@ -552,3 +552,37 @@ def test_shodan_and_pdns_ops_merge_roundtrip(spark):
     assert by_domain["b.example"]["v"] == 0
     assert by_domain["b.example"]["t"] == "2024-01-01"
     assert by_domain["b.example"]["h"] == ["2023-12-31"]
+
+
+def test_api_enrich_stages_plan_shapes(spark):
+    """bgp_rank_stage / passive_dns_decisions keep the enrichment
+    family plan shape: the dim/catalogue/membership sides broadcast,
+    the entity frame never shuffles. (shodan_decisions joins two
+    batch-sized frames and legitimately leaves the strategy to AQE —
+    no assertion there.)"""
+    from nerd_spark.plans.enrich import bgp_rank_stage, passive_dns_decisions
+
+    asns = spark.createDataFrame([(1, 5)], "entity long, asn long")
+    ranks = spark.createDataFrame(
+        [(5, 2.5)], "asn long, circl_bgprank double"
+    )
+    resolved = spark.createDataFrame(
+        [("ip1", "a.example")], "entity string, domain string"
+    )
+    bl_meta = spark.createDataFrame(
+        [("dbl1", "2024-01-01")], "blname string, t string"
+    )
+    bl_member = spark.createDataFrame(
+        [("dbl1", "a.example")], "blname string, domain string"
+    )
+    for df in (
+        bgp_rank_stage(asns, ranks),
+        passive_dns_decisions(resolved, bl_meta, bl_member),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert (
+            "BroadcastHashJoin" in plan
+            or "BroadcastNestedLoopJoin" in plan
+            or "BroadcastExchange" in plan
+        )
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
