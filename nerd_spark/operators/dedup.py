@@ -200,30 +200,42 @@ def shingle_rows(
     return arr.select("id", F.explode("sarr").alias("s"))
 
 
-def _pair_jaccard(cand: DataFrame, sets: DataFrame) -> DataFrame:
+def _pair_jaccard(
+    cand: DataFrame, sets: DataFrame, broadcast_max_pairs: int = 2_000_000
+) -> DataFrame:
     """Exact Jaccard for candidate (a_id, b_id) pairs.
 
     `sets` is (id, ss: array<string> distinct shingles) — computed
     map-side from shingle arrays. Candidates are rare by
-    construction, so Spark broadcasts `cand` and both joins stream
-    `sets` map-side: verification never shuffles the corpus.
+    construction, so the common plan broadcasts `cand` and both joins
+    stream `sets` map-side: verification never shuffles the corpus.
 
-    Deliberately NOT pinned with an explicit broadcast hint (r7
-    verdict #3 considered one): on a pathological corpus — giant
-    near-dup cliques — `cand` grows quadratically in clique size, and
-    a forced broadcast would OOM the driver exactly when the input is
-    worst. Letting Catalyst/AQE choose means the degenerate case
-    degrades to a shuffled join of (id, shingle-set) rows — slower,
-    but bounded and correct; the common case (cand under the 64 MB
-    threshold — 1.6 M pairs measured ~26 MB at the 80x point) stays
-    the map-side broadcast plan.
+    The broadcast decision is made from a MEASURED bound, not
+    Catalyst's estimate (r7 verdict #3, falsified at the 160x stress
+    point): on a degenerate corpus — giant near-dup cliques; the
+    replicated scale corpus is the worst case, every doc in an
+    N-replica clique — `cand` grows quadratically in clique size
+    while the optimizer's post-self-join size estimate stays small,
+    so "let Catalyst choose" picked a broadcast that OOM'd the
+    driver (observed: 127M pairs at 160x, broadcast build death).
+    Now: cache `cand`, probe `limit(max+1).count()` (early-stops at
+    the bound, so the probe is O(max) even when cand is huge), and
+    - under the bound: pin F.broadcast(cand) — ≤ ~32 MB by
+      construction, the map-side plan the corpus side needs;
+    - over it: forbid broadcast with a merge hint (sort-merge joins
+      spill; a shuffled-hash build of a 127M-pair side could itself
+      OOM an executor) — the verify degrades to a bounded shuffled
+      join of (id, shingle-set) rows, slower but it always completes.
     """
     sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
     a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
     b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
     c = F.size(F.array_intersect("sa", "sb"))
+    cand = cand.persist()
+    over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+    probe = cand.hint("merge") if over else F.broadcast(cand)
     return (
-        cand.join(a, "a_id")
+        probe.join(a, "a_id")
         .join(b, "b_id")
         .select(
             "a_id",
