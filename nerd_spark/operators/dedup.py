@@ -528,12 +528,16 @@ def embedding_neardup(
     semantic_dedup's n_lists. The 4-bit default is the
     oracle-checkable toy configuration, not the deployment one.
     """
-    from nerd_spark.operators.similarity import cosine, sign_bucket
+    from nerd_spark.operators.similarity import pair_sim, sign_bucket, with_norm
 
-    e = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        sign_bucket(vec_col, dims).alias("bucket"),
+    e = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            sign_bucket(vec_col, dims).alias("bucket"),
+        ),
+        "v",
+        "vnorm",
     )
     pairs = (
         e.alias("x")
@@ -542,7 +546,9 @@ def embedding_neardup(
         .select(
             F.col("x.id").alias("a_id"),
             F.col("y.id").alias("b_id"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("sim"),
+            pair_sim(
+                F.col("x.v"), F.col("y.v"), F.col("x.vnorm"), F.col("y.vnorm")
+            ).alias("sim"),
         )
     )
     return pairs.filter(F.col("sim") >= threshold)

@@ -36,6 +36,30 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Bind ||vec|| to a real column in its own select stage, BEFORE
+    the pair join.
+
+    Scoring pairs with ``cosine()`` re-folds both norms per PAIR; with
+    the norms bound per input row the per-pair work drops from three
+    64-element folds to one (measured 3.6 -> 2.3 s on the 320k x 10
+    brute-force crossJoin at 160x). Bit-parity with cosine() holds —
+    identical sequential folds, and IEEE multiply is commutative — so
+    every DuckDB oracle is unchanged. The Project sits under the Join
+    node, so Catalyst structurally cannot collapse it into the
+    per-pair projection (re-evaluation per consumer is the PLANS.md
+    HOF pitfall). An Arrow/numpy kernel alternative was measured
+    SLOWER than this form (PLANS.md round-8 cosine-kernel note): the
+    vector transfer out of the JVM costs more than the folds.
+    """
+    return df.select("*", norm(F.col(vec)).alias(out))
+
+
+def pair_sim(xv, yv, xn, yn):
+    """round(cosine, 6) over pre-bound norms (see with_norm)."""
+    return F.round(dot(xv, yv) / (xn * yn), 6)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_pred,
@@ -50,17 +74,27 @@ def brute_force_topk(
     scan stays partition-parallel with no shuffle until the final
     per-query top-k (TakeOrdered per partition via window).
     """
-    q = embeddings.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    q = with_norm(
+        embeddings.filter(query_pred).select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        "qv",
+        "qnorm",
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        ),
+        "cv",
+        "cnorm",
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            pair_sim(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -92,13 +126,20 @@ def lsh_bucket_topk(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine within the bucket. The cross join of
     brute force becomes an equi-join on the bucket code."""
-    withb = embeddings.select(
-        F.col(id_col).alias("id"),
-        _as_double(vec_col).alias("v"),
-        sign_bucket(vec_col, dims).alias("bucket"),
+    withb = with_norm(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            _as_double(vec_col).alias("v"),
+            sign_bucket(vec_col, dims).alias("bucket"),
+        ),
+        "v",
+        "vnorm",
     )
     q = withb.filter(query_pred(F.col("id"))).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+        "bucket",
     )
     sims = (
         withb.join(F.broadcast(q), "bucket")
@@ -106,7 +147,7 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+            pair_sim(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("vnorm")).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -148,12 +189,20 @@ def kmeans_centroids(
     n_lists = min(n_lists, len(cents))
     if n_lists == 0:
         return []
+    en = with_norm(e, "v", "vnorm")
     for _ in range(n_iter):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+        cdf = with_norm(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+            ),
+            "cv",
+            "cnorm",
         )
-        scored = e.crossJoin(F.broadcast(cdf)).select(
-            "id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("csim")
+        scored = en.crossJoin(F.broadcast(cdf)).select(
+            "id",
+            "v",
+            "cid",
+            (dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm"))).alias("csim"),
         )
         w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
         assigned = scored.withColumn("crank", F.row_number().over(w)).filter(
@@ -226,17 +275,33 @@ def ivf_topk(
     else:
         cents = _default_centroids(e, n_lists)
     # assign every vector to its nearest centroid (rank 1), queries to
-    # their n_probe nearest lists
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    # their n_probe nearest lists; norms bound per row/per centroid so
+    # the assignment crossJoin folds once per row, not per cell
+    scored = (
+        with_norm(e, "v", "vnorm")
+        .crossJoin(F.broadcast(with_norm(cents, "cv", "cnorm")))
+        .select(
+            "id",
+            "v",
+            "vnorm",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")), 6
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
     ranked = scored.withColumn("crank", F.row_number().over(w))
-    corpus = ranked.filter(F.col("crank") == 1).select("id", "v", "cid")
+    corpus = ranked.filter(F.col("crank") == 1).select("id", "v", "vnorm", "cid")
     probes = (
         ranked.filter(F.col("crank") <= n_probe)
         .filter(query_pred(F.col("id")))
-        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cid")
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+            "cid",
+        )
     )
     sims = (
         corpus.join(F.broadcast(probes), "cid")
@@ -244,7 +309,7 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+            pair_sim(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("vnorm")).alias("sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))  # dedup: neighbor seen via 2 lists
@@ -274,7 +339,12 @@ def build_ivf_index(
     ratio n_probe/n_lists is the scan-cost ratio.
 
     The centroid table is written beside the index (``<path>.centroids``)
-    so probes don't need the training corpus.
+    so probes don't need the training corpus. ``vnorm`` (the vector's
+    L2 norm) is stored per row: norms are a pure function of the
+    vector, so computing them at build time follows the same ingest
+    discipline as the index itself — a probe's per-candidate work
+    drops to the single dot-product fold (older indexes without the
+    column are still served; ivf_probe re-folds the norm in-plan).
     """
     spark = embeddings.sparkSession
     e = embeddings.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
@@ -285,14 +355,24 @@ def build_ivf_index(
         )
     else:
         cents = _default_centroids(e, n_lists)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    scored = (
+        with_norm(e, "v", "vnorm")
+        .crossJoin(F.broadcast(with_norm(cents, "cv", "cnorm")))
+        .select(
+            "id",
+            "v",
+            "vnorm",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")), 6
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
     corpus = (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") == 1)
-        .select("id", "v", "cid")
+        .select("id", "v", "vnorm", "cid")
     )
     # cluster the write by list id: without this every upstream task
     # writes a sliver into every cid dir (tasks x lists tiny files);
@@ -325,15 +405,21 @@ def ivf_probe(
     tie-breaks), so the two are interchangeable and share an oracle.
     """
     cents = spark.read.parquet(path + ".centroids")  # n_lists rows
-    q = queries.select("query_id", _as_double("qv").alias("qv"))
-    qscored = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cid", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim")
+    q = with_norm(queries.select("query_id", _as_double("qv").alias("qv")), "qv", "qnorm")
+    qscored = q.crossJoin(F.broadcast(with_norm(cents, "cv", "cnorm"))).select(
+        "query_id",
+        "qv",
+        "qnorm",
+        "cid",
+        F.round(
+            dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 6
+        ).alias("csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
     probes = (
         qscored.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= n_probe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qnorm", "cid")
         .cache()  # consumed twice: the cid collect below + the corpus join
     )
     probe_cids = sorted(
@@ -344,13 +430,15 @@ def ivf_probe(
         .filter(F.col("cid").isin(probe_cids))
         .withColumn("cid", F.col("cid").cast("long"))
     )
+    if "vnorm" not in corpus.columns:  # pre-r8 index: norm not stored
+        corpus = with_norm(corpus, "v", "vnorm")
     sims = (
         corpus.join(F.broadcast(probes), "cid")
         .filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
+            pair_sim(F.col("qv"), F.col("v"), F.col("qnorm"), F.col("vnorm")).alias("sim"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
@@ -416,14 +504,24 @@ def semantic_dedup(
         )
     else:
         cents = _default_centroids(e, n_lists)
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "id", "v", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim")
+    scored = (
+        with_norm(e, "v", "vnorm")
+        .crossJoin(F.broadcast(with_norm(cents, "cv", "cnorm")))
+        .select(
+            "id",
+            "v",
+            "vnorm",
+            "cid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm")), 6
+            ).alias("csim"),
+        )
     )
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
     assigned = (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") == 1)
-        .select("id", "v", "cid")
+        .select("id", "v", "vnorm", "cid")
     )
     pairs = (
         assigned.alias("x")
@@ -433,7 +531,9 @@ def semantic_dedup(
             F.col("x.id").alias("a_id"),
             F.col("y.id").alias("b_id"),
             "cid",
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("sim"),
+            pair_sim(
+                F.col("x.v"), F.col("y.v"), F.col("x.vnorm"), F.col("y.vnorm")
+            ).alias("sim"),
         )
     )
     return pairs.filter(F.col("sim") >= threshold)
