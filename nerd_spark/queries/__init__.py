@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (111) exceeds the driver's 50-entry correctness
+# The inventory (113) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -72,6 +72,8 @@ _WINDOW_PRIORITY = [
     "p19_shodan",
     "p20_passive_dns",
     "weighted_sample_topk",
+    "hh_event_users",
+    "hh_terms",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -86,8 +88,11 @@ _WINDOW_PRIORITY = [
     #    operators/rangejoin.py with in-window j4_range_join_bucketed
     #    and j5; j9_semi_anti shares the relational join family with
     #    in-window j6/j8; p7_json_exists shares the relational
-    #    predicate family with in-window p5/p6. All four rotate FIRST
-    #    into r9.)
+    #    predicate family with in-window p5/p6. Two further trims for
+    #    the new hh_event_users/hh_terms: s5_point_read and
+    #    s6_filtered_find, whose relational read path is covered
+    #    in-window by read_path_search/read_path_typed/s8. All rotate
+    #    FIRST into r9.)
     "a11_distinct_pair_counts",
     "a13_intervals",
     "ann_ivf_indexed",
@@ -113,8 +118,6 @@ _WINDOW_PRIORITY = [
     "read_path_typed",
     "s10_export_blocklist",
     "s4_misp_upserts",
-    "s5_point_read",
-    "s6_filtered_find",
     "s8_event_fetch",
     "sessionize_stats",
     "w1_topk",

@@ -465,6 +465,53 @@ def tfidf_top_terms(spark, sf_dir):
 
 
 @query(
+    "hh_event_users",
+    """
+    WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM src),
+    c AS (SELECT user_id, count(*) AS cnt FROM src GROUP BY 1)
+    SELECT user_id, cnt,
+           round(cnt / (SELECT n FROM tot), 6) AS share
+    FROM c WHERE cnt >= 0.005 * (SELECT n FROM tot)
+    """,
+)
+def hh_event_users(spark, sf_dir):
+    # Exact heavy hitters (top talkers) WITHOUT a full-cardinality
+    # shuffle: batch-local candidate screen (guaranteed superset by
+    # the averaging argument) + exact verify over candidates only —
+    # operators/sketches.py. The security-native use is scanner IPs
+    # hitting every sensor; the oracle is the naive full groupBy.
+    from nerd_spark.operators import sketches as SK
+
+    ev = t(spark, sf_dir, "events")
+    return SK.heavy_hitters(ev, "user_id", min_frac=0.005)
+
+
+@query(
+    "hh_terms",
+    r"""
+    WITH src AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM src),
+    c AS (SELECT term, count(*) AS cnt FROM src GROUP BY 1)
+    SELECT term, cnt,
+           round(cnt / (SELECT n FROM tot), 6) AS share
+    FROM c WHERE cnt >= 0.01 * (SELECT n FROM tot)
+    """,
+)
+def hh_terms(spark, sf_dir):
+    # Heavy-hitter TERMS: the shared whitespace tokenization exploded
+    # JVM-side, then the same screen+verify (operators/sketches.py) —
+    # the full term universe never enters an exchange.
+    from nerd_spark.operators import sketches as SK
+
+    docs = t(spark, sf_dir, "documents")
+    return SK.heavy_hitter_terms(docs, min_frac=0.01)
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH {_MINHASH_BANDS},

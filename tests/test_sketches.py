@@ -1,0 +1,76 @@
+"""Heavy-hitter screen+verify (operators/sketches.py).
+
+The load-bearing property: the batch-local candidate screen is a
+GUARANTEED superset of the global heavy hitters (averaging argument),
+so the exact verify makes the final result independent of batch and
+partition boundaries — including the adversarial distribution where a
+globally-heavy key is spread so thin that no single partition makes it
+look special relative to a naive per-partition top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerd_spark.operators import sketches as SK
+
+
+def _exact(df, key, frac):
+    src = df.filter(F.col(key).isNotNull())
+    n = src.count()
+    return {
+        (r[key], r.cnt)
+        for r in src.groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(frac) * F.lit(n))
+        .collect()
+    }
+
+
+def test_matches_exact_and_partition_invariant(spark):
+    # 3 heavy keys (>=5%) + a 200-key uniform tail + nulls
+    rows = (
+        [("hot_a",)] * 400 + [("hot_b",)] * 300 + [("hot_c",)] * 120
+        + [(f"tail_{i % 200}",) for i in range(1200)]
+        + [(None,)] * 50
+    )
+    df = spark.createDataFrame(rows, "k string")
+    want = _exact(df, "k", 0.05)
+    assert {k for k, _ in want} == {"hot_a", "hot_b", "hot_c"}
+    for parts in (1, 7, 32):
+        got = {
+            (r.k, r.cnt)
+            for r in SK.heavy_hitters(df.repartition(parts), "k", 0.05).collect()
+        }
+        assert got == want, parts
+
+
+def test_thin_spread_heavy_key_is_found(spark):
+    # adversarial for per-partition TOP-K screens: the heavy key is
+    # exactly at the threshold in EVERY batch, never locally dominant;
+    # the averaging-argument screen must still surface it.
+    per_part = [("needle",)] * 5 + [(f"u{i}",) for i in range(95)]
+    rows = []
+    for p in range(20):
+        rows += [(f"{k}_{p}" if k.startswith("u") else k,) for (k,) in per_part]
+    df = spark.createDataFrame(rows, "k string").repartition(20)
+    got = SK.heavy_hitters(df, "k", 0.05).collect()
+    assert {(r.k, r.cnt) for r in got} == {("needle", 100)}
+    assert got[0].share == 0.05
+
+
+def test_plan_broadcasts_candidates(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 37).alias("k"))
+    plan = SK.heavy_hitters(df, "k", 0.01)._jdf.queryExecution().executedPlan().toString()
+    # verify phase: candidates reach the corpus as a broadcast semi join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_min_frac_validation(spark):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    import pytest
+
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "k", 0.0)
+    with pytest.raises(ValueError):
+        SK.heavy_hitters(df, "k", 1.5)
