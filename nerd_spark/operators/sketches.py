@@ -105,6 +105,100 @@ def heavy_hitters(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """EXACT order-statistic quantiles without a global sort.
+
+    Returns (p double, value <col type>) with value = the element at
+    rank max(1, ceil(p*n)) of the non-null values — the discrete
+    quantile definition DuckDB's quantile_disc implements (pinned
+    empirically across n x p boundary cases in tests), so the result
+    is an actual data element and the oracle compare is exact, never
+    an interpolation-parity gamble.
+
+    Bracket-and-refine, the screen+verify discipline at scan scale:
+
+    1. ONE aggregation pass computes n and a GK sketch bracket
+       [lo_i, hi_i] per prob (approx_percentile at p -+ 2/accuracy;
+       the sketch's 1/accuracy rank error makes the bracket contain
+       the true rank-k element whenever n >= accuracy, and the sketch
+       is exact below that).
+    2. ONE aggregation pass verifies the bracket EXACTLY:
+       c_lo = |{v < lo}| and c_in = |{lo <= v <= hi}| must straddle k.
+       A failed bracket (sketch pathology) falls back to the
+       correct-but-slow global take-ordered for that prob only.
+    3. ONE filter pass materializes the union of brackets — O(n/accuracy)
+       rows per prob, NOT n — and the rank-(k - c_lo) element is taken
+       per prob with an ordered limit on that tiny frame.
+
+    At 100 TB this is 3 column-pruned scans + per-prob jobs on sketch-
+    bounded row counts; a global sort for comparison shuffles the
+    entire column. Quantile values (one scalar per prob) are driver
+    artifacts by nature — the bounded-collect rule's legitimate case.
+    """
+    import math
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError(f"probs must be in [0, 1], got {probs}")
+    spark = df.sparkSession
+    kt = df.schema[col].dataType.simpleString()
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+
+    eps = 2.0 / accuracy
+    plos = [max(0.0, p - eps) for p in probs]
+    phis = [min(1.0, p + eps) for p in probs]
+    row = vals.agg(
+        F.count("v").alias("n"),
+        F.percentile_approx("v", plos + phis, accuracy).alias("b"),
+    ).first()
+    n = row.n
+    if n == 0:
+        return spark.createDataFrame([], f"p double, value {kt}")
+    los, his = list(row.b[: len(probs)]), list(row.b[len(probs) :])
+    ks = [max(1, math.ceil(p * n)) for p in probs]
+
+    aggs = []
+    for i, (lo, hi) in enumerate(zip(los, his)):
+        aggs.append(
+            F.sum((F.col("v") < F.lit(lo)).cast("long")).alias(f"clo{i}")
+        )
+        aggs.append(
+            F.sum(F.col("v").between(F.lit(lo), F.lit(hi)).cast("long")).alias(
+                f"cin{i}"
+            )
+        )
+    cnt = vals.agg(*aggs).first()
+
+    import functools
+    import operator
+
+    in_any = functools.reduce(
+        operator.or_,
+        [F.col("v").between(F.lit(lo), F.lit(hi)) for lo, hi in zip(los, his)],
+    )
+    bracket = vals.filter(in_any).persist()  # O(probs * n/accuracy) rows
+
+    out = []
+    for i, (p, k, lo, hi) in enumerate(zip(probs, ks, los, his)):
+        c_lo, c_in = cnt[f"clo{i}"], cnt[f"cin{i}"]
+        if c_lo < k <= c_lo + c_in:
+            r = k - c_lo
+            sel = bracket.filter(F.col("v").between(F.lit(lo), F.lit(hi)))
+        else:  # sketch pathology: exact-but-slow global path
+            r = k
+            sel = vals
+        v = sel.orderBy("v").limit(r).agg(F.max("v").alias("v")).first().v
+        out.append((float(p), v))
+    bracket.unpersist()
+    return spark.createDataFrame(out, f"p double, value {kt}")
+
+
 def heavy_hitter_terms(
     docs: DataFrame,
     min_frac: float,

@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (113) exceeds the driver's 50-entry correctness
+# The inventory (114) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -74,6 +74,7 @@ _WINDOW_PRIORITY = [
     "weighted_sample_topk",
     "hh_event_users",
     "hh_terms",
+    "quantile_event_values",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -91,7 +92,9 @@ _WINDOW_PRIORITY = [
     #    predicate family with in-window p5/p6. Two further trims for
     #    the new hh_event_users/hh_terms: s5_point_read and
     #    s6_filtered_find, whose relational read path is covered
-    #    in-window by read_path_search/read_path_typed/s8. All rotate
+    #    in-window by read_path_search/read_path_typed/s8; and for
+    #    quantile_event_values, w5_pivot (window family covered
+    #    in-window by w1_topk/w4_last_n_per_key). All rotate
     #    FIRST into r9.)
     "a11_distinct_pair_counts",
     "a13_intervals",
@@ -122,7 +125,6 @@ _WINDOW_PRIORITY = [
     "sessionize_stats",
     "w1_topk",
     "w4_last_n_per_key",
-    "w5_pivot",
 ]
 
 

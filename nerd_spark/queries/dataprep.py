@@ -512,6 +512,28 @@ def hh_terms(spark, sf_dir):
 
 
 @query(
+    "quantile_event_values",
+    """
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
+    SELECT CAST(0.25 AS DOUBLE) AS p, quantile_disc(value, 0.25) AS value FROM v
+    UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM v
+    UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM v
+    UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM v
+    """,
+)
+def quantile_event_values(spark, sf_dir):
+    # Exact order-statistic quantiles via bracket-and-refine
+    # (operators/sketches.py::exact_quantiles): a GK-sketch bracket is
+    # exactly verified by counts, then only the O(n/accuracy) bracket
+    # rows are ordered — never a global sort. The result is an actual
+    # data element (quantile_disc semantics), so the compare is exact.
+    from nerd_spark.operators import sketches as SK
+
+    ev = t(spark, sf_dir, "events")
+    return SK.exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH {_MINHASH_BANDS},

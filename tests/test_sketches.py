@@ -74,3 +74,49 @@ def test_min_frac_validation(spark):
         SK.heavy_hitters(df, "k", 0.0)
     with pytest.raises(ValueError):
         SK.heavy_hitters(df, "k", 1.5)
+
+
+def _numpy_disc_quantile(vals, p):
+    import math
+
+    s = sorted(vals)
+    return s[max(1, math.ceil(p * len(s))) - 1]
+
+
+def test_exact_quantiles_match_order_statistics(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [round(rng.gauss(100, 25), 3) for _ in range(5000)] + [None] * 40
+    probs = [0.0, 0.1, 0.5, 0.9, 0.999, 1.0]
+    want = {(p, _numpy_disc_quantile([v for v in vals if v is not None], p)) for p in probs}
+    for parts in (1, 13):
+        df = spark.createDataFrame([(v,) for v in vals], "value double").repartition(parts)
+        got = {
+            (r.p, r.value)
+            for r in SK.exact_quantiles(df, "value", probs).collect()
+        }
+        assert got == want, parts
+
+
+def test_exact_quantiles_tiny_accuracy_still_exact(spark):
+    # accuracy 32 on 2000 rows: sketch error is huge relative to the
+    # bracket, so the exact verify + (possible) fallback must carry it
+    vals = list(range(2000))
+    df = spark.createDataFrame([(v,) for v in vals], "value long")
+    got = {(r.p, r.value) for r in SK.exact_quantiles(df, "value", [0.5, 0.95], accuracy=32).collect()}
+    assert got == {(0.5, _numpy_disc_quantile(vals, 0.5)), (0.95, _numpy_disc_quantile(vals, 0.95))}
+
+
+def test_exact_quantiles_edges(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    assert SK.exact_quantiles(df, "value", [0.5]).collect()[0].value == 1.0
+    empty = spark.createDataFrame([], "value double")
+    out = SK.exact_quantiles(empty, "value", [0.5])
+    assert out.collect() == [] and [f.name for f in out.schema.fields] == ["p", "value"]
+    with pytest.raises(ValueError):
+        SK.exact_quantiles(df, "value", [])
+    with pytest.raises(ValueError):
+        SK.exact_quantiles(df, "value", [1.2])
