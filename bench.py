@@ -36,6 +36,10 @@ EXTENDED = [
     "corpus_curation_v2",
     "text_span_dedup",
     "corpus_curation_v3",
+    # round-8 sketch family (exact screen+verify algorithms)
+    "hh_event_users",
+    "hh_terms",
+    "quantile_event_values",
 ]
 
 # Representative cut across operator families; excludes the

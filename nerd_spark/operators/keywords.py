@@ -190,3 +190,188 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-LUT token statistics
+
+
+def _tokstats_lut():
+    """256-entry byte classifier matching the JVM regex classes the
+    token-stats expressions use: 0 = Java \\s byte, 1 = [A-Za-z],
+    2 = [0-9], 3 = other printable (each matches [^A-Za-z0-9\\s] alone),
+    4 = control byte OUTSIDE Java's \\s (\\x00-\\x1f minus the five ws
+    controls, and \\x7f) — class 4 routes the doc to the regex slow
+    path because Python's isspace()/strip() disagree with Java about
+    those bytes."""
+    import numpy as np
+
+    lut = np.full(256, 3, dtype=np.int8)
+    for b in b" \t\n\x0b\x0c\r":
+        lut[b] = 0
+    for b in range(ord("A"), ord("Z") + 1):
+        lut[b] = 1
+    for b in range(ord("a"), ord("z") + 1):
+        lut[b] = 1
+    for b in range(ord("0"), ord("9") + 1):
+        lut[b] = 2
+    for b in range(0x00, 0x20):
+        if b not in (0x09, 0x0A, 0x0B, 0x0C, 0x0D):
+            lut[b] = 4
+    lut[0x7F] = 4
+    return lut
+
+
+_TOKSTATS_LUT = None  # built lazily inside the worker
+
+# Java-equivalent explicit classes (Python \s is Unicode-wide, Java's
+# is ASCII): used only on the slow path (non-ASCII or control bytes).
+import re as _re
+
+_JWS = " \t\n\x0b\x0c\r"
+_RX_JSPLIT = _re.compile("[" + _JWS + "]+")
+_RX_JBPE = _re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+
+
+def _tokstats_slow(s: str) -> tuple[int, int]:
+    # mirror size(split(trim(text), '\s+')) exactly: Spark trim strips
+    # 0x20 ONLY; split with limit=-1 keeps leading/trailing empties
+    t = s.strip(" ")
+    ntok = len(_RX_JSPLIT.split(t))
+    return ntok, len(_RX_JBPE.findall(s))
+
+
+def _tokstats_fast(texts: list) -> tuple[int, int]:
+    """Vectorized (ntok_sum, nbpe_sum) over ASCII docs with no class-4
+    bytes. Exactness argument, term by term:
+
+    - split(trim(s), '\\s+') has size = (# maximal non-ws runs)
+      + (1 if trim(s) starts with ws: the leading empty token)
+      + (1 if trim(s) ends with ws: limit=-1 keeps the trailing empty)
+      with the special case trim(s) == '' -> [''] -> 1.
+      Runs are counted GLOBALLY over the ' '-joined buffer (the space
+      separator closes every run at doc boundaries and space-trimming
+      cannot change run counts); the two edge corrections and the
+      empty case need per-doc head/tail inspection only.
+    - the BPE-ish count per doc = letter-run starts + digit-run starts
+      + count(class-3 bytes): tokens contain no ws, so counting runs
+      over the raw text (ws breaks runs) equals the per-token sum the
+      HOF computes — measured bit-equal, and pinned by parity tests.
+    """
+    import numpy as np
+
+    global _TOKSTATS_LUT
+    if _TOKSTATS_LUT is None:
+        _TOKSTATS_LUT = _tokstats_lut()
+    buf = " ".join(texts).encode("ascii")
+    cls = _TOKSTATS_LUT[np.frombuffer(buf, dtype=np.uint8)]
+
+    def run_starts(mask):
+        if len(mask) == 0:
+            return 0
+        st = np.empty(len(mask), dtype=bool)
+        st[0] = mask[0]
+        np.not_equal(mask[1:], mask[:-1], out=st[1:])
+        st[1:] &= mask[1:]
+        return int(np.count_nonzero(st))
+
+    ntok = run_starts(cls != 0)
+    nbpe = (
+        run_starts(cls == 1)
+        + run_starts(cls == 2)
+        + int(np.count_nonzero(cls == 3))
+    )
+    for s in texts:  # per-doc head/tail corrections (C-speed str ops)
+        t = s.strip(" ")
+        if not t:
+            ntok += 1  # split('') -> [''], one token
+        else:
+            if t[0] in _JWS:
+                ntok += 1
+            if t[-1] in _JWS:
+                ntok += 1
+    return ntok, nbpe
+
+
+def token_stats(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(group, n_docs, total_tokens, total_bpe_ish) — the byte-LUT
+    Arrow kernel form of the token-stats aggregation.
+
+    The HOF form (tokenize once, size() + per-token regexp_count) is
+    the semantic reference, but its cost is the JVM regex engine run
+    per token; classifying BYTES through a 256-entry LUT and counting
+    class-run starts does the same arithmetic at memory speed
+    (measured at 160x, 800k docs: 2.5 -> 1.0 s warm; the whole-text
+    regexp_count alternative measured 2x SLOWER than per-token — the
+    regex engine is the cost either way, so the win needed a
+    non-regex formulation, not a bigger regex). Unlike the cosine
+    case (PLANS.md round-8 note) the Arrow transfer here is priced
+    in and still wins: text must leave the JVM only once and the
+    returned rows are one per (batch, group).
+
+    Non-ASCII docs and docs with control bytes outside Java's \\s set
+    take a per-doc Python-regex slow path with Java-equivalent
+    explicit classes; parity with the HOF form on those inputs is
+    pinned by adversarial tests (tests/test_sampling_keywords.py).
+    """
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for grp, g in pdf.groupby(group_col, dropna=False):
+                texts = [s for s in g[text_col] if s is not None]
+                fast = [s for s in texts if s.isascii()]
+                slow = [s for s in texts if not s.isascii()]
+                ntok = nbpe = 0
+                if fast:
+                    import numpy as np
+
+                    global _TOKSTATS_LUT
+                    if _TOKSTATS_LUT is None:
+                        _TOKSTATS_LUT = _tokstats_lut()
+                    joined = " ".join(fast).encode("ascii")
+                    cls = _TOKSTATS_LUT[np.frombuffer(joined, dtype=np.uint8)]
+                    if np.any(cls == 4):  # rare: reroute ctrl-byte docs
+                        keep = []
+                        for s in fast:
+                            if any(c in s for c in _CTRL_BYTES):
+                                slow.append(s)
+                            else:
+                                keep.append(s)
+                        fast = keep
+                    if fast:
+                        a, b = _tokstats_fast(fast)
+                        ntok += a
+                        nbpe += b
+                for s in slow:
+                    a, b = _tokstats_slow(s)
+                    ntok += a
+                    nbpe += b
+                grp = None if (isinstance(grp, float) and grp != grp) else grp
+                if texts:
+                    rows.append((grp, len(g), ntok, nbpe))
+                else:  # all-NULL text: sum over nothing is NULL, not 0
+                    rows.append((grp, len(g), None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[group_col, "n_docs", "total_tokens", "total_bpe_ish"],
+            )
+
+    gt = docs.schema[group_col].dataType.simpleString()
+    part = docs.select(group_col, text_col).mapInPandas(
+        fn,
+        f"{group_col} {gt}, n_docs long, total_tokens long, total_bpe_ish long",
+    )
+    return part.groupBy(group_col).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("total_bpe_ish").alias("total_bpe_ish"),
+    )
+
+
+_CTRL_BYTES = [chr(b) for b in range(0x00, 0x20) if b not in (9, 10, 11, 12, 13)] + [
+    "\x7f"
+]

@@ -965,22 +965,14 @@ def text_langid(spark, sf_dir):
     """,
 )
 def text_token_stats(spark, sf_dir):
-    # Two-projection discipline: materialize the token array ONCE,
-    # then both aggregates derive from it — size() for the whitespace
-    # count, per-token run counting for the BPE proxy. One split pass
-    # replaces two full-text regex walks (4.4 s -> 0.9 s at the 80x
-    # point, VERDICT r6 #3).
-    from nerd_spark.functions.text import tokens
-
+    # Byte-LUT Arrow kernel (operators/keywords.py::token_stats):
+    # bytes classified through a 256-entry LUT, token/BPE counts as
+    # class-run starts at memory speed — 2.5x the single-tokenization
+    # HOF form at 160x (which itself was 5x the naive two-regex-walk
+    # form, VERDICT r6 #3). Parity with the HOF reference is pinned
+    # by adversarial tests; the DuckDB oracle is unchanged.
     docs = t(spark, sf_dir, "documents")
-    staged = docs.select("source", tokens("text").alias("toks"))
-    return staged.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
-        F.sum(bpe_ish_token_count("text", toks=F.col("toks"))).alias(
-            "total_bpe_ish"
-        ),
-    )
+    return KW.token_stats(docs, group_col="source", text_col="text")
 
 
 # The synthetic corpus carries no PII, so the scrub query plants a

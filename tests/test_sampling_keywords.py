@@ -281,3 +281,57 @@ def test_weighted_sample_aes_properties(spark):
     )
     with pytest.raises(Exception, match="non-positive weight"):
         weighted_sample(bad, "wt", k=1).collect()
+
+
+def _hof_token_stats(docs):
+    from pyspark.sql import functions as F
+
+    from nerd_spark.functions.text import bpe_ish_token_count, tokens
+
+    staged = docs.select("source", "text", tokens("text").alias("toks"))
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+        F.sum(bpe_ish_token_count("text", toks=F.col("toks"))).alias("total_bpe_ish"),
+    )
+
+
+def test_token_stats_kernel_parity_adversarial(spark):
+    # every semantic edge the byte-LUT kernel must reproduce from the
+    # HOF reference: leading/trailing non-space whitespace (split
+    # limit=-1 keeps empty tokens; trim strips 0x20 ONLY), empty and
+    # all-whitespace docs, control bytes outside Java's \s (slow-path
+    # reroute), non-ASCII text, NULL text, a NULL group, an all-NULL
+    # group, digits/punct runs.
+    from nerd_spark.operators import keywords as KW
+
+    rows = [
+        ("a", "plain words here"),
+        ("a", "  spaces  around  "),
+        ("a", "\ttab leads"),
+        ("a", "trailing tab\t"),
+        ("a", "\t\n"),
+        ("a", ""),
+        ("a", "   "),
+        ("a", "x\x1cy \x00z"),
+        ("a", "mix3d t0kens, 42!  a1b2"),
+        ("b", "héllo wörld — naïve"),
+        ("b", "emoji \U0001f600 here"),
+        ("b", None),
+        ("c", None),
+        (None, "null group text"),
+    ] * 7
+    docs = spark.createDataFrame(rows, "source string, text string").repartition(5)
+    want = sorted(map(tuple, _hof_token_stats(docs).collect()), key=str)
+    got = sorted(map(tuple, KW.token_stats(docs).collect()), key=str)
+    assert got == want
+
+
+def test_token_stats_kernel_parity_corpus(spark, sf_dir):
+    from nerd_spark.operators import keywords as KW
+    from nerd_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    want = sorted(map(tuple, _hof_token_stats(docs).collect()))
+    got = sorted(map(tuple, KW.token_stats(docs).collect()))
+    assert got == want
