@@ -40,6 +40,7 @@ EXTENDED = [
     "hh_event_users",
     "hh_terms",
     "quantile_event_values",
+    "quantile_by_event_type",
 ]
 
 # Representative cut across operator families; excludes the

@@ -41,7 +41,7 @@ from collections import Counter
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,7 +109,7 @@ def exact_quantiles(
     df: DataFrame,
     col: str,
     probs: list[float],
-    accuracy: int = 10000,
+    accuracy: int = 2000,
 ) -> DataFrame:
     """EXACT order-statistic quantiles without a global sort.
 
@@ -197,6 +197,156 @@ def exact_quantiles(
         out.append((float(p), v))
     bracket.unpersist()
     return spark.createDataFrame(out, f"p double, value {kt}")
+
+
+def exact_quantiles_by(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    probs: list[float],
+    accuracy: int = 2000,
+) -> DataFrame:
+    """Per-group exact quantiles — bracket-and-refine, fully in-plan.
+
+    Returns (key_col, p double, value <col type>): for each group, the
+    element at rank max(1, ceil(p*n_group)) of its non-null values
+    (quantile_disc semantics, same as :func:`exact_quantiles`). Unlike
+    the global variant, nothing reaches the driver: brackets, verify
+    counts, and the refine all compose as one plan —
+
+    1. one grouped aggregation: n, min, max and the GK sketch bracket
+       per (group, prob) — the only full-data shuffle, carrying
+       map-side-merged sketches, not rows;
+    2. the per-group bracket bounds join back (wide: one lo/hi pair
+       per prob) and ONE conditional aggregation verifies every
+       bracket exactly (c_lo, c_in per prob). A failed bracket widens
+       in-plan to [group min, group max] — the correct-but-slow path
+       for that (group, prob) only, no recompute of anything else;
+    3. rows landing in any bracket explode to (group, prob, v) —
+       O(n/accuracy) rows per (group, prob), never the full column —
+       and a window picks rank k - c_lo within each.
+
+    At 100 TB: the quantile of every group costs one sketch shuffle
+    plus a window over sketch-bounded row counts; a per-group sort
+    would shuffle and order the entire table.
+
+    accuracy trades GK maintenance cost against bracket size — the
+    sketch is the dominant stage, NOT the refine (measured at 160x,
+    80M rows: GK alone 5.9 s at 10000, 2.7 s at 2000, 1.5 s at 500
+    warm, while the window over even the 500-bracket stays ~1 s), so
+    the default is 2000, not the global variant's 10000. The bounds
+    frame (one row per group) is persisted: it feeds the verify, the
+    widening, and the refine, and without the pin each consumer
+    re-runs the GK pass — the initial form measured 15 s at 160x for
+    exactly that reason. Lifetime = the returned DataFrame's reference
+    (the ivf_probe adjudication). Note the broadcast of per-group
+    scalar metadata assumes broadcast-scale group cardinality (event
+    types, sources, ASNs); at extreme cardinality drop the hint and
+    the joins shuffle on the group key — still never the full column
+    as sort input.
+    """
+    import functools
+    import operator
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    if any(not (0.0 <= p <= 1.0) for p in probs):
+        raise ValueError(f"probs must be in [0, 1], got {probs}")
+    eps = 2.0 / accuracy
+    plos = [max(0.0, p - eps) for p in probs]
+    phis = [min(1.0, p + eps) for p in probs]
+    P = len(probs)
+
+    vals = df.select(F.col(key_col).alias("g"), F.col(col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    sketch = vals.groupBy("g").agg(
+        F.count("v").alias("n"),
+        F.min("v").alias("gmin"),
+        F.max("v").alias("gmax"),
+        F.percentile_approx("v", plos + phis, accuracy).alias("br"),
+    ).persist()  # one row per group; three consumers (see docstring)
+    # per-(group, prob) target rank; IEEE p*n then ceil matches the
+    # pinned quantile_disc index formula bit-for-bit
+    bounds = sketch.select(
+        "g",
+        "n",
+        "gmin",
+        "gmax",
+        *[F.col("br")[i].alias(f"lo{i}") for i in range(P)],
+        *[F.col("br")[P + i].alias(f"hi{i}") for i in range(P)],
+        *[
+            F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(p) * F.col("n")))
+            .alias(f"k{i}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    joined = vals.join(F.broadcast(bounds), "g")
+    verify = joined.groupBy("g").agg(
+        *[
+            F.sum((F.col("v") < F.col(f"lo{i}")).cast("long")).alias(f"clo{i}")
+            for i in range(P)
+        ],
+        *[
+            F.sum(
+                F.col("v").between(F.col(f"lo{i}"), F.col(f"hi{i}")).cast("long")
+            ).alias(f"cin{i}")
+            for i in range(P)
+        ],
+    )
+    # widen failed brackets in-plan: lo -> gmin (c_lo becomes 0 by
+    # definition), hi -> gmax, rank unchanged
+    checked = bounds.join(F.broadcast(verify), "g").select(
+        "g",
+        *functools.reduce(
+            operator.add,
+            [
+                [
+                    F.when(ok_i, F.col(f"lo{i}")).otherwise(F.col("gmin")).alias(f"lo{i}"),
+                    F.when(ok_i, F.col(f"hi{i}")).otherwise(F.col("gmax")).alias(f"hi{i}"),
+                    F.when(ok_i, F.col(f"clo{i}")).otherwise(F.lit(0).cast("long")).alias(f"clo{i}"),
+                    F.col(f"k{i}"),
+                ]
+                for i in range(P)
+                for ok_i in [
+                    (F.col(f"clo{i}") < F.col(f"k{i}"))
+                    & (F.col(f"k{i}") <= F.col(f"clo{i}") + F.col(f"cin{i}"))
+                ]
+            ],
+        ),
+    )
+    probs_lit = F.array(*[F.lit(float(p)) for p in probs])
+    tagged = (
+        vals.join(F.broadcast(checked), "g")
+        .select(
+            "g",
+            "v",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col("v").between(F.col(f"lo{i}"), F.col(f"hi{i}")),
+                                F.struct(
+                                    probs_lit[i].alias("p"),
+                                    (F.col(f"k{i}") - F.col(f"clo{i}")).alias("r"),
+                                ),
+                            )
+                            for i in range(P)
+                        ]
+                    ),
+                    lambda s: s.isNotNull(),
+                )
+            ).alias("pr"),
+        )
+        .select("g", "v", F.col("pr.p").alias("p"), F.col("pr.r").alias("r"))
+    )
+    w = Window.partitionBy("g", "p").orderBy("v")
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.col("r"))
+        .select(F.col("g").alias(key_col), "p", F.col("v").alias("value"))
+    )
 
 
 def heavy_hitter_terms(

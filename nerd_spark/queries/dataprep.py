@@ -534,6 +534,27 @@ def quantile_event_values(spark, sf_dir):
 
 
 @query(
+    "quantile_by_event_type",
+    """
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
+           quantile_disc(value, 0.5) AS value FROM v GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE),
+           quantile_disc(value, 0.95) FROM v GROUP BY 1
+    """,
+)
+def quantile_by_event_type(spark, sf_dir):
+    # Per-group exact quantiles, fully in-plan (no driver values):
+    # one sketch shuffle + conditional-agg verify + window refine over
+    # bracket rows only (operators/sketches.py::exact_quantiles_by).
+    from nerd_spark.operators import sketches as SK
+
+    ev = t(spark, sf_dir, "events")
+    return SK.exact_quantiles_by(ev, "event_type", "value", [0.5, 0.95])
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH {_MINHASH_BANDS},

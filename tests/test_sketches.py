@@ -120,3 +120,49 @@ def test_exact_quantiles_edges(spark):
         SK.exact_quantiles(df, "value", [])
     with pytest.raises(ValueError):
         SK.exact_quantiles(df, "value", [1.2])
+
+
+def test_exact_quantiles_by_matches_order_statistics(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    sizes = {"a": 2000, "b": 777, "c": 3, "d": 1}
+    for g, sz in sizes.items():
+        rows += [(g, round(rng.gauss(50, 20), 3)) for _ in range(sz)]
+    rows += [("a", None), ("d", None)]
+    df = spark.createDataFrame(rows, "g string, value double").repartition(9)
+    probs = [0.0, 0.5, 0.95, 1.0]
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    want = {
+        (g, p, _numpy_disc_quantile(vs, p)) for g, vs in by_g.items() for p in probs
+    }
+    got = {
+        (r.g, r.p, r.value)
+        for r in SK.exact_quantiles_by(df, "g", "value", probs).collect()
+    }
+    assert got == want
+
+
+def test_exact_quantiles_by_tiny_accuracy_fallback(spark):
+    # accuracy 16 on 3000-row groups: brackets routinely fail the
+    # exact verify, exercising the in-plan [gmin, gmax] widening
+    rows = [("g1", float(i)) for i in range(3000)] + [
+        ("g2", float(i * 7 % 100)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    probs = [0.25, 0.9]
+    want = {
+        (g, p, _numpy_disc_quantile(vs, p)) for g, vs in by_g.items() for p in probs
+    }
+    got = {
+        (r.g, r.p, r.value)
+        for r in SK.exact_quantiles_by(df, "g", "value", probs, accuracy=16).collect()
+    }
+    assert got == want
