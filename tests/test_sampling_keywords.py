@@ -284,16 +284,9 @@ def test_weighted_sample_aes_properties(spark):
 
 
 def _hof_token_stats(docs):
-    from pyspark.sql import functions as F
+    from nerd_spark.operators.keywords import _token_stats_hof
 
-    from nerd_spark.functions.text import bpe_ish_token_count, tokens
-
-    staged = docs.select("source", "text", tokens("text").alias("toks"))
-    return staged.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
-        F.sum(bpe_ish_token_count("text", toks=F.col("toks"))).alias("total_bpe_ish"),
-    )
+    return _token_stats_hof(docs, "source", "text")
 
 
 def test_token_stats_kernel_parity_adversarial(spark):
@@ -333,5 +326,16 @@ def test_token_stats_kernel_parity_corpus(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     want = sorted(map(tuple, _hof_token_stats(docs).collect()))
-    got = sorted(map(tuple, KW.token_stats(docs).collect()))
+    # force the kernel path (the size-adaptive gate would route this
+    # small corpus to the HOF form and make the test vacuous)
+    spark.conf.set("spark.nerd.tokenStatsKernelMinBytes", "0")
+    try:
+        got = sorted(map(tuple, KW.token_stats(docs).collect()))
+    finally:
+        spark.conf.unset("spark.nerd.tokenStatsKernelMinBytes")
     assert got == want
+    # and the gate itself: a tiny parquet input routes to the HOF plan
+    # (no mapInPandas / ArrowEvalPython node in the executed plan)
+    plan = KW.token_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+
