@@ -349,6 +349,57 @@ def exact_quantiles_by(
     )
 
 
+def _terms_count_fn():
+    """EXACT per-batch term counting at the text level: one Arrow
+    transfer of the TEXT column per batch, (term, tf) pairs out — the
+    map-side combine of a word count, run where the tokenization is
+    cheapest. Measured at 160x (800k docs, 43M tokens): an
+    exploded-token screen spent 7.0 s in Arrow transfer ALONE
+    (a transfer-only kernel measured the same 7.0 s as the counting
+    one), and even fully JVM-side the per-token explode + hash
+    aggregate costs ~5 s — token-granular ROWS are the expense in
+    either engine tier, so the fix is to never materialize them.
+
+    Tokenization parity with tokens() (= split(trim(text), '\\s+')
+    under Java regex semantics): ``bytes.split()`` splits on exactly
+    Java's six \\s bytes, trim strips 0x20 only, and the
+    leading/trailing/empty-doc '' tokens that split(-1) keeps are
+    added via per-doc head/tail corrections — the same edge model as
+    keywords.token_stats, adversarially tested. Only batch-DISTINCT
+    terms are decoded (vocabulary-sized). Non-ASCII docs tokenize on
+    a per-doc Python-regex slow path with Java-equivalent classes."""
+    from nerd_spark.operators.keywords import _JWS, _RX_JSPLIT
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts: Counter = Counter()
+            fast_parts = []
+            for s in pdf["k"]:
+                if s is None:
+                    continue
+                if not s.isascii():
+                    counts.update(_RX_JSPLIT.split(s.strip(" ")))
+                    continue
+                fast_parts.append(s)
+                t = s.strip(" ")  # the '' tokens split(-1) keeps
+                if not t:
+                    counts[""] += 1
+                else:
+                    if t[0] in _JWS:
+                        counts[""] += 1
+                    if t[-1] in _JWS:
+                        counts[""] += 1
+            bcounts = Counter(" ".join(fast_parts).encode("ascii").split())
+            for bk, v in bcounts.items():  # distinct terms only
+                counts[bk.decode("ascii")] += v
+            if counts:
+                yield pd.DataFrame(
+                    {"k": list(counts.keys()), "tf": list(counts.values())}
+                )
+
+    return count
+
+
 def heavy_hitter_terms(
     docs: DataFrame,
     min_frac: float,
@@ -356,9 +407,35 @@ def heavy_hitter_terms(
 ) -> DataFrame:
     """Heavy-hitter TERMS over a document corpus: tokens (the shared
     whitespace tokenization, functions/text.tokens) whose corpus
-    frequency is >= min_frac of all tokens. The explode stays JVM-side
-    (codegen); the screen sees one short string per token."""
-    from nerd_spark.functions.text import tokens
+    frequency is >= min_frac of all tokens.
 
-    terms = docs.select(F.explode(tokens(text_col)).alias("term"))
-    return heavy_hitters(terms, "term", min_frac)
+    Terms invert the generic heavy_hitters cardinality assumption:
+    natural-language vocabulary is tiny relative to token count, so
+    per-batch EXACT counting (:func:`_terms_count_fn`) compresses the
+    corpus to (batch-distinct term, tf) pairs in one pass and the
+    final aggregation is vocabulary-sized — no candidate phase, no
+    second corpus pass, trivially partition-invariant. The screen+
+    verify shape (:func:`heavy_hitters`) remains the tool for
+    high-cardinality keys, where per-batch distinct ~= batch size and
+    this pair emit would degrade into the full word-count shuffle
+    (batch-deduped, still correct, just no longer sublinear)."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    pairs = (
+        docs.select(F.col(text_col).alias("k"))
+        .mapInPandas(_terms_count_fn(), "k string, tf long")
+        .persist()  # consumed twice (counts + total); vocab-sized
+    )
+    totals = pairs.groupBy().agg(F.sum("tf").alias("n"))
+    counts = pairs.groupBy(F.col("k").alias("term")).agg(
+        F.sum("tf").alias("cnt")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )

@@ -166,3 +166,77 @@ def test_exact_quantiles_by_tiny_accuracy_fallback(spark):
         for r in SK.exact_quantiles_by(df, "g", "value", probs, accuracy=16).collect()
     }
     assert got == want
+
+
+# Hypothesis property sweep: on ANY distribution and partitioning the
+# sketch operators must equal the naive exact computation. Kept to a
+# few examples per property — each runs Spark jobs.
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HH_KEYS = st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=400,
+    )
+
+    @given(keys=_HH_KEYS, frac=st.sampled_from([0.05, 0.2, 0.5]), parts=st.integers(1, 6))
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_hh_property(spark, keys, frac, parts):
+        df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(parts)
+        want = _exact(df, "k", frac)
+        got = {(r.k, r.cnt) for r in SK.heavy_hitters(df, "k", frac).collect()}
+        assert got == want
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=300
+        ),
+        p=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]),
+        parts=st.integers(1, 5),
+    )
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_quantile_property(spark, vals, p, parts):
+        df = spark.createDataFrame([(float(v),) for v in vals], "value double").repartition(parts)
+        want = _numpy_disc_quantile([float(v) for v in vals], p)
+        got = SK.exact_quantiles(df, "value", [p], accuracy=64).collect()
+        assert len(got) == 1 and got[0].value == want
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_hh_terms_tokenization_parity_adversarial(spark):
+    # the text-level counter must reproduce explode(tokens(text))
+    # exactly: leading/trailing non-space ws ('' tokens), empty and
+    # all-ws docs, control bytes (kept inside tokens — Java \s is six
+    # ASCII bytes), non-ASCII slow path, NULL text
+    from nerd_spark.functions.text import tokens as jvm_tokens
+
+    rows = [
+        ("plain words here",),
+        ("  spaces  around  ",),
+        ("\ttab leads",),
+        ("trailing tab\t",),
+        ("\t\n",),
+        ("",),
+        ("   ",),
+        ("x\x1cy \x00z x\x1cy",),
+        ("héllo wörld héllo",),
+        (None,),
+    ] * 13
+    docs = spark.createDataFrame(rows, "text string").repartition(4)
+    exact = docs.select(F.explode(jvm_tokens("text")).alias("term"))
+    n = exact.count()
+    want = {
+        (r.term, r.cnt)
+        for r in exact.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 0.05 * n)
+        .collect()
+    }
+    got = {
+        (r.term, r.cnt)
+        for r in SK.heavy_hitter_terms(docs, 0.05).collect()
+    }
+    assert got == want and len(want) > 0
