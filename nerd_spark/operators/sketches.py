@@ -127,15 +127,16 @@ def exact_quantiles(
        the sketch's 1/accuracy rank error makes the bracket contain
        the true rank-k element whenever n >= accuracy, and the sketch
        is exact below that).
-    2. ONE aggregation pass verifies the bracket EXACTLY:
-       c_lo = |{v < lo}| and c_in = |{lo <= v <= hi}| must straddle k.
-       A failed bracket (sketch pathology) falls back to the
-       correct-but-slow global take-ordered for that prob only.
-    3. ONE filter pass materializes the union of brackets — O(n/accuracy)
-       rows per prob, NOT n — and the rank-(k - c_lo) element is taken
-       per prob with an ordered limit on that tiny frame.
+    2. ONE more pass does BOTH the exact verify and the bracket
+       materialization: observe() computes c_lo = |{v < lo}| and
+       c_in = |{lo <= v <= hi}| (which must straddle k) as metrics of
+       the same scan whose filter caches the union of brackets —
+       O(n/accuracy) rows per prob, NOT n. A failed bracket (sketch
+       pathology) falls back to the correct-but-slow global
+       take-ordered for that prob only; the rank-(k - c_lo) element
+       is taken per prob with an ordered limit on the tiny frame.
 
-    At 100 TB this is 3 column-pruned scans + per-prob jobs on sketch-
+    At 100 TB this is 2 column-pruned scans + per-prob jobs on sketch-
     bounded row counts; a global sort for comparison shuffles the
     entire column. Quantile values (one scalar per prob) are driver
     artifacts by nature — the bounded-collect rule's legitimate case.
@@ -163,6 +164,15 @@ def exact_quantiles(
     los, his = list(row.b[: len(probs)]), list(row.b[len(probs) :])
     ks = [max(1, math.ceil(p * n)) for p in probs]
 
+    # verify counts AND bracket materialization share ONE scan:
+    # observe() computes the exact-count metrics on the same pass
+    # whose action caches the filtered bracket rows (scan 2 of 2;
+    # the pre-observe form paid a third full scan for the counts)
+    import functools
+    import operator
+
+    from pyspark.sql import Observation
+
     aggs = []
     for i, (lo, hi) in enumerate(zip(los, his)):
         aggs.append(
@@ -173,16 +183,16 @@ def exact_quantiles(
                 f"cin{i}"
             )
         )
-    cnt = vals.agg(*aggs).first()
-
-    import functools
-    import operator
-
+    obs = Observation()
     in_any = functools.reduce(
         operator.or_,
         [F.col("v").between(F.lit(lo), F.lit(hi)) for lo, hi in zip(los, his)],
     )
-    bracket = vals.filter(in_any).persist()  # O(probs * n/accuracy) rows
+    bracket = (
+        vals.observe(obs, *aggs).filter(in_any).persist()
+    )  # O(probs * n/accuracy) rows
+    bracket.count()  # materialize: fills the cache AND the metrics
+    cnt = obs.get
 
     out = []
     for i, (p, k, lo, hi) in enumerate(zip(probs, ks, los, his)):
