@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (115) exceeds the driver's 50-entry correctness
+# The inventory (116) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -76,6 +76,7 @@ _WINDOW_PRIORITY = [
     "hh_terms",
     "quantile_event_values",
     "quantile_by_event_type",
+    "streaming_hh_terms",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -95,8 +96,10 @@ _WINDOW_PRIORITY = [
     #    s6_filtered_find, whose relational read path is covered
     #    in-window by read_path_search/read_path_typed/s8; and for the
     #    quantile pair, w5_pivot (window family covered in-window by
-    #    w1_topk/w4_last_n_per_key) and p3_list_or_range (predicate
-    #    family covered in-window by p2/p5/p6). All rotate
+    #    w1_topk/w4_last_n_per_key) and, for
+    #    streaming_hh_terms, p3_list_or_range and p4_suffix_predicate
+    #    (predicate family covered in-window by p2/p5/p6; p4's
+    #    plans/filters.py path also under in-window read_path_search). All rotate
     #    FIRST into r9.)
     "a11_distinct_pair_counts",
     "a13_intervals",
@@ -112,7 +115,6 @@ _WINDOW_PRIORITY = [
     "p11_threat_categorization",
     "p1_projection",
     "p2_range_predicate",
-    "p4_suffix_predicate",
     "p5_multi_value_and_or",
     "p6_elem_match",
     "p8_semijoin",

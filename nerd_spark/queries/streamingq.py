@@ -79,3 +79,44 @@ def streaming_daily_counts(spark, sf_dir):
         .groupBy("d", "event_type")
         .agg(F.max("n").alias("n"))
     )
+
+
+@query(
+    "streaming_hh_terms",
+    r"""
+    WITH src AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n FROM src),
+    c AS (SELECT term, count(*) AS cnt FROM src GROUP BY 1)
+    SELECT term, cnt,
+           round(cnt / (SELECT n FROM tot), 6) AS share
+    FROM c WHERE cnt >= 0.01 * (SELECT n FROM tot)
+    """,
+)
+def streaming_hh_terms(spark, sf_dir):
+    """Continuous heavy-hitter tracking (streaming/hh_stream.py): the
+    document stream drains under availableNow into the per-epoch
+    exact (term, tf) state table, and the serving query must equal the
+    one-shot batch hh_terms — so it shares that query's SQL oracle
+    (the streaming_daily_counts discipline: a drained static set has
+    no late data, making the streamed result hash-checkable)."""
+    from nerd_spark.streaming.hh_stream import (
+        current_heavy_hitters,
+        stream_heavy_hitters,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    state = tempfile.mkdtemp(prefix=f"nerd_spark_hhs_{uuid.uuid4().hex[:8]}_")
+    q = stream_heavy_hitters(
+        spark, stream, state_dir=state,
+        checkpoint_dir=tempfile.mkdtemp(prefix="nerd_spark_ckpt_"),
+    )
+    q.awaitTermination(300)
+    return current_heavy_hitters(spark, state, 0.01)
