@@ -215,6 +215,7 @@ def exact_quantiles_by(
     col: str,
     probs: list[float],
     accuracy: int = 2000,
+    broadcast_bounds: bool = True,
 ) -> DataFrame:
     """Per-group exact quantiles — bracket-and-refine, fully in-plan.
 
@@ -251,9 +252,9 @@ def exact_quantiles_by(
     exactly that reason. Lifetime = the returned DataFrame's reference
     (the ivf_probe adjudication). Note the broadcast of per-group
     scalar metadata assumes broadcast-scale group cardinality (event
-    types, sources, ASNs); at extreme cardinality drop the hint and
-    the joins shuffle on the group key — still never the full column
-    as sort input.
+    types, sources, ASNs); at extreme cardinality pass
+    ``broadcast_bounds=False`` and the joins shuffle on the group key
+    instead — still never the full column as sort input.
     """
     import functools
     import operator
@@ -291,7 +292,8 @@ def exact_quantiles_by(
             for i, p in enumerate(probs)
         ],
     )
-    joined = vals.join(F.broadcast(bounds), "g")
+    hint = F.broadcast if broadcast_bounds else (lambda d: d)
+    joined = vals.join(hint(bounds), "g")
     verify = joined.groupBy("g").agg(
         *[
             F.sum((F.col("v") < F.col(f"lo{i}")).cast("long")).alias(f"clo{i}")
@@ -306,7 +308,7 @@ def exact_quantiles_by(
     )
     # widen failed brackets in-plan: lo -> gmin (c_lo becomes 0 by
     # definition), hi -> gmax, rank unchanged
-    checked = bounds.join(F.broadcast(verify), "g").select(
+    checked = bounds.join(hint(verify), "g").select(
         "g",
         *functools.reduce(
             operator.add,
@@ -327,7 +329,7 @@ def exact_quantiles_by(
     )
     probs_lit = F.array(*[F.lit(float(p)) for p in probs])
     tagged = (
-        vals.join(F.broadcast(checked), "g")
+        vals.join(hint(checked), "g")
         .select(
             "g",
             "v",

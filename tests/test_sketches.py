@@ -240,3 +240,22 @@ def test_hh_terms_tokenization_parity_adversarial(spark):
         for r in SK.heavy_hitter_terms(docs, 0.05).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_exact_quantiles_by_shuffle_bounds_path(spark):
+    # broadcast_bounds=False (extreme-group-cardinality escape):
+    # identical results via shuffled metadata joins
+    rows = [(f"g{i%4}", float((i * 13) % 200)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    a = sorted(
+        map(tuple, SK.exact_quantiles_by(df, "g", "value", [0.5, 0.9]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            SK.exact_quantiles_by(
+                df, "g", "value", [0.5, 0.9], broadcast_bounds=False
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 8
