@@ -51,6 +51,14 @@ EXPECT = {
     "ann_pq_topk": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
     "ann_ivf_indexed": ["PartitionFilters: [cid"],
     "ann_ivfpq_indexed": ["PartitionFilters: [cid", "BroadcastHashJoin"],
+    # round 8: the sketch family — heavy hitters verify candidates via
+    # a broadcast semi join (the full key universe never shuffles);
+    # hh_terms is all MapInPandas pair-emit (no explode / token rows);
+    # grouped quantiles keep every metadata join broadcast and refine
+    # through a window, never a global Sort of the column
+    "hh_event_users": ["BroadcastHashJoin", "LeftSemi"],
+    "hh_terms": ["MapInPandas"],
+    "quantile_by_event_type": ["BroadcastHashJoin", "Window [row_number()"],
 }
 
 
