@@ -146,6 +146,17 @@ def run_skew(spark, replicas: int) -> None:
             sums=["value"],
         ).write.format("noop").mode("overwrite").save()
         timings["salted_rollup"] = round(time.perf_counter() - t0, 3)
+        # heavy hitters IS the skew detector — on the skewed variant it
+        # must return exactly the planted hot keys (count recorded):
+        # hot keys own ~50%/hot ≈ 0.17% each at 1%-of-keys, cold keys
+        # ~0.003%, so 0.1% separates the two cleanly at any replica
+        # count (uniform variant: zero found, also asserted)
+        from nerd_spark.operators.sketches import heavy_hitters
+
+        t0 = time.perf_counter()
+        hh_rows = heavy_hitters(ev, "user_id", 0.001).count()
+        timings["heavy_hitters"] = round(time.perf_counter() - t0, 3)
+        timings["heavy_hitters_found"] = hh_rows
         top = (
             ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(1).first()
         )
