@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (116) exceeds the driver's 50-entry correctness
+# The inventory (117) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -77,6 +77,7 @@ _WINDOW_PRIORITY = [
     "quantile_event_values",
     "quantile_by_event_type",
     "streaming_hh_terms",
+    "corpus_stats_card",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -99,10 +100,11 @@ _WINDOW_PRIORITY = [
     #    w1_topk/w4_last_n_per_key) and, for
     #    streaming_hh_terms, p3_list_or_range and p4_suffix_predicate
     #    (predicate family covered in-window by p2/p5/p6; p4's
-    #    plans/filters.py path also under in-window read_path_search). All rotate
+    #    plans/filters.py path also under in-window read_path_search);
+    #    and for corpus_stats_card, a13_intervals (analytics window
+    #    family covered in-window by a11/w6-adjacent sessionize_stats). All rotate
     #    FIRST into r9.)
     "a11_distinct_pair_counts",
-    "a13_intervals",
     "ann_ivf_indexed",
     "ip_records",
     "j1_equi_join",

@@ -555,6 +555,46 @@ def quantile_by_event_type(spark, sf_dir):
 
 
 @query(
+    "corpus_stats_card",
+    r"""
+    WITH c AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\s+')) AS ntok
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(quantile_disc(ntok, 0.5) AS BIGINT) AS p50_tokens,
+           CAST(quantile_disc(ntok, 0.95) AS BIGINT) AS p95_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def corpus_stats_card(spark, sf_dir):
+    # The dataset-card report a curation run opens with: per-source
+    # volumes plus EXACT token-length quantiles — the sketch family
+    # composed over a derived column (token counts from the shared
+    # tokenization), bracket-and-refine per group, never a sort of
+    # the corpus.
+    from nerd_spark.functions.text import tokens
+    from nerd_spark.operators import sketches as SK
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    counts = docs.select(
+        "source", F.size(tokens("text")).cast("long").alias("ntok")
+    )
+    vols = counts.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("total_tokens")
+    )
+    q = SK.exact_quantiles_by(counts, "source", "ntok", [0.5, 0.95])
+    wide = q.groupBy("source").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("p50_tokens"),
+        F.max(F.when(F.col("p") == 0.95, F.col("value"))).alias("p95_tokens"),
+    )
+    return vols.join(wide, "source")
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH {_MINHASH_BANDS},
