@@ -105,6 +105,83 @@ def heavy_hitters(
     )
 
 
+def _group_screen_fn(min_frac: float):
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # per-(group, key) counts and per-group batch sizes — both
+            # vectorized; the threshold is against the GROUP's batch
+            # share, so the averaging argument holds per group
+            gk = pdf.groupby(["g", "k"], dropna=False).size()
+            gn = pdf.groupby("g", dropna=False).size()
+            rows_g, rows_k, rows_n = [], [], []
+            for (g, k), v in gk.items():
+                if v >= gn[g] * min_frac:
+                    rows_g.append(g)
+                    rows_k.append(k)
+                    rows_n.append(0)
+            for g, n_b in gn.items():
+                rows_g.append(g)
+                rows_k.append(None)
+                rows_n.append(int(n_b))
+            yield pd.DataFrame({"g": rows_g, "k": rows_k, "_local_n": rows_n})
+
+    return screen
+
+
+def heavy_hitters_by(
+    df: DataFrame, group_col: str, key_col: str, min_frac: float
+) -> DataFrame:
+    """Heavy hitters WITHIN each group: keys whose count inside their
+    group is >= min_frac * N_group (per-day top talkers, per-sensor
+    dominant sources). Same screen+verify discipline as
+    :func:`heavy_hitters` with the averaging argument applied per
+    group — a key globally light but dominant inside one small group
+    is found, and vice versa. Returns (group_col, key_col, cnt,
+    share). Null keys AND null groups are ignored (both excluded
+    from every count).
+    """
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    gt = df.schema[group_col].dataType.simpleString()
+    kt = df.schema[key_col].dataType.simpleString()
+    src = df.select(
+        F.col(group_col).alias("g"), F.col(key_col).alias("k")
+    ).filter(F.col("k").isNotNull() & F.col(group_col).isNotNull())
+    screened = src.mapInPandas(
+        _group_screen_fn(min_frac), f"g {gt}, k {kt}, _local_n long"
+    ).persist()  # see heavy_hitters
+    totals = screened.filter(F.col("k").isNull()).groupBy("g").agg(
+        F.sum("_local_n").alias("n")
+    )
+    cands = (
+        screened.filter(F.col("_local_n") == 0)
+        .select(
+            F.col("g").alias(group_col), F.col("k").alias(key_col)
+        )
+        .distinct()
+    )
+    counts = (
+        df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
+        .join(F.broadcast(cands), [group_col, key_col], "left_semi")
+        .groupBy(group_col, key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.join(
+            F.broadcast(totals.withColumnRenamed("g", group_col)), group_col
+        )
+        .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
+        .select(
+            group_col,
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,

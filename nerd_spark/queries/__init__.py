@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (117) exceeds the driver's 50-entry correctness
+# The inventory (118) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -78,6 +78,7 @@ _WINDOW_PRIORITY = [
     "quantile_by_event_type",
     "streaming_hh_terms",
     "corpus_stats_card",
+    "hh_by_event_type",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -101,10 +102,11 @@ _WINDOW_PRIORITY = [
     #    streaming_hh_terms, p3_list_or_range and p4_suffix_predicate
     #    (predicate family covered in-window by p2/p5/p6; p4's
     #    plans/filters.py path also under in-window read_path_search);
-    #    and for corpus_stats_card, a13_intervals (analytics window
-    #    family covered in-window by a11/w6-adjacent sessionize_stats). All rotate
+    #    and for corpus_stats_card and
+    #    hh_by_event_type, a13_intervals and a11_distinct_pair_counts
+    #    (analytics family; sessionize_stats + the A rollups cover
+    #    queries/analytics.py in-window). All rotate
     #    FIRST into r9.)
-    "a11_distinct_pair_counts",
     "ann_ivf_indexed",
     "ip_records",
     "j1_equi_join",

@@ -512,6 +512,32 @@ def hh_terms(spark, sf_dir):
 
 
 @query(
+    "hh_by_event_type",
+    """
+    WITH src AS (
+      SELECT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    tot AS (SELECT event_type, count(*) AS n FROM src GROUP BY 1),
+    c AS (SELECT event_type, user_id, count(*) AS cnt FROM src GROUP BY 1, 2)
+    SELECT c.event_type, c.user_id, c.cnt,
+           round(c.cnt / t.n, 6) AS share
+    FROM c JOIN tot t ON c.event_type = t.event_type
+    WHERE c.cnt >= 0.008 * t.n
+    """,
+)
+def hh_by_event_type(spark, sf_dir):
+    # Per-group heavy hitters (per-day top talkers / per-sensor
+    # dominant sources): the screen+verify discipline with the
+    # averaging argument applied within each group
+    # (operators/sketches.py::heavy_hitters_by).
+    from nerd_spark.operators import sketches as SK
+
+    ev = t(spark, sf_dir, "events")
+    return SK.heavy_hitters_by(ev, "event_type", "user_id", 0.008)
+
+
+@query(
     "quantile_event_values",
     """
     WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)

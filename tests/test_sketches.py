@@ -259,3 +259,28 @@ def test_exact_quantiles_by_shuffle_bounds_path(spark):
         )
     )
     assert a == b and len(a) == 8
+
+
+def test_heavy_hitters_by_group_local_dominance(spark):
+    # a key light overall but dominant inside one small group must be
+    # found; a globally common key spread evenly across groups must
+    # NOT qualify in any group; nulls on either column are ignored
+    rows = (
+        [("g_big", f"u{i % 500}") for i in range(5000)]
+        + [("g_small", "dominant")] * 30
+        + [("g_small", f"v{i}") for i in range(70)]
+        + [(None, "dominant")] * 50
+        + [("g_big", None)] * 50
+    )
+    df = spark.createDataFrame(rows, "g string, k string").repartition(7)
+    got = {
+        (r.g, r.k, r.cnt, r.share)
+        for r in SK.heavy_hitters_by(df, "g", "k", 0.05).collect()
+    }
+    assert got == {("g_small", "dominant", 30, 0.3)}
+    # partition-invariance
+    got1 = {
+        (r.g, r.k, r.cnt)
+        for r in SK.heavy_hitters_by(df.repartition(1), "g", "k", 0.05).collect()
+    }
+    assert got1 == {("g_small", "dominant", 30)}
