@@ -41,6 +41,8 @@ EXTENDED = [
     "hh_terms",
     "quantile_event_values",
     "quantile_by_event_type",
+    "hh_by_event_type",
+    "corpus_stats_card",
 ]
 
 # Representative cut across operator families; excludes the

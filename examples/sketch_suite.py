@@ -31,6 +31,7 @@ from nerd_spark.operators.sketches import (
     exact_quantiles_by,
     heavy_hitter_terms,
     heavy_hitters,
+    heavy_hitters_by,
 )
 from nerd_spark.session import get_spark, read_table
 from nerd_spark.streaming.hh_stream import (
@@ -49,6 +50,11 @@ heavy_hitters(events, "user_id", 0.005).orderBy("cnt", ascending=False).show(5)
 
 print("== heavy-hitter terms (>= 1% of tokens) ==")
 heavy_hitter_terms(docs, 0.01).orderBy("cnt", ascending=False).show(5)
+
+print("== per-event-type heavy hitters (group-local dominance) ==")
+heavy_hitters_by(events, "event_type", "user_id", 0.008).orderBy(
+    "event_type", "cnt", ascending=False
+).show(5)
 
 print("== exact value quantiles ==")
 exact_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99]).show()
