@@ -192,6 +192,61 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — mean CONDITIONAL bigram
+    log-probability p(w2|w1) = c(w1,w2)/c(w1·) of each document under
+    the corpus's own bigram model: the next step up from
+    :func:`unigram_logprob` on the fluency axis (word-order soup
+    scores low even when every individual token is common).
+
+    Like the unigram form, the model scores the corpus it was counted
+    on, so every observed pair has positive probability and no
+    smoothing/OOV mass is needed; in a train/apply split the two count
+    tables persist like the minhash band index and scoring is
+    map-only. Pairs come from the raw token sequence (adjacent array
+    elements); pairs touching the ''-token artifacts of leading/
+    trailing whitespace are dropped, matching the unigram term filter.
+    Documents with fewer than 2 tokens produce no row.
+
+    Plan shape: pair extraction is codegen HOFs over the bound token
+    array (zip_with of the two slices — the PLANS.md stacked-select
+    rule); the only shuffles are the two count aggregations, map-side
+    combined, vocabulary²-bounded; both count tables broadcast back.
+    """
+    arr = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("a"))
+        .filter(F.size("a") >= 2)
+    )
+    paired = arr.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("a"), 1, F.size("a") - 1),
+                F.slice(F.col("a"), 2, F.size("a") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    pairs = paired.filter((F.col("w1") != "") & (F.col("w2") != ""))
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lf = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    return (
+        pairs.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(lf), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Byte-LUT token statistics
 

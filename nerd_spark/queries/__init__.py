@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (118) exceeds the driver's 50-entry correctness
+# The inventory (119) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -79,6 +79,7 @@ _WINDOW_PRIORITY = [
     "streaming_hh_terms",
     "corpus_stats_card",
     "hh_by_event_type",
+    "lm_bigram_logprob",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -105,7 +106,9 @@ _WINDOW_PRIORITY = [
     #    and for corpus_stats_card and
     #    hh_by_event_type, a13_intervals and a11_distinct_pair_counts
     #    (analytics family; sessionize_stats + the A rollups cover
-    #    queries/analytics.py in-window). All rotate
+    #    queries/analytics.py in-window); and for lm_bigram_logprob,
+    #    nru_due_selection (r6-latest; its streaming/nru path is also
+    #    under the r7-green streaming_daily_counts + 7 pytest suites). All rotate
     #    FIRST into r9.)
     "ann_ivf_indexed",
     "ip_records",
@@ -114,7 +117,6 @@ _WINDOW_PRIORITY = [
     "j5_asof_join",
     "j6_bulk_lookup",
     "j8_group_stats_join_back",
-    "nru_due_selection",
     "p10_validity_filter",
     "p11_threat_categorization",
     "p1_projection",

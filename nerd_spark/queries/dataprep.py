@@ -862,6 +862,41 @@ def lm_unigram_logprob(spark, sf_dir):
     return KW.unigram_logprob(docs)
 
 
+@query(
+    "lm_bigram_logprob",
+    r"""
+    WITH arrs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS arr
+      FROM documents WHERE text IS NOT NULL
+    ),
+    pairs0 AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(arr)),
+               i -> struct_pack(w1 := arr[i], w2 := arr[i + 1]))) AS pr
+      FROM arrs WHERE len(arr) >= 2
+    ),
+    pairs AS (
+      SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM pairs0
+      WHERE pr.w1 != '' AND pr.w2 != ''
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+    lf AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(c2 * 1.0 / c1)), 6) AS avg_logprob
+    FROM pairs JOIN bg USING (w1, w2) JOIN lf USING (w1)
+    GROUP BY 1
+    """,
+)
+def lm_bigram_logprob(spark, sf_dir):
+    # Word-ORDER fluency signal (operators/keywords.py): mean
+    # conditional bigram log-probability p(w2|w1) under the corpus's
+    # own bigram model — shuffled-word soup scores low even when every
+    # token is common. Count tables broadcast; scoring map-side.
+    docs = t(spark, sf_dir, "documents")
+    return KW.bigram_logprob(docs)
+
+
 _HEXPARSE = (
     "(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096 + "
     "(strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256 + "

@@ -339,3 +339,35 @@ def test_token_stats_kernel_parity_corpus(spark, sf_dir):
     plan = KW.token_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
 
+
+
+def test_bigram_logprob_properties(spark):
+    # word-order sensitivity: under a corpus where "a b" dominates,
+    # the in-order doc must outscore the shuffled one; self-model
+    # totals: sum over docs of n_bigrams == total kept pairs; docs
+    # with <2 tokens produce no row; ''-pairs from edge whitespace drop
+    from pyspark.sql import functions as F
+
+    from nerd_spark.operators.keywords import bigram_logprob
+
+    rows = (
+        [(i, "the cat sat") for i in range(10)]
+        + [(100, "sat cat the"), (101, "a"), (102, ""), (103, "\ta b")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_logprob) for r in bigram_logprob(docs).collect()}
+    assert 101 not in out and 102 not in out
+    # doc 103: tokens ['', 'a', 'b'] -> pairs ('','a') dropped, ('a','b') kept
+    assert out[103][0] == 1
+    assert out[0][1] > out[100][1]  # in-order beats reversed-order
+    n_pairs = sum(v[0] for v in out.values())
+    want_pairs = (
+        docs.select(F.split(F.trim("text"), r"\s+").alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(F.explode(F.zip_with(
+            F.slice("a", 1, F.size("a") - 1), F.slice("a", 2, F.size("a") - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))).alias("p"))
+        .filter((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .count()
+    )
+    assert n_pairs == want_pairs
