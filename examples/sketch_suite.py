@@ -53,7 +53,7 @@ heavy_hitter_terms(docs, 0.01).orderBy("cnt", ascending=False).show(5)
 
 print("== per-event-type heavy hitters (group-local dominance) ==")
 heavy_hitters_by(events, "event_type", "user_id", 0.008).orderBy(
-    "event_type", "cnt", ascending=False
+    "event_type", "cnt", ascending=[True, False]
 ).show(5)
 
 print("== exact value quantiles ==")

@@ -214,8 +214,20 @@ def bigram_logprob(
 
     Plan shape: pair extraction is codegen HOFs over the bound token
     array (zip_with of the two slices — the PLANS.md stacked-select
-    rule); the only shuffles are the two count aggregations, map-side
-    combined, vocabulary²-bounded; both count tables broadcast back.
+    rule). The pairs frame feeds three consumers and is deliberately
+    NOT checkpointed: unlike the compact one-row-per-doc RLE arrays
+    _tf_waist pins, exploded pairs are a FAT intermediate (~3.3 GB at
+    160x) whose materialization evicted the aggregation memory
+    (measured: AGGREGATE_OUT_OF_MEMORY at 160x with a localCheckpoint
+    here) while the recompute it saves is one cheap codegen map stage
+    — lineage recompute is the right trade for wide-but-cheap frames;
+    a per-doc pair-RLE waist is the real fix if this ever becomes a
+    hot path. The left-unigram table lf is vocabulary-bounded and
+    broadcasts; the bigram table bg is NOT (distinct bigrams grow
+    with the corpus on natural text — the r8 review caught a forced
+    broadcast here, the _pair_jaccard defect class), so its join is
+    left unhinted: Spark broadcasts it while small and shuffles on
+    (w1, w2) otherwise.
     """
     arr = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("a"))
@@ -235,7 +247,7 @@ def bigram_logprob(
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     lf = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     return (
-        pairs.join(F.broadcast(bg), ["w1", "w2"])
+        pairs.join(bg, ["w1", "w2"])
         .join(F.broadcast(lf), "w1")
         .groupBy("doc_id")
         .agg(
@@ -296,9 +308,13 @@ def _tokstats_slow(s: str) -> tuple[int, int]:
     return ntok, len(_RX_JBPE.findall(s))
 
 
-def _tokstats_fast(texts: list) -> tuple[int, int]:
+def _tokstats_fast(texts: list, cls) -> tuple[int, int]:
     """Vectorized (ntok_sum, nbpe_sum) over ASCII docs with no class-4
-    bytes. Exactness argument, term by term:
+    bytes; ``cls`` is the caller's LUT classification of the
+    ' '-joined batch (already built for the class-4 routing check —
+    recomputing it here would double the kernel's dominant
+    memory-bandwidth pass, review r8). Exactness argument, term by
+    term:
 
     - split(trim(s), '\\s+') has size = (# maximal non-ws runs)
       + (1 if trim(s) starts with ws: the leading empty token)
@@ -314,12 +330,6 @@ def _tokstats_fast(texts: list) -> tuple[int, int]:
       HOF computes — measured bit-equal, and pinned by parity tests.
     """
     import numpy as np
-
-    global _TOKSTATS_LUT
-    if _TOKSTATS_LUT is None:
-        _TOKSTATS_LUT = _tokstats_lut()
-    buf = " ".join(texts).encode("ascii")
-    cls = _TOKSTATS_LUT[np.frombuffer(buf, dtype=np.uint8)]
 
     def run_starts(mask):
         if len(mask) == 0:
@@ -444,8 +454,10 @@ def token_stats(
                             else:
                                 keep.append(s)
                         fast = keep
+                        joined = " ".join(fast).encode("ascii")
+                        cls = _TOKSTATS_LUT[np.frombuffer(joined, dtype=np.uint8)]
                     if fast:
-                        a, b = _tokstats_fast(fast)
+                        a, b = _tokstats_fast(fast, cls)
                         ntok += a
                         nbpe += b
                 for s in slow:

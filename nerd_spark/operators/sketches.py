@@ -30,9 +30,12 @@ partition boundaries (only the candidate superset varies) — which is
 what makes the operator oracle-checkable against plain SQL.
 
 Scale note: the candidate set is <= batches/phi rows. At local/bench
-scale it broadcasts; at extreme batch counts the semi-join would fall
-back to shuffle on its own — still keyed by candidates only, never
-the full universe.
+scale it broadcasts; at extreme batch counts (millions of batches x
+1/phi candidates each) pass ``broadcast_candidates=False`` so the
+verify semi-join shuffles instead — still keyed by candidates only,
+never the full universe. (A forced broadcast hint overrides Spark's
+size-based planning unconditionally, so the escape must be explicit —
+review r8, the same class as the r8 _pair_jaccard 160x fix.)
 """
 
 from __future__ import annotations
@@ -54,15 +57,25 @@ def _screen_fn(min_frac: float):
             counts = Counter(pdf["k"].tolist())
             thr = n_b * min_frac
             cands = [k for k, v in counts.items() if v >= thr]
+            # dtype=object: mixing int keys with the None sentinel in
+            # a plain column infers float64, which corrupts int64 keys
+            # above 2^53 and silently drops those heavy hitters at the
+            # verify join (review r8)
             yield pd.DataFrame(
-                {"k": cands + [None], "_local_n": [0] * len(cands) + [n_b]}
+                {
+                    "k": pd.Series(cands + [None], dtype=object),
+                    "_local_n": [0] * len(cands) + [n_b],
+                }
             )
 
     return screen
 
 
 def heavy_hitters(
-    df: DataFrame, key_col: str, min_frac: float
+    df: DataFrame,
+    key_col: str,
+    min_frac: float,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact heavy hitters: keys whose count >= min_frac * N.
 
@@ -75,6 +88,7 @@ def heavy_hitters(
     """
     if not (0.0 < min_frac <= 1.0):
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    hint = F.broadcast if broadcast_candidates else (lambda d: d)
     kt = df.schema[key_col].dataType.simpleString()
     src = df.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
     screened = src.mapInPandas(
@@ -90,7 +104,7 @@ def heavy_hitters(
     )
     counts = (
         df.filter(F.col(key_col).isNotNull())
-        .join(F.broadcast(cands), key_col, "left_semi")
+        .join(hint(cands), key_col, "left_semi")
         .groupBy(key_col)
         .agg(F.count("*").alias("cnt"))
     )
@@ -125,13 +139,25 @@ def _group_screen_fn(min_frac: float):
                 rows_g.append(g)
                 rows_k.append(None)
                 rows_n.append(int(n_b))
-            yield pd.DataFrame({"g": rows_g, "k": rows_k, "_local_n": rows_n})
+            # dtype=object on both columns: the None sentinel must not
+            # coerce int64 keys (or groups) to float64 (review r8)
+            yield pd.DataFrame(
+                {
+                    "g": pd.Series(rows_g, dtype=object),
+                    "k": pd.Series(rows_k, dtype=object),
+                    "_local_n": rows_n,
+                }
+            )
 
     return screen
 
 
 def heavy_hitters_by(
-    df: DataFrame, group_col: str, key_col: str, min_frac: float
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    min_frac: float,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Heavy hitters WITHIN each group: keys whose count inside their
     group is >= min_frac * N_group (per-day top talkers, per-sensor
@@ -140,10 +166,12 @@ def heavy_hitters_by(
     group — a key globally light but dominant inside one small group
     is found, and vice versa. Returns (group_col, key_col, cnt,
     share). Null keys AND null groups are ignored (both excluded
-    from every count).
+    from every count). ``broadcast_candidates=False`` is the
+    extreme-cardinality escape (see the module scale note).
     """
     if not (0.0 < min_frac <= 1.0):
         raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    hint = F.broadcast if broadcast_candidates else (lambda d: d)
     gt = df.schema[group_col].dataType.simpleString()
     kt = df.schema[key_col].dataType.simpleString()
     src = df.select(
@@ -164,7 +192,7 @@ def heavy_hitters_by(
     )
     counts = (
         df.filter(F.col(key_col).isNotNull() & F.col(group_col).isNotNull())
-        .join(F.broadcast(cands), [group_col, key_col], "left_semi")
+        .join(hint(cands), [group_col, key_col], "left_semi")
         .groupBy(group_col, key_col)
         .agg(F.count("*").alias("cnt"))
     )

@@ -284,3 +284,38 @@ def test_heavy_hitters_by_group_local_dominance(spark):
         for r in SK.heavy_hitters_by(df.repartition(1), "g", "k", 0.05).collect()
     }
     assert got1 == {("g_small", "dominant", 30)}
+
+
+def test_hh_huge_int64_keys_survive_sentinel_column(spark):
+    # review r8: the None sentinel must not coerce int64 keys to
+    # float64 (keys above 2^53 would corrupt and silently vanish)
+    hot = 2**60 + 1
+    rows = [(hot,)] * 50 + [(2**60 + 100 + i,) for i in range(450)]
+    df = spark.createDataFrame(rows, "k long").repartition(3)
+    got = {(r.k, r.cnt) for r in SK.heavy_hitters(df, "k", 0.05).collect()}
+    assert got == {(hot, 50)}
+    gotby = {
+        (r.g, r.k, r.cnt)
+        for r in SK.heavy_hitters_by(
+            spark.createDataFrame([("a", v) for (v,) in rows], "g string, k long"),
+            "g",
+            "k",
+            0.05,
+        ).collect()
+    }
+    assert gotby == {("a", hot, 50)}
+
+
+def test_hh_shuffle_candidates_path(spark):
+    # broadcast_candidates=False (extreme-cardinality escape): same
+    # results through a shuffled semi join
+    rows = [("hot",)] * 300 + [(f"u{i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string").repartition(5)
+    a = sorted(map(tuple, SK.heavy_hitters(df, "k", 0.1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            SK.heavy_hitters(df, "k", 0.1, broadcast_candidates=False).collect(),
+        )
+    )
+    assert a == b == [("hot", 300, round(300 / 1300, 6))]
