@@ -119,6 +119,48 @@ def heavy_hitters(
     )
 
 
+def top_frequent(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    initial_frac: float = 0.01,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """EXACT top-k most frequent keys without a full-cardinality
+    shuffle: iterated :func:`heavy_hitters`.
+
+    Top-k-by-count has no single-pass screen guarantee (the k-th key
+    can be locally thin in every batch), but it reduces to heavy
+    hitters once the threshold is low enough: heavy_hitters(phi)
+    returns EVERY key with count >= phi*N, so as soon as at least k
+    keys qualify, the global top-k is exactly the k best of them —
+    anything outside the result is < phi*N <= the k-th count. If
+    fewer than k qualify, halve phi and rerun (each rerun is two
+    scans; on Zipf-shaped key distributions the initial guess usually
+    suffices, and the loop is bounded: phi <= 1/rows returns every
+    distinct key). Returns (key_col, cnt, share, rank), ties broken
+    by key ascending.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    frac = initial_frac
+    while True:
+        hh = heavy_hitters(
+            df, key_col, frac, broadcast_candidates=broadcast_candidates
+        ).persist()
+        n_hits = hh.count()
+        total = df.filter(F.col(key_col).isNotNull()).count()
+        if n_hits >= k or frac * total <= 1.0:
+            w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+            return (
+                hh.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(key_col, "cnt", "share", "rank")
+            )
+        hh.unpersist()
+        frac /= 2.0
+
+
 def _group_screen_fn(min_frac: float):
     def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

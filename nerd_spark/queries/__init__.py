@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (119) exceeds the driver's 50-entry correctness
+# The inventory (120) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-8 rotation:
 # 1. the five r5-latest queries the r7 trim scheduled first (the
@@ -80,6 +80,7 @@ _WINDOW_PRIORITY = [
     "corpus_stats_card",
     "hh_by_event_type",
     "lm_bigram_logprob",
+    "top_frequent_users",
     # 3 — rows-only -> self-oracle golden (changed oracle status)
     "ann_ivf_trained",
     "ann_pq_topk",
@@ -108,7 +109,9 @@ _WINDOW_PRIORITY = [
     #    (analytics family; sessionize_stats + the A rollups cover
     #    queries/analytics.py in-window); and for lm_bigram_logprob,
     #    nru_due_selection (r6-latest; its streaming/nru path is also
-    #    under the r7-green streaming_daily_counts + 7 pytest suites). All rotate
+    #    under the r7-green streaming_daily_counts + 7 pytest suites);
+    #    and for top_frequent_users, s10_export_blocklist (r6-latest;
+    #    sources/exports.py is also pytest-covered end to end). All rotate
     #    FIRST into r9.)
     "ann_ivf_indexed",
     "ip_records",
@@ -128,7 +131,6 @@ _WINDOW_PRIORITY = [
     "quality_model_filter",
     "read_path_search",
     "read_path_typed",
-    "s10_export_blocklist",
     "s4_misp_upserts",
     "s8_event_fetch",
     "sessionize_stats",

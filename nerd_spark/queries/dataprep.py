@@ -538,6 +538,34 @@ def hh_by_event_type(spark, sf_dir):
 
 
 @query(
+    "top_frequent_users",
+    """
+    WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM src),
+    c AS (SELECT user_id, count(*) AS cnt FROM src GROUP BY 1),
+    r AS (
+      SELECT user_id, cnt,
+             round(cnt / (SELECT n FROM tot), 6) AS share,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+      FROM c
+    )
+    SELECT user_id, cnt, share, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 10
+    """,
+)
+def top_frequent_users(spark, sf_dir):
+    # EXACT top-k most frequent keys by iterated heavy hitters
+    # (operators/sketches.py::top_frequent): once >= k keys clear the
+    # threshold, the global top-k is exactly their best k; the
+    # threshold halves until that holds. The oracle is the naive full
+    # groupBy + global rank.
+    from nerd_spark.operators import sketches as SK
+
+    ev = t(spark, sf_dir, "events")
+    return SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005)
+
+
+@query(
     "quantile_event_values",
     """
     WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)

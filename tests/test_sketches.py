@@ -319,3 +319,21 @@ def test_hh_shuffle_candidates_path(spark):
         )
     )
     assert a == b == [("hot", 300, round(300 / 1300, 6))]
+
+
+def test_top_frequent_exact_with_halving(spark):
+    # start the threshold far too high so the loop must halve its way
+    # down; result must equal the naive global rank with the same
+    # tie-break, including ties AT the k boundary
+    rows = (
+        [("a",)] * 40 + [("b",)] * 30 + [("c",)] * 20
+        + [("d",)] * 20 + [("e",)] * 10 + [(f"t{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(6)
+    got = [(r.k, r.cnt, r.rank) for r in
+           SK.top_frequent(df, "k", k=4, initial_frac=0.9).orderBy("rank").collect()]
+    # c and d tie at 20; key asc puts c at rank 3
+    assert got == [("a", 40, 1), ("b", 30, 2), ("c", 20, 3), ("d", 20, 4)]
+    # k beyond distinct count: returns every key, no error
+    tiny = spark.createDataFrame([("x",), ("y",)], "k string")
+    assert SK.top_frequent(tiny, "k", k=10).count() == 2
