@@ -190,7 +190,19 @@ def _ref_partial_reputation(day_data, p):
             w = 1.0
         sum_w += w
         rep += daily * w
-    return round(rep / sum_w, 6) if sum_w else 0.0
+    # HALF_UP at 6 dp, matching Spark's round() and the DuckDB oracle;
+    # Python's built-in round is banker's and diverges on exact .5
+    # boundaries (hypothesis found rep/sum_w == 0.0703125 exactly at
+    # scale=1.5 -> banker's gives ...312, the engine/oracle ...313)
+    import decimal
+
+    if not sum_w:
+        return 0.0
+    return float(
+        decimal.Decimal(rep / sum_w).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 @given(
