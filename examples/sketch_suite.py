@@ -56,6 +56,11 @@ heavy_hitters_by(events, "event_type", "user_id", 0.008).orderBy(
     "event_type", "cnt", ascending=[True, False]
 ).show(5)
 
+print("== exact top-5 most frequent users (iterated hh) ==")
+from nerd_spark.operators.sketches import top_frequent
+
+top_frequent(events, "user_id", k=5).orderBy("rank").show()
+
 print("== exact value quantiles ==")
 exact_quantiles(events, "value", [0.25, 0.5, 0.9, 0.99]).show()
 
