@@ -43,6 +43,8 @@ EXTENDED = [
     "quantile_by_event_type",
     "hh_by_event_type",
     "corpus_stats_card",
+    "top_frequent_users",
+    "lm_bigram_logprob",
 ]
 
 # Representative cut across operator families; excludes the
