@@ -119,6 +119,35 @@ def heavy_hitters(
     )
 
 
+def _topk_screen_fn(min_frac: float, k: int):
+    """The heavy-hitter screen plus one extra sentinel statistic: the
+    batch's k-th largest local count. k distinct keys each have a
+    GLOBAL count >= their local count >= that value, so
+    max_b(kth_b) lower-bounds the global k-th count — the bound that
+    lets a failed first pass finish in exactly one guaranteed second
+    pass instead of unbounded threshold halving."""
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_b = len(pdf)
+            if n_b == 0:
+                continue
+            counts = Counter(pdf["k"].tolist())
+            thr = n_b * min_frac
+            cands = [key for key, v in counts.items() if v >= thr]
+            top = counts.most_common(k)
+            kth = top[k - 1][1] if len(top) >= k else 0
+            yield pd.DataFrame(
+                {
+                    "k": pd.Series(cands + [None], dtype=object),
+                    "_local_n": [0] * len(cands) + [n_b],
+                    "_kth": [0] * len(cands) + [kth],
+                }
+            )
+
+    return screen
+
+
 def top_frequent(
     df: DataFrame,
     key_col: str,
@@ -127,38 +156,74 @@ def top_frequent(
     broadcast_candidates: bool = True,
 ) -> DataFrame:
     """EXACT top-k most frequent keys without a full-cardinality
-    shuffle: iterated :func:`heavy_hitters`.
+    shuffle, in at most TWO heavy-hitter rounds.
 
     Top-k-by-count has no single-pass screen guarantee (the k-th key
     can be locally thin in every batch), but it reduces to heavy
     hitters once the threshold is low enough: heavy_hitters(phi)
     returns EVERY key with count >= phi*N, so as soon as at least k
     keys qualify, the global top-k is exactly the k best of them —
-    anything outside the result is < phi*N <= the k-th count. If
-    fewer than k qualify, halve phi and rerun (each rerun is two
-    scans; on Zipf-shaped key distributions the initial guess usually
-    suffices, and the loop is bounded: phi <= 1/rows returns every
-    distinct key). Returns (key_col, cnt, share, rank), ties broken
-    by key ascending.
+    anything outside the result is < phi*N <= the k-th count.
+
+    Round 1 screens at ``initial_frac`` while also collecting each
+    batch's k-th largest local count; if fewer than k keys qualify,
+    round 2 reruns at max_b(kth_b)/N — a certified lower bound on the
+    global k-th count's share (see :func:`_topk_screen_fn`), so it is
+    GUARANTEED to surface at least k keys (when at least k distinct
+    exist; otherwise every key returns). Returns (key_col, cnt,
+    share, rank), ties broken by key ascending.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    frac = initial_frac
-    while True:
+    hint = F.broadcast if broadcast_candidates else (lambda d: d)
+    kt = df.schema[key_col].dataType.simpleString()
+    src = df.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
+    screened = src.mapInPandas(
+        _topk_screen_fn(initial_frac, k), f"k {kt}, _local_n long, _kth long"
+    ).persist()
+    stats = screened.groupBy().agg(
+        F.sum("_local_n").alias("n"), F.max("_kth").alias("kth")
+    ).first()
+    n_total, kth_max = stats.n or 0, stats.kth or 0
+    if n_total == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{key_col} {kt}, cnt long, share double, rank int"
+        )
+    cands = (
+        screened.filter(F.col("_local_n") == 0)
+        .select(F.col("k").alias(key_col))
+        .distinct()
+    )
+    hh = (
+        df.filter(F.col(key_col).isNotNull())
+        .join(hint(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(initial_frac) * F.lit(n_total))
+        .persist()
+    )
+    if hh.count() < k:  # round 2: the certified threshold
+        # aim BETWEEN kth_max-1 and kth_max: counts are integers, so
+        # cnt >= frac2*N selects exactly cnt >= kth_max while staying
+        # immune to the half-ulp the frac2*N round-trip can add (a
+        # threshold of exactly kth_max could otherwise exclude the
+        # certifying keys and break the >= k guarantee)
+        frac2 = max(kth_max - 0.5, 0.5) / n_total
         hh = heavy_hitters(
-            df, key_col, frac, broadcast_candidates=broadcast_candidates
-        ).persist()
-        n_hits = hh.count()
-        total = df.filter(F.col(key_col).isNotNull()).count()
-        if n_hits >= k or frac * total <= 1.0:
-            w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
-            return (
-                hh.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(key_col, "cnt", "share", "rank")
-            )
-        hh.unpersist()
-        frac /= 2.0
+            df, key_col, min(frac2, 1.0),
+            broadcast_candidates=broadcast_candidates,
+        ).select(key_col, "cnt")
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        hh.select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(key_col, "cnt", "share", "rank")
+    )
 
 
 def _group_screen_fn(min_frac: float):

@@ -337,3 +337,16 @@ def test_top_frequent_exact_with_halving(spark):
     # k beyond distinct count: returns every key, no error
     tiny = spark.createDataFrame([("x",), ("y",)], "k string")
     assert SK.top_frequent(tiny, "k", k=10).count() == 2
+
+
+def test_top_frequent_two_round_bound(spark):
+    # uniform keys far below any reasonable initial threshold: the old
+    # halving loop needed many rounds; the certified kth-local bound
+    # must finish in round 2 AND still be exact (boundary keys with
+    # cnt == kth_max survive the float-safe threshold)
+    rows = [(f"u{i % 200}",) for i in range(4000)]  # all keys ~0.5%
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    out = SK.top_frequent(df, "k", k=10, initial_frac=0.5).orderBy("rank").collect()
+    assert len(out) == 10
+    assert all(r.cnt == 20 for r in out)  # uniform: everything ties at 20
+    assert [r.k for r in out] == sorted([r.k for r in out])  # key-asc ties
