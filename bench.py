@@ -224,7 +224,31 @@ def main() -> None:
             "testdata_fingerprint": _testdata_fingerprint(),
         },
     }
-    print(json.dumps(out))
+    # Emit TWO lines: the fat per-query detail record first, then a
+    # SHORT summary line LAST. The driver tail-captures output and
+    # parses the final JSON line; r8's single giant line grew past the
+    # capture window and truncated its own head, losing the round's
+    # headline_total (VERDICT r8 #1). The summary keeps the required
+    # {metric, value, unit, queries, sf} contract plus the totals and
+    # run_meta — everything bulky (warm/extended per-query dicts,
+    # funnel stage timings) lives only on the detail line.
+    print(json.dumps({"record": "bench_detail", **out}))
+    summary = {
+        k: out[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "sf",
+            "layout_optimization_sec",
+            "warm_total",
+            "warm_passes",
+            "extended_total",
+            "run_meta",
+        )
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 

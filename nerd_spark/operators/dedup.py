@@ -435,6 +435,7 @@ def incremental_minhash_pairs_indexed(
     text_col="text",
     k=3,
     threshold=0.5,
+    broadcast_max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """incremental_minhash_pairs served from the PERSISTED band index
     (sources/layout.py MINHASH_BANDS_DIRNAME): `bands` is the (id, b,
@@ -450,9 +451,18 @@ def incremental_minhash_pairs_indexed(
     the per-batch cost is O(batch + collisions) in both compute and
     shuffle — the contract the non-indexed variant documents but can
     only deliver once this index exists. The candidate pair set is
-    checkpointed (it feeds both the id-prune and the verify join, and
-    it is collision-sized — small by the LSH banding argument — not
-    corpus-sized)."""
+    checkpointed (it feeds the id-prune, the verify join, AND the
+    broadcast-bound probe; usually collision-sized by the LSH banding
+    argument).
+
+    The candidate-id broadcast uses the same MEASURED bound as
+    `_pair_jaccard`, not an unconditional hint (r8 advice): on the
+    degenerate clique corpora the 160x stress measured (127M collision
+    pairs), the candidate-id set approaches corpus cardinality and a
+    forced broadcast has no escape. The probe is O(bound) against the
+    already-checkpointed cand; over the bound the prune falls back to
+    an unhinted semi-join (AQE sees the checkpoint's real size) and
+    `_pair_jaccard` downstream independently bounds its own build."""
     bands_new = bands.filter(new_ids(F.col("id")))
     cand = (
         bands.alias("x")
@@ -465,18 +475,22 @@ def incremental_minhash_pairs_indexed(
         .distinct()
         .localCheckpoint()
     )
+    over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+    hint = (lambda d: d) if over else F.broadcast
     cand_ids = (
         cand.select(F.col("a_id").alias("cid"))
         .union(cand.select(F.col("b_id").alias("cid")))
         .distinct()
     )
     cdocs = docs.join(
-        F.broadcast(cand_ids), docs[id_col] == F.col("cid"), "semi"
+        hint(cand_ids), docs[id_col] == F.col("cid"), "semi"
     )
     sets = shingle_arrays(_spread(cdocs), id_col, text_col, k).select(
         "id", F.array_distinct("sarr").alias("ss")
     )
-    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
+    return _pair_jaccard(cand, sets, broadcast_max_pairs).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash(docs: DataFrame, id_col="doc_id", text_col="text", bits=16) -> DataFrame:

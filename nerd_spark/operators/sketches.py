@@ -202,27 +202,50 @@ def top_frequent(
         .filter(F.col("cnt") >= F.lit(initial_frac) * F.lit(n_total))
         .persist()
     )
-    if hh.count() < k:  # round 2: the certified threshold
-        # aim BETWEEN kth_max-1 and kth_max: counts are integers, so
-        # cnt >= frac2*N selects exactly cnt >= kth_max while staying
-        # immune to the half-ulp the frac2*N round-trip can add (a
-        # threshold of exactly kth_max could otherwise exclude the
-        # certifying keys and break the >= k guarantee)
-        frac2 = max(kth_max - 0.5, 0.5) / n_total
-        hh = heavy_hitters(
-            df, key_col, min(frac2, 1.0),
-            broadcast_candidates=broadcast_candidates,
-        ).select(key_col, "cnt")
-    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
-    return (
+    n_round1 = hh.count()  # materializes the persisted hh fully
+    screened.unpersist()  # hh is materialized; the screen frame is dead
+    if n_round1 < k:  # round 2: the certified threshold
+        hh.unpersist()
+        if kth_max == 0:
+            # Degenerate: no single batch held k distinct keys, so the
+            # certified bound collapses to "admit everything" — a
+            # heavy_hitters round at frac2=0.5/N would screen (and
+            # Arrow-transfer) the full key column just to keep it all.
+            # A plain exact count costs the same one shuffle without
+            # the screen pass (r8 advice).
+            hh = (
+                df.filter(F.col(key_col).isNotNull())
+                .groupBy(key_col)
+                .agg(F.count("*").alias("cnt"))
+            )
+        else:
+            # aim BETWEEN kth_max-1 and kth_max: counts are integers,
+            # so cnt >= frac2*N selects exactly cnt >= kth_max while
+            # staying immune to the half-ulp the frac2*N round-trip
+            # can add (a threshold of exactly kth_max could otherwise
+            # exclude the certifying keys and break the >= k guarantee)
+            frac2 = max(kth_max - 0.5, 0.5) / n_total
+            hh = heavy_hitters(
+                df, key_col, min(frac2, 1.0),
+                broadcast_candidates=broadcast_candidates,
+            ).select(key_col, "cnt")
+    # top-k of the admitted set via ordered limit (TakeOrderedAndProject:
+    # per-partition top-k, only n_partitions*k rows move) — the previous
+    # partitionBy-less Window sorted ALL admitted rows in one task, which
+    # on the degenerate path above meant the full key universe (r8
+    # advice). The rank window then runs over <= k rows.
+    topk = (
         hh.select(
             key_col,
             "cnt",
             F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(key_col, "cnt", "share", "rank")
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        key_col, "cnt", "share", "rank"
     )
 
 

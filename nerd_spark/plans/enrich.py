@@ -458,14 +458,18 @@ def passive_dns_decisions(
     (broadcast — a config handful), LEFT join membership, derive v.
 
     Output: (entity, blname, domain, v int, t). Plan: one broadcast
-    nested-loop against bl_meta + one equi join on (blname, domain);
-    the membership join shuffles only when the blacklist is too big to
-    broadcast.
+    nested-loop against bl_meta (a config handful by construction —
+    one row per CONFIGURED blacklist, so the hint is size-safe) + one
+    equi join on (blname, domain); the membership table is NOT hinted
+    — a real-world domain blacklist can hold millions of entries, so
+    Catalyst/AQE picks broadcast vs shuffle from measured size (the
+    same discipline as bigram_logprob's corpus-growing table; a
+    forced hint here was the r8-advice forced-broadcast defect class).
     """
     crossed = resolved.crossJoin(F.broadcast(bl_meta))
     hit = bl_member.select("blname", "domain", F.lit(1).alias("v"))
     return (
-        crossed.join(F.broadcast(hit), ["blname", "domain"], "left")
+        crossed.join(hit, ["blname", "domain"], "left")
         .select(
             "entity",
             "blname",

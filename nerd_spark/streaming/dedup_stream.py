@@ -52,16 +52,24 @@ def _epochs(spark, root: str) -> list[int]:
     directory listing — bounded by batch count, not data). Listed via
     the Hadoop FS API (sources/fsutil.py) so non-local state roots
     (hdfs://, s3a://) work identically — an os.listdir here would
-    silently see nothing and replay against an empty index."""
+    silently see nothing and replay against an empty index.
+
+    "Committed" is enforced, not assumed: only epoch dirs containing
+    the parquet commit marker (_SUCCESS) are listed, so a crashed or
+    concurrently-writing batch's partial dir is invisible to readers
+    until its replay overwrites it whole (r8 advice on hh_stream; the
+    same serve-during-write hole applied here)."""
     from nerd_spark.sources import fsutil
 
     out = []
     for name in fsutil.list_names(spark, root):
         if name.startswith("epoch="):
             try:
-                out.append(int(name.split("=", 1)[1]))
+                e = int(name.split("=", 1)[1])
             except ValueError:
                 continue
+            if fsutil.exists(spark, os.path.join(root, name, "_SUCCESS")):
+                out.append(e)
     return sorted(out)
 
 

@@ -32,15 +32,23 @@ from nerd_spark.operators.sketches import _terms_count_fn
 
 
 def _epochs(spark, root: str) -> list[int]:
+    """Committed epochs only: an epoch dir counts once its parquet
+    commit marker (_SUCCESS) exists. A crashed or concurrently-writing
+    batch leaves a partial dir with no marker; serving must not union
+    it (the idempotence argument covers full replays, not
+    serve-during-write — r8 advice). Replay of a partial epoch
+    overwrites the dir and lands the marker, at which point it serves."""
     from nerd_spark.sources import fsutil
 
     out = []
     for name in fsutil.list_names(spark, root):
         if name.startswith("epoch="):
             try:
-                out.append(int(name.split("=", 1)[1]))
+                e = int(name.split("=", 1)[1])
             except ValueError:
                 continue
+            if fsutil.exists(spark, os.path.join(root, name, "_SUCCESS")):
+                out.append(e)
     return sorted(out)
 
 

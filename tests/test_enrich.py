@@ -556,10 +556,15 @@ def test_shodan_and_pdns_ops_merge_roundtrip(spark):
 
 def test_api_enrich_stages_plan_shapes(spark):
     """bgp_rank_stage / passive_dns_decisions keep the enrichment
-    family plan shape: the dim/catalogue/membership sides broadcast,
-    the entity frame never shuffles. (shodan_decisions joins two
-    batch-sized frames and legitimately leaves the strategy to AQE —
-    no assertion there.)"""
+    family plan shape: the dim/catalogue sides broadcast, the entity
+    frame never shuffles through the dim joins. passive_dns_decisions'
+    MEMBERSHIP join is deliberately unhinted (r9: a domain blacklist
+    can hold millions of entries, so size-based planning must keep its
+    shuffle escape) — for it we assert the cross-join side broadcasts
+    at compile time and that AQE's FINAL plan (post-execution) picks a
+    broadcast join for this tiny membership table. (shodan_decisions
+    joins two batch-sized frames and legitimately leaves the strategy
+    to AQE — no assertion there.)"""
     from nerd_spark.plans.enrich import bgp_rank_stage, passive_dns_decisions
 
     asns = spark.createDataFrame([(1, 5)], "entity long, asn long")
@@ -575,14 +580,22 @@ def test_api_enrich_stages_plan_shapes(spark):
     bl_member = spark.createDataFrame(
         [("dbl1", "a.example")], "blname string, domain string"
     )
-    for df in (
-        bgp_rank_stage(asns, ranks),
-        passive_dns_decisions(resolved, bl_meta, bl_member),
-    ):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert (
-            "BroadcastHashJoin" in plan
-            or "BroadcastNestedLoopJoin" in plan
-            or "BroadcastExchange" in plan
-        )
-        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    df = bgp_rank_stage(asns, ranks)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastHashJoin" in plan
+        or "BroadcastNestedLoopJoin" in plan
+        or "BroadcastExchange" in plan
+    )
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+    pdns = passive_dns_decisions(resolved, bl_meta, bl_member)
+    compile_plan = pdns._jdf.queryExecution().executedPlan().toString()
+    # the catalogue cross is hinted (config-handful by construction)
+    assert "BroadcastNestedLoopJoin" in compile_plan
+    # the membership join is NOT force-broadcast: the compile plan may
+    # carry exchanges; what matters is AQE's runtime choice
+    pdns.collect()
+    final_plan = pdns._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
+    assert "BroadcastHashJoin" in final_plan  # AQE picked broadcast here

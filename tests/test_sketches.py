@@ -350,3 +350,22 @@ def test_top_frequent_two_round_bound(spark):
     assert len(out) == 10
     assert all(r.cnt == 20 for r in out)  # uniform: everything ties at 20
     assert [r.k for r in out] == sorted([r.k for r in out])  # key-asc ties
+
+
+def test_top_frequent_degenerate_kth_zero(spark):
+    # kth_max == 0: no single batch holds k distinct keys (keys are
+    # hash-partitioned so each partition sees ~2 of 12), yet the global
+    # universe exceeds k and round 1 admits nobody at frac=0.9. The old
+    # round 2 screened at 0.5/N — admitting EVERY key into a
+    # partitionBy-less window sort (r8 advice). Now this path is a
+    # plain exact groupBy and the final top-k is an ordered limit
+    # (TakeOrderedAndProject), never a full-universe single-task sort.
+    rows = [(f"u{i % 12}",) for i in range(1200)]  # uniform, 12 keys
+    df = spark.createDataFrame(rows, "k string").repartition(6, "k")
+    res = SK.top_frequent(df, "k", k=10, initial_frac=0.9)
+    out = res.orderBy("rank").collect()
+    assert len(out) == 10
+    assert all(r.cnt == 100 for r in out)
+    assert [r.k for r in out] == sorted(f"u{i}" for i in range(12))[:10]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
