@@ -49,7 +49,7 @@ def q1_pricing_summary(spark, sf_dir):
     # exact-integer quantity doubles, counts) and the shipdate filter
     # lands on the partial's group key, so re-aggregating |days|x6
     # partial rows is BIT-IDENTICAL to the raw scan (pinned in
-    # tests/test_q1_a16_serve.py); freshness/schema gate falls back
+    # tests/test_layout_u4_bucketed.py); freshness/schema gate falls back
     # to the raw path (the driver's sf0.01 correctness runs).
     import os
 
