@@ -192,10 +192,166 @@ def unigram_logprob(
     )
 
 
+def _bigram_count_fn():
+    """EXACT per-batch (w1, w2) adjacent-pair counting at the TEXT
+    level — the hh_terms recipe (operators/sketches.py::
+    _terms_count_fn) applied to bigrams: one Arrow transfer of the
+    text column per batch in, batch-distinct (w1, w2, c) pairs out,
+    so no per-occurrence pair row is ever materialized for the model
+    build (r8 verdict #2: pair-row granularity in the count shuffles
+    was THE bigram cost).
+
+    Vectorization: per-pair Python objects would make the kernel the
+    new bottleneck (43M pairs/batch-set at 160x), so tokens are
+    factorized once (pd.factorize, C-level hashing of byte tokens)
+    and a pair becomes ONE int64 ``code(w1) * K + code(w2)`` —
+    adjacency, doc-boundary masking, and counting are then pure numpy
+    (shifted slices + value_counts); only the batch-DISTINCT pairs
+    are ever decoded back to strings.
+
+    Tokenization parity with tokens() (split(trim(text), '\\s+'),
+    Java semantics): trim strips 0x20 only; ``bytes.split()`` splits
+    on exactly Java's six \\s bytes; non-ASCII docs take the
+    Java-class regex slow path. The ''-artifacts of leading/trailing
+    whitespace can only sit at the sequence ends (a separator RUN
+    yields one split), so the kept pairs — both sides non-empty —
+    are exactly the adjacent pairs of the non-empty token sequence,
+    which is what both paths produce directly."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def count(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            toks: list = []
+            lens: list = []
+            for s in pdf["k"]:
+                if s is None:
+                    continue
+                if s.isascii():
+                    t = s.strip(" ").encode("ascii").split()
+                else:
+                    t = [
+                        w.encode("utf-8")
+                        for w in _RX_JSPLIT.split(s.strip(" "))
+                        if w
+                    ]
+                toks.extend(t)
+                lens.append(len(t))
+            if len(toks) < 2:
+                continue
+            arr = np.empty(len(toks), dtype=object)
+            arr[:] = toks
+            codes, uniques = pd.factorize(arr)
+            k_card = np.int64(len(uniques))
+            pc = codes[:-1].astype(np.int64) * k_card + codes[1:]
+            # mask pairs that cross a document boundary: the pair
+            # starting at each doc's last token (empty docs fold onto
+            # the previous end — already masked; a leading empty doc
+            # yields end=-1, which must not wrap onto the final pair)
+            ends = np.cumsum(np.asarray(lens, dtype=np.int64)) - 1
+            valid = np.ones(len(toks) - 1, dtype=bool)
+            bnd = ends[(ends >= 0) & (ends < len(toks) - 1)]
+            valid[bnd] = False
+            vc = pd.Series(pc[valid]).value_counts()
+            if len(vc) == 0:
+                continue
+            pcs = vc.index.to_numpy()
+            yield pd.DataFrame(
+                {
+                    "w1": [uniques[i].decode("utf-8") for i in pcs // k_card],
+                    "w2": [uniques[i].decode("utf-8") for i in pcs % k_card],
+                    "c": vc.to_numpy(),
+                }
+            )
+
+    return count
+
+
+def _bigram_score_fn(model_bc):
+    """Per-doc bigram scoring at the TEXT level against a broadcast
+    model: (doc_id, n_bigrams, sum_lp) out — ONE row per document, so
+    neither pair rows nor per-doc pair RLE ever cross an exchange or
+    the Arrow boundary. Same factorize vectorization and tokenization
+    parity as :func:`_bigram_count_fn`; the model lookup is one
+    C-speed pandas hash merge per batch over the batch-DISTINCT
+    pairs (model w1/w2 are bytes, matching the kernel's token dtype).
+    Every pair is in the model by construction (it was counted from
+    the same corpus), so a missing lookup is a parity BUG — it
+    surfaces as a NaN sum, never a silent drop."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        model = model_bc.value  # pandas DF: w1 bytes, w2 bytes, lp
+        for pdf in batches:
+            toks: list = []
+            lens: list = []
+            ids: list = []
+            for did, s in zip(pdf["doc_id"], pdf["k"]):
+                if s is None:
+                    continue
+                if s.isascii():
+                    t = s.strip(" ").encode("ascii").split()
+                else:
+                    t = [
+                        w.encode("utf-8")
+                        for w in _RX_JSPLIT.split(s.strip(" "))
+                        if w
+                    ]
+                toks.extend(t)
+                lens.append(len(t))
+                ids.append(did)
+            if len(toks) < 2:
+                continue
+            arr = np.empty(len(toks), dtype=object)
+            arr[:] = toks
+            codes, uniques = pd.factorize(arr)
+            k_card = np.int64(len(uniques))
+            pc = codes[:-1].astype(np.int64) * k_card + codes[1:]
+            np_lens = np.asarray(lens, dtype=np.int64)
+            ends = np.cumsum(np_lens) - 1
+            valid = np.ones(len(toks) - 1, dtype=bool)
+            bnd = ends[(ends >= 0) & (ends < len(toks) - 1)]
+            valid[bnd] = False
+            pcv = pc[valid]  # in doc order, boundary pairs removed
+            if len(pcv) == 0:  # e.g. a batch of only 1-token docs
+                continue
+            # lp per distinct pair code via ONE hash merge
+            uq = np.unique(pcv)
+            lk = pd.DataFrame(
+                {"w1": uniques[uq // k_card], "w2": uniques[uq % k_card]}
+            )
+            lp_vals = lk.merge(model, on=["w1", "w2"], how="left")[
+                "lp"
+            ].to_numpy()
+            lp_per_pair = lp_vals[np.searchsorted(uq, pcv)]
+            # per-doc segment sums over docs that kept >= 1 pair
+            n_pairs = np.maximum(np_lens - 1, 0)
+            keep = n_pairs > 0
+            starts = np.concatenate(([0], np.cumsum(n_pairs)[:-1]))[keep]
+            sums = np.add.reduceat(lp_per_pair, starts)
+            id_arr = np.empty(len(ids), dtype=object)  # keep id dtype as-is
+            id_arr[:] = ids
+            yield pd.DataFrame(
+                {
+                    "doc_id": id_arr[keep],
+                    "n_bigrams": n_pairs[keep],
+                    "sum_lp": sums,
+                }
+            )
+
+    return score
+
+
 def bigram_logprob(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    score_broadcast_max_pairs: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob) — mean CONDITIONAL bigram
     log-probability p(w2|w1) = c(w1,w2)/c(w1·) of each document under
@@ -205,30 +361,88 @@ def bigram_logprob(
 
     Like the unigram form, the model scores the corpus it was counted
     on, so every observed pair has positive probability and no
-    smoothing/OOV mass is needed; in a train/apply split the two count
-    tables persist like the minhash band index and scoring is
+    smoothing/OOV mass is needed; in a train/apply split the bigram
+    table persists like the minhash band index and scoring is
     map-only. Pairs come from the raw token sequence (adjacent array
     elements); pairs touching the ''-token artifacts of leading/
     trailing whitespace are dropped, matching the unigram term filter.
     Documents with fewer than 2 tokens produce no row.
 
-    Plan shape: pair extraction is codegen HOFs over the bound token
-    array (zip_with of the two slices — the PLANS.md stacked-select
-    rule). The pairs frame feeds three consumers and is deliberately
-    NOT checkpointed: unlike the compact one-row-per-doc RLE arrays
-    _tf_waist pins, exploded pairs are a FAT intermediate (~3.3 GB at
-    160x) whose materialization evicted the aggregation memory
-    (measured: AGGREGATE_OUT_OF_MEMORY at 160x with a localCheckpoint
-    here) while the recompute it saves is one cheap codegen map stage
-    — lineage recompute is the right trade for wide-but-cheap frames;
-    a per-doc pair-RLE waist is the real fix if this ever becomes a
-    hot path. The left-unigram table lf is vocabulary-bounded and
-    broadcasts; the bigram table bg is NOT (distinct bigrams grow
-    with the corpus on natural text — the r8 review caught a forced
-    broadcast here, the _pair_jaccard defect class), so its join is
-    left unhinted: Spark broadcasts it while small and shuffles on
-    (w1, w2) otherwise.
-    """
+    Plan shape (r9, the hh_terms recipe the r8 verdict prescribed,
+    pushed one step further because the recipe alone missed the bar):
+
+    - MODEL build is one text-level kernel pass
+      (:func:`_bigram_count_fn`): batch-distinct (w1, w2, c) out, so
+      per-occurrence pair rows never exist on the model side. The
+      left-conditional total c(w1·) is derived FROM the bigram table
+      (sum over w2), never from a second corpus pass.
+    - SCORING takes one of two paths on a MEASURED model-size probe
+      (the `_pair_jaccard` bounded-broadcast discipline — never an
+      estimate, never unbounded):
+      * model <= `score_broadcast_max_pairs`: the model (with lp =
+        log(c2/c1) precomputed driver-side — a bounded driver
+        artifact, like the k-means centroid and PQ codebook
+        collects) broadcasts to a second text-level kernel
+        (:func:`_bigram_score_fn`) that emits ONE row per doc — no
+        pair row ever materializes anywhere. Memory: the bound caps
+        the broadcast at ~90 MB per Python worker (2 object columns
+        + a float64), sized for 32 local workers in 128 GiB.
+      * over the bound: JVM zip_with/explode pairs (streamed through
+        the join probe, never stored — the measured AGGREGATE_OOM at
+        160x forbids checkpointing fat pair frames) joined UNHINTED
+        with the model (Spark broadcasts while small, shuffles on
+        (w1, w2) otherwise — the r8 review caught a forced broadcast
+        here), then a per-doc aggregation. Slower but bounded by
+        executor memory only.
+
+    Measured at 160x (800k docs, 43M pairs), warm, bench noop-write
+    convention: the r7 three-explode-pass form ~12.6 s; kernel model
+    + JVM explode scoring (the literal r8 recipe) ~9.5 s — the
+    explode+per-doc-agg pass alone costs 5.4 s, over the whole 1.5x
+    budget, which is why the recipe got the extra step; kernel model
+    + kernel scoring 2.7 s vs the DuckDB comparator's 3.9 s
+    (3.0x -> 0.69x)."""
+    spark = docs.sparkSession
+    bg = (
+        docs.select(F.col(text_col).alias("k"))
+        .mapInPandas(_bigram_count_fn(), "w1 string, w2 string, c long")
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c2"))
+        .persist()
+    )
+    small = (
+        bg.limit(score_broadcast_max_pairs + 1).count()
+        <= score_broadcast_max_pairs
+    )
+    if small:
+        import numpy as np
+
+        mpdf = bg.toPandas()
+        bg.unpersist()
+        c2 = mpdf["c2"].to_numpy(dtype=np.float64)
+        c1 = mpdf.groupby("w1")["c2"].transform("sum").to_numpy(
+            dtype=np.float64
+        )
+        model = mpdf.assign(
+            w1=[w.encode("utf-8") for w in mpdf["w1"]],
+            w2=[w.encode("utf-8") for w in mpdf["w2"]],
+            lp=np.log(c2 / c1),
+        )[["w1", "w2", "lp"]]
+        model_bc = spark.sparkContext.broadcast(model)
+        idt = docs.schema[id_col].dataType.simpleString()
+        scored = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("k")
+        ).mapInPandas(
+            _bigram_score_fn(model_bc),
+            f"doc_id {idt}, n_bigrams long, sum_lp double",
+        )
+        return scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("sum_lp") / F.col("n_bigrams"), 6).alias(
+                "avg_logprob"
+            ),
+        )
     arr = (
         docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("a"))
         .filter(F.size("a") >= 2)
@@ -244,17 +458,17 @@ def bigram_logprob(
         ).alias("pr"),
     ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
     pairs = paired.filter((F.col("w1") != "") & (F.col("w2") != ""))
-    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    lf = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    bgj = bg.withColumn(
+        "c1", F.sum("c2").over(Window.partitionBy("w1"))
+    ).select(
+        "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("lp")
+    )
     return (
-        pairs.join(bg, ["w1", "w2"])
-        .join(F.broadcast(lf), "w1")
+        pairs.join(bgj, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias(
-                "avg_logprob"
-            ),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
         )
     )
 

@@ -371,3 +371,38 @@ def test_bigram_logprob_properties(spark):
         .count()
     )
     assert n_pairs == want_pairs
+
+
+def test_bigram_logprob_kernel_matches_jvm_fallback(spark):
+    """The two scoring paths — broadcast-model text-level kernel vs
+    JVM explode+join (forced via score_broadcast_max_pairs=0) — must
+    agree exactly on an adversarial corpus: tabs/newlines as
+    separators, leading/trailing whitespace (''-token artifacts),
+    repeated pairs, non-ASCII text (kernel slow path), interior
+    control bytes, null text, and sub-2-token docs."""
+    from nerd_spark.operators.keywords import bigram_logprob
+
+    rows = [
+        (1, "the cat\tsat on\nthe mat the cat"),
+        (2, "  leading and trailing  "),
+        (3, "\t\ntab lead"),
+        (4, "trail end \t"),
+        (5, "café au lait café au"),   # non-ASCII slow path
+        (6, "x\x00y x\x00y x\x00y"),              # NUL inside tokens
+        (7, None),
+        (8, "one"),
+        (9, ""),
+        (10, "the cat sat"),
+        (11, "a  b   c"),                          # separator runs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kernel = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_logprob(docs).collect()
+    }
+    jvm = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_logprob(docs, score_broadcast_max_pairs=0).collect()
+    }
+    assert kernel == jvm
+    assert 7 not in kernel and 8 not in kernel and 9 not in kernel
