@@ -628,21 +628,11 @@ def token_stats(
 
     spark = docs.sparkSession
     min_bytes = _bytes_conf(spark, "spark.nerd.tokenStatsKernelMinBytes", 32 << 20)
-    try:
-        files = docs.inputFiles()
-    except Exception:
-        files = []
-    if files:
-        from nerd_spark.sources import fsutil
+    from nerd_spark.sources.fsutil import estimate_input_bytes
 
-        n = len(files)
-        sample = files[:: max(1, n // 8)][:8]
-        try:
-            sizes = [fsutil.size(spark, f) for f in sample]
-            if int(sum(sizes) / len(sizes) * n) < min_bytes:
-                return _token_stats_hof(docs, group_col, text_col)
-        except Exception:
-            pass
+    est = estimate_input_bytes(docs)
+    if est is not None and est < min_bytes:
+        return _token_stats_hof(docs, group_col, text_col)
 
     def fn(batches):
         for pdf in batches:

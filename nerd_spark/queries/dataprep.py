@@ -576,11 +576,13 @@ def top_frequent_users(spark, sf_dir):
     """,
 )
 def quantile_event_values(spark, sf_dir):
-    # Exact order-statistic quantiles via bracket-and-refine
-    # (operators/sketches.py::exact_quantiles): a GK-sketch bracket is
-    # exactly verified by counts, then only the O(n/accuracy) bracket
-    # rows are ordered — never a global sort. The result is an actual
-    # data element (quantile_disc semantics), so the compare is exact.
+    # Exact order-statistic quantiles (operators/sketches.py::
+    # exact_quantiles): a measured cardinality probe picks the value-
+    # histogram path (one pass; quantiles = cumulative-sum lookups on
+    # the distinct-value frame) for bounded domains, else GK bracket-
+    # and-refine with an iteratively-narrowed pick — never a global
+    # sort either way. The result is an actual data element
+    # (quantile_disc semantics), so the compare is exact.
     from nerd_spark.operators import sketches as SK
 
     ev = t(spark, sf_dir, "events")
@@ -599,9 +601,12 @@ def quantile_event_values(spark, sf_dir):
     """,
 )
 def quantile_by_event_type(spark, sf_dir):
-    # Per-group exact quantiles, fully in-plan (no driver values):
-    # one sketch shuffle + conditional-agg verify + window refine over
-    # bracket rows only (operators/sketches.py::exact_quantiles_by).
+    # Per-group exact quantiles (operators/sketches.py::
+    # exact_quantiles_by): probe-chosen strategy — per-group value
+    # histogram (one pass, in-plan cumulative-sum lookups) for bounded
+    # value domains, else the fully in-plan GK bracket path (sketch
+    # shuffle + conditional-agg verify + window refine over bracket
+    # rows only). Never a per-group sort of the data.
     from nerd_spark.operators import sketches as SK
 
     ev = t(spark, sf_dir, "events")
@@ -628,8 +633,8 @@ def corpus_stats_card(spark, sf_dir):
     # The dataset-card report a curation run opens with: per-source
     # volumes plus EXACT token-length quantiles — the sketch family
     # composed over a derived column (token counts from the shared
-    # tokenization), bracket-and-refine per group, never a sort of
-    # the corpus.
+    # tokenization; a bounded integer domain, so the probe lands on
+    # the histogram path), never a sort of the corpus.
     from nerd_spark.functions.text import tokens
     from nerd_spark.operators import sketches as SK
 

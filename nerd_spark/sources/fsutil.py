@@ -77,3 +77,28 @@ def mtime(spark: SparkSession, path: str) -> float:
     """Modification time in epoch seconds (Hadoop reports ms)."""
     fs, p = _fs(spark, path)
     return fs.getFileStatus(p).getModificationTime() / 1000.0
+
+
+def estimate_input_bytes(df) -> int | None:
+    """Estimated source bytes behind a DataFrame's file scan, from a
+    bounded sample of its input files (<= 8 FS stats regardless of
+    file count) — the cheap prior the size-gated operators use to
+    choose a strategy BEFORE paying any Spark job (token_stats'
+    kernel-vs-HOF gate, the quantile histogram-vs-bracket gate).
+    Returns None when the frame has no file inputs (in-memory test
+    frames, post-shuffle views): callers treat unknown as small —
+    every non-file source in this codebase is."""
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    n = len(files)
+    sample = files[:: max(1, n // 8)][:8]
+    try:
+        sizes = [size(spark, f) for f in sample]
+    except Exception:
+        return None
+    return int(sum(sizes) / len(sizes) * n)

@@ -369,3 +369,79 @@ def test_top_frequent_degenerate_kth_zero(spark):
     assert [r.k for r in out] == sorted(f"u{i}" for i in range(12))[:10]
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quantile_strategies_agree(spark):
+    # histogram vs bracket (forced) must be value-identical on data
+    # with heavy duplication, nulls, and multiple groups
+    import random
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{i % 3}", float(rng.choice([1, 2, 2, 2, 5, 7, 7, 100])))
+        for i in range(4000)
+    ] + [("g0", None)]
+    df = spark.createDataFrame(rows, "g string, value double").repartition(7)
+    probs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    hist_g = sorted(map(tuple, SK.exact_quantiles_by(
+        df, "g", "value", probs, strategy="histogram").collect()))
+    brk_g = sorted(map(tuple, SK.exact_quantiles_by(
+        df, "g", "value", probs, strategy="bracket").collect()))
+    assert hist_g == brk_g and len(hist_g) == 3 * len(probs)
+    hist = sorted(map(tuple, SK.exact_quantiles(
+        df, "value", probs, strategy="histogram").collect()))
+    brk = sorted(map(tuple, SK.exact_quantiles(
+        df, "value", probs, strategy="bracket").collect()))
+    assert hist == brk and len(hist) == len(probs)
+
+
+def test_quantile_bracket_path_tiny_accuracy_still_exact(spark):
+    # the GK bracket machinery keeps its own coverage now that "auto"
+    # routes small frames to the histogram: force it, with accuracy
+    # small enough that verify/widen/fallback paths all exercise
+    vals = list(range(2000))
+    df = spark.createDataFrame([(v,) for v in vals], "value long")
+    got = {(r.p, r.value) for r in SK.exact_quantiles(
+        df, "value", [0.5, 0.95], accuracy=32, strategy="bracket").collect()}
+    assert got == {(0.5, _numpy_disc_quantile(vals, 0.5)),
+                   (0.95, _numpy_disc_quantile(vals, 0.95))}
+    rows = [("g1", float(i)) for i in range(3000)] + [
+        ("g2", float(i * 7 % 100)) for i in range(500)
+    ]
+    gdf = spark.createDataFrame(rows, "g string, value double")
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = {(g, p, _numpy_disc_quantile(vs, p))
+            for g, vs in by_g.items() for p in [0.25, 0.9]}
+    got_g = {(r.g, r.p, r.value) for r in SK.exact_quantiles_by(
+        gdf, "g", "value", [0.25, 0.9], accuracy=16, strategy="bracket"
+    ).collect()}
+    assert got_g == want
+
+
+def test_pick_rank_narrowing_loop(spark):
+    # cap far below the frame size forces the iterative narrowing
+    # (r8 verdict #2: never order more than ~cap rows in one task);
+    # all-duplicates pileup must terminate via the collapsed-interval
+    # answer, not an unbounded ordered limit
+    import random
+
+    rng = random.Random(5)
+    vals = [round(rng.uniform(0, 1000), 1) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s = sorted(vals)
+    for r in (1, 777, 10000, 19999, 20000):
+        assert SK._pick_rank(df, r, accuracy=200, cap=500) == s[r - 1]
+    dup = spark.createDataFrame([(42.0,)] * 5000, "v double")
+    assert SK._pick_rank(dup, 2500, accuracy=200, cap=100) == 42.0
+
+
+def test_quantile_histogram_plan_has_no_sketch(spark):
+    # the histogram path must be sketch-free: one aggregation over
+    # (g, v), no percentile_approx anywhere in the plan
+    rows = [("a", float(i % 50)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = SK.exact_quantiles_by(df, "g", "value", [0.5], strategy="histogram")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile" not in plan.lower()
