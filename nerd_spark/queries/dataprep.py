@@ -677,11 +677,22 @@ def dedup_incremental(spark, sf_dir):
     # corpus doc is re-shingled at query time — the O(batch +
     # collisions) contract for real. Raw dirs (every oracle compare)
     # recompute in-query, same result.
+    #
+    # Size gate (r9, the token_stats/waist floor discipline): below
+    # spark.nerd.dedupIndexMinBytes of source the full recompute is
+    # CHEAPER than the serve path's freshness probes + index join
+    # (measured at sf0.1: 0.83 s recompute vs 1.4-1.8 s serve; the
+    # serve win only materializes once shingling dominates — 80x:
+    # 33.7 -> 15.0 s), so tiny sources skip the index even when fresh.
+    from nerd_spark.operators.dedup import _bytes_conf
+    from nerd_spark.sources.fsutil import estimate_input_bytes
     from nerd_spark.sources.layout import MINHASH_BANDS_DIRNAME, summary_fresh
 
     docs = t(spark, sf_dir, "documents")
     batch = lambda c: c % 5 == 4  # noqa: E731
-    if summary_fresh(
+    min_bytes = _bytes_conf(spark, "spark.nerd.dedupIndexMinBytes", 8 << 20)
+    est = estimate_input_bytes(docs)
+    if (est is None or est >= min_bytes) and summary_fresh(
         spark,
         sf_dir,
         MINHASH_BANDS_DIRNAME,

@@ -163,9 +163,14 @@ def test_a16_serves_from_partials_then_falls_back(spark, layout_dir):
 
 def test_dedup_incremental_indexed_equals_raw(spark, sf_dir, layout_dir):
     """The persisted-band-index path returns exactly the in-query
-    recompute's pairs, and a fresh optimized dir actually takes the
-    indexed path (no corpus re-shingle: the band index is read, and
-    only candidate docs are re-shingled for verification)."""
+    recompute's pairs; a fresh optimized dir takes the indexed path
+    once the source clears the size floor (forced to 0 here — the
+    test corpus is tiny); and AT the default floor a tiny source
+    correctly prefers the recompute even with a fresh index (the r8
+    sf0.1 serve regression)."""
+    from unittest import mock
+
+    from nerd_spark.operators import dedup as DD
     from nerd_spark.sources.layout import MINHASH_BANDS_DIRNAME, summary_fresh
 
     assert summary_fresh(
@@ -175,19 +180,30 @@ def test_dedup_incremental_indexed_equals_raw(spark, sf_dir, layout_dir):
     a = normalize(REGISTRY["dedup_incremental"](spark, sf_dir).toPandas())
     b = normalize(REGISTRY["dedup_incremental"](spark, layout_dir).toPandas())
     assert a.equals(b)
-    # path probe: with the in-query recompute disabled, the optimized
-    # dir still serves (indexed path) while the raw dir cannot. (The
-    # eager cand checkpoint severs lineage, so inputFiles() can't see
-    # the band scan — hence the functional probe.)
-    from unittest import mock
-
-    from nerd_spark.operators import dedup as DD
-
+    # path probe: with the size floor lowered and the in-query
+    # recompute disabled, the optimized dir still serves (indexed
+    # path) while the raw dir cannot. (The eager cand checkpoint
+    # severs lineage, so inputFiles() can't see the band scan — hence
+    # the functional probe.)
+    spark.conf.set("spark.nerd.dedupIndexMinBytes", "0")
+    try:
+        with mock.patch.object(
+            DD, "incremental_minhash_pairs",
+            side_effect=AssertionError("full recompute path taken"),
+        ):
+            c = normalize(
+                REGISTRY["dedup_incremental"](spark, layout_dir).toPandas()
+            )
+            assert a.equals(c)
+            with pytest.raises(AssertionError, match="full recompute"):
+                REGISTRY["dedup_incremental"](spark, sf_dir)
+    finally:
+        spark.conf.unset("spark.nerd.dedupIndexMinBytes")
+    # size gate: at the default floor the tiny optimized dir skips the
+    # index (recompute is cheaper below the floor), same result
     with mock.patch.object(
-        DD, "incremental_minhash_pairs",
-        side_effect=AssertionError("full recompute path taken"),
+        DD, "incremental_minhash_pairs_indexed",
+        side_effect=AssertionError("indexed path taken"),
     ):
-        c = normalize(REGISTRY["dedup_incremental"](spark, layout_dir).toPandas())
-        assert a.equals(c)
-        with pytest.raises(AssertionError, match="full recompute"):
-            REGISTRY["dedup_incremental"](spark, sf_dir)
+        d = normalize(REGISTRY["dedup_incremental"](spark, layout_dir).toPandas())
+        assert a.equals(d)
