@@ -120,3 +120,46 @@ def streaming_hh_terms(spark, sf_dir):
     )
     q.awaitTermination(300)
     return current_heavy_hitters(spark, state, 0.01)
+
+
+@query(
+    "streaming_quantiles",
+    """
+    WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL)
+    SELECT event_type, CAST(0.5 AS DOUBLE) AS p,
+           quantile_disc(value, 0.5) AS value FROM v GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(0.95 AS DOUBLE),
+           quantile_disc(value, 0.95) FROM v GROUP BY 1
+    """,
+)
+def streaming_quantiles(spark, sf_dir):
+    """Continuous EXACT quantile tracking
+    (streaming/quantile_stream.py): the event stream drains under
+    availableNow into per-epoch value-histogram state, and the serving
+    query must equal the one-shot batch exact_quantiles_by — so it
+    shares quantile_by_event_type's SQL oracle (the
+    streaming_daily_counts discipline: a drained static set has no
+    late data, making the streamed result hash-checkable). Histograms
+    add exactly across epochs, so unlike sketch state the cumulative
+    result carries no merge error at any horizon."""
+    from nerd_spark.streaming.quantile_stream import (
+        current_quantiles,
+        stream_quantiles,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    state = tempfile.mkdtemp(prefix=f"nerd_spark_qs_{uuid.uuid4().hex[:8]}_")
+    q = stream_quantiles(
+        spark, stream, state_dir=state,
+        checkpoint_dir=tempfile.mkdtemp(prefix="nerd_spark_ckpt_"),
+    )
+    q.awaitTermination(300)
+    return current_quantiles(spark, state, [0.5, 0.95])
