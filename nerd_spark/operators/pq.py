@@ -718,12 +718,23 @@ def ivfpq_maintenance_due(
 ) -> bool:
     """Staleness bound for the frozen-quantizer append path: True when
     the rows appended since training exceed ``max_append_frac`` of the
-    current corpus — the retrain-and-rebuild trigger. The 0.10 default
-    is calibrated from measured recall drift at sf0.01 (PLANS.md r8:
-    recall@10 0.82 at +11% appends, 0.68 at +33%, 0.62 at +100% —
-    with the caveat that at this scale quantizer-training-set size is
-    a confound; production trains on a bounded sample, so the pure
-    append-drift signal is smaller). Indexes built before the meta
+    current corpus — the retrain-and-rebuild trigger.
+
+    Calibration (r9, de-confounded — audits/drift_ivfpq.py): with
+    FIXED-SAMPLE quantizers (faiss's bounded training discipline) the
+    r8 drift table (0.82/0.68/0.62) is revealed as a training-set-size
+    artifact — an identically-distributed append is bit-equal to a
+    full rebuild under the same quantizers, so pure iid append drift
+    is exactly ZERO by construction. What the trigger actually guards
+    is DISTRIBUTION SHIFT: shifted appends query at recall ~0.13
+    below the index's intrinsic level from the first shifted batch
+    (sf0.1, dimension-reversed appends: 0.40 vs intrinsic 0.53 at
+    +11%), with only slow further decay (0.34 at +100%), and base-
+    region queries hold near intrinsic until appends crowd the lists
+    (0.46 at +100%). Append FRACTION is therefore a weak proxy —
+    the 0.10 default stays as a cheap conservative staleness bound,
+    and the in-path recall floors (queries/dataprep.py) are the
+    authoritative drift detector. Indexes built before the meta
     sidecar existed report True (unknown staleness -> maintain)."""
     from nerd_spark.sources import fsutil
 
