@@ -332,6 +332,11 @@ def test_top_frequent_exact_with_halving(spark):
     df = spark.createDataFrame(rows, "k string").repartition(6)
     got = [(r.k, r.cnt, r.rank) for r in
            SK.top_frequent(df, "k", k=4, initial_frac=0.9).orderBy("rank").collect()]
+    # the screen path (forced past the cardinality probe) must agree
+    forced = [(r.k, r.cnt, r.rank) for r in
+              SK.top_frequent(df, "k", k=4, initial_frac=0.9,
+                              plain_max_distinct=0).orderBy("rank").collect()]
+    assert forced == got
     # c and d tie at 20; key asc puts c at rank 3
     assert got == [("a", 40, 1), ("b", 30, 2), ("c", 20, 3), ("d", 20, 4)]
     # k beyond distinct count: returns every key, no error
@@ -346,7 +351,9 @@ def test_top_frequent_two_round_bound(spark):
     # cnt == kth_max survive the float-safe threshold)
     rows = [(f"u{i % 200}",) for i in range(4000)]  # all keys ~0.5%
     df = spark.createDataFrame(rows, "k string").repartition(4)
-    out = SK.top_frequent(df, "k", k=10, initial_frac=0.5).orderBy("rank").collect()
+    out = SK.top_frequent(
+        df, "k", k=10, initial_frac=0.5, plain_max_distinct=0
+    ).orderBy("rank").collect()  # force the screen path under test
     assert len(out) == 10
     assert all(r.cnt == 20 for r in out)  # uniform: everything ties at 20
     assert [r.k for r in out] == sorted([r.k for r in out])  # key-asc ties
@@ -362,7 +369,7 @@ def test_top_frequent_degenerate_kth_zero(spark):
     # (TakeOrderedAndProject), never a full-universe single-task sort.
     rows = [(f"u{i % 12}",) for i in range(1200)]  # uniform, 12 keys
     df = spark.createDataFrame(rows, "k string").repartition(6, "k")
-    res = SK.top_frequent(df, "k", k=10, initial_frac=0.9)
+    res = SK.top_frequent(df, "k", k=10, initial_frac=0.9, plain_max_distinct=0)
     out = res.orderBy("rank").collect()
     assert len(out) == 10
     assert all(r.cnt == 100 for r in out)
