@@ -22,17 +22,23 @@ from pyspark.sql import SparkSession, functions as F
 
 # (sort column, file count) per table; counts sized for ~100k rows or
 # a few MB per file at sf0.1 — scale up with data.
+# sort/cluster column per table; file COUNT is derived from measured
+# source bytes at rewrite time (see optimize_layout), not fixed here —
+# the r9 320x sweep found the old fixed-count-times-scale rule had
+# written 2500 x 140KB lineitem files, so every stress-scale scan paid
+# thousands of file opens (a bare count(*) cost 0.8 s at 160x, more
+# than the comparator's entire grouped query)
 _LAYOUT = {
-    "lineitem": ("l_shipdate", 16),
-    "orders": ("o_orderdate", 8),
-    "customer": ("c_custkey", 4),
-    "part": ("p_partkey", 2),
-    "supplier": ("s_suppkey", 1),
-    "nation": ("n_nationkey", 1),
-    "region": ("r_regionkey", 1),
-    "events": ("ts", 8),
-    "documents": ("doc_id", 4),
-    "embeddings": ("vec_id", 4),
+    "lineitem": "l_shipdate",
+    "orders": "o_orderdate",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+    "events": "ts",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 
@@ -193,9 +199,15 @@ def optimize_layout(
     """Rewrite sf_dir tables into out_dir with a parallel-scan-friendly
     layout. out_dir then substitutes for sf_dir everywhere
     (read_table handles the events nanos column transparently).
-    ``scale`` multiplies the per-table file counts — pass the data
-    multiple when the input is N× the sf0.1 sizing the defaults
-    assume (file size, not file count, is the invariant)."""
+
+    File counts are DERIVED from measured source bytes at a target of
+    spark.nerd.layoutTargetFileBytes per file (default 8 MiB — sized
+    for local[32]; a real cluster raises it toward 128 MiB+), so the
+    invariant really is file size at every scale. ``scale`` is kept
+    for signature compatibility and ignored: the old fixed-count ×
+    scale rule held bytes-per-file constant at the 1× sizing, which
+    was itself tiny — the r9 320x sweep measured 2500 x 140KB
+    lineitem files, thousands of file opens on every scan."""
     from concurrent.futures import ThreadPoolExecutor
 
     from nerd_spark.session import read_table
@@ -203,11 +215,26 @@ def optimize_layout(
 
     os.makedirs(out_dir, exist_ok=True)
 
+    from nerd_spark.operators.dedup import _bytes_conf
+    from nerd_spark.sources.fsutil import estimate_input_bytes
+
+    target = _bytes_conf(spark, "spark.nerd.layoutTargetFileBytes", 8 << 20)
+    floor = _bytes_conf(spark, "spark.nerd.layoutMinFileBytes", 512 << 10)
+    cpus = spark.sparkContext.defaultParallelism
+
     def _rewrite(name: str) -> None:
-        sort_col, n_files = _LAYOUT[name]
-        if n_files > 1:
-            n_files *= max(1, scale)
+        sort_col = _LAYOUT[name]
         df = read_table(spark, sf_dir, name)
+        est = estimate_input_bytes(df) or 0
+        # two regimes: small tables fan out toward one file per core
+        # for scan parallelism but never below `floor` bytes/file
+        # (open cost dominates under that); big tables grow by the
+        # `target` bytes/file invariant — at any scale no tiny-file
+        # storm and no single-task scans
+        n_files = max(
+            max(1, round(est / target)),
+            min(cpus, max(1, est // floor)),
+        )
         if name == "events" and "ts_ns" in df.columns:
             # keep the storage schema identical to the source (raw
             # nanos long) so read_table's shim applies on re-read

@@ -178,19 +178,37 @@ def test_multimodal_real_pixel_decode(spark):
 
 def test_optimize_layout_roundtrip(spark, sf_dir, tmp_path):
     """Layout rewrite preserves contents exactly (incl. the events
-    nanos-ts shim) while producing multi-file parallel-scannable
-    tables."""
+    nanos-ts shim). File count is bytes-derived (r9: file SIZE is the
+    invariant — the fixed-count-times-scale rule wrote thousands of
+    tiny files at stress scale): a tiny test table compacts to ONE
+    file, and lowering the byte target yields the multi-file parallel
+    layout."""
+    import glob
+
     from nerd_spark.sources.layout import optimize_layout
 
     out = str(tmp_path / "opt")
     optimize_layout(spark, sf_dir, out, tables=["events", "nation"])
     src = read_table(spark, sf_dir, "events")
     dst = read_table(spark, out, "events")
-    assert dst.rdd.getNumPartitions() > 1
+    assert len(glob.glob(out + "/events.parquet/*.parquet")) == 1
     a = {(r.event_id, r.ts, r.user_id, r.value) for r in src.collect()}
     b = {(r.event_id, r.ts, r.user_id, r.value) for r in dst.collect()}
     assert a == b
     assert read_table(spark, out, "nation").count() == 25
+
+    out2 = str(tmp_path / "opt_small_target")
+    spark.conf.set("spark.nerd.layoutTargetFileBytes", "4096")
+    try:
+        optimize_layout(spark, sf_dir, out2, tables=["events"])
+    finally:
+        spark.conf.unset("spark.nerd.layoutTargetFileBytes")
+    assert len(glob.glob(out2 + "/events.parquet/*.parquet")) > 1
+    c = {
+        (r.event_id, r.ts, r.user_id, r.value)
+        for r in read_table(spark, out2, "events").collect()
+    }
+    assert c == a
 
 
 def test_misp_changelog_merges_into_record(spark):
