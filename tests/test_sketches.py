@@ -284,6 +284,14 @@ def test_heavy_hitters_by_group_local_dominance(spark):
         for r in SK.heavy_hitters_by(df.repartition(1), "g", "k", 0.05).collect()
     }
     assert got1 == {("g_small", "dominant", 30)}
+    # the screen path (forced past the cardinality probe) must agree
+    forced = {
+        (r.g, r.k, r.cnt, r.share)
+        for r in SK.heavy_hitters_by(
+            df, "g", "k", 0.05, plain_max_distinct=0
+        ).collect()
+    }
+    assert forced == got
 
 
 def test_hh_huge_int64_keys_survive_sentinel_column(spark):
