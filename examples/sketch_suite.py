@@ -87,3 +87,27 @@ q.awaitTermination(300)
 current_heavy_hitters(spark, os.path.join(base, "state"), 0.01).orderBy(
     "cnt", ascending=False
 ).show(5)
+
+print("== streaming exact quantiles (per-epoch value-histogram state) ==")
+from nerd_spark.streaming.quantile_stream import (
+    current_quantiles,
+    stream_quantiles,
+)
+
+ev_src = events.select("event_id", "event_type", "value")
+ev_src.write.parquet(os.path.join(base, "ev_incoming"))
+ev_stream = (
+    spark.readStream.schema(ev_src.schema)
+    .option("maxFilesPerTrigger", "1")
+    .parquet(os.path.join(base, "ev_incoming"))
+)
+q2 = stream_quantiles(
+    spark,
+    ev_stream,
+    state_dir=os.path.join(base, "qstate"),
+    checkpoint_dir=os.path.join(base, "qckpt"),
+)
+q2.awaitTermination(300)
+current_quantiles(spark, os.path.join(base, "qstate"), [0.5, 0.95]).orderBy(
+    "event_type", "p"
+).show()
