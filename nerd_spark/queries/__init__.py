@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (121) exceeds the driver's 50-entry correctness
+# The inventory (122) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-9 rotation:
 # 1. the 24 r6-latest queries the r8 trim scheduled first ("all
@@ -48,9 +48,9 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    membership join (p20_passive_dns), the _SUCCESS-gated epoch
 #    serving (streaming_hh_terms), and the shared input-bytes
 #    estimator refactor (text_token_stats);
-# 4. r7-latest fill (16): the analytics A-family core, both headline
-#    relational aggregates, ML scoring, the tags DSL, the streaming
-#    baseline and exact dedup. The 29 r7-latest queries left out all
+# 4. r7-latest fill (15): the analytics A-family core, both headline
+#    relational aggregates, ML scoring, the tags DSL and the streaming
+#    baseline. The 30 r7-latest queries left out all
 #    have an unchanged code path this round AND a fresher sibling
 #    in-window: the ann_* family's trained/pq/ivfpq siblings are
 #    r8-golden; text_quality/langid/pii/repetition/fingerprint share
@@ -65,8 +65,10 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    p12/p13/p14 share plans/enrich.py with in-window p20;
 #    set_ops_union/w6_rank_lag/a7_total_multi share
 #    queries/relational.py with in-window w5/j9/p3/p4/p7;
-#    corpus_curation composes the in-window v2/v3 funnels. They sit
-#    at the staleness bound and rotate FIRST into r10.
+#    corpus_curation composes the in-window v2/v3 funnels;
+#    dedup_exact keeps five operators/dedup.py siblings in-window
+#    (minhash_lsh, incremental, best_of_cluster, semantic, span).
+#    They sit at the staleness bound and rotate FIRST into r10.
 _WINDOW_PRIORITY = [
     # 1 — r6-latest (staleness bound, scheduled by the r8 trim)
     "a2_window_totals",
@@ -93,8 +95,12 @@ _WINDOW_PRIORITY = [
     "dedup_semantic",
     "quality_gopher_rules",
     "mixture_temperature",
-    # 2 — new this round
+    # 2 — new this round (corpus_drift_psi displaces dedup_exact from
+    #     the tier-4 fill: operators/dedup.py keeps FIVE in-window
+    #     representatives — dedup_minhash_lsh, dedup_incremental,
+    #     best_of_cluster, semantic, span)
     "streaming_quantiles",
+    "corpus_drift_psi",
     # 3 — code path changed this round
     "quantile_event_values",
     "quantile_by_event_type",
@@ -121,7 +127,6 @@ _WINDOW_PRIORITY = [
     "fmp_score",
     "op_merge_snapshot",
     "streaming_daily_counts",
-    "dedup_exact",
 ]
 
 

@@ -2344,3 +2344,64 @@ def weighted_sample_topk(spark, sf_dir):
     return SAMP.weighted_sample(
         docs, weight_col="wt", k=10, strata_col="source", salt="ws"
     )
+
+
+@query(
+    "corpus_drift_psi",
+    """
+    WITH ref AS (SELECT value AS v FROM events
+                 WHERE value IS NOT NULL AND event_id % 2 = 0),
+    nw AS (SELECT value AS v FROM events
+           WHERE value IS NOT NULL AND event_id % 2 = 1),
+    st AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM ref),
+    params AS (
+      SELECT lo,
+             CASE WHEN (hi - lo) / 10.0 <= 0 THEN 1.0
+                  ELSE (hi - lo) / 10.0 END AS w,
+             n
+      FROM st
+    ),
+    nb AS (SELECT count(*) AS n_new FROM nw),
+    bk AS (SELECT range AS bucket FROM range(10)),
+    ha AS (
+      SELECT least(9, greatest(0, CAST(floor((v - lo) / w) AS BIGINT))) AS b,
+             count(*) AS c
+      FROM ref, params GROUP BY 1
+    ),
+    hb AS (
+      SELECT least(9, greatest(0, CAST(floor((v - lo) / w) AS BIGINT))) AS b,
+             count(*) AS c
+      FROM nw, params GROUP BY 1
+    ),
+    j AS (
+      SELECT bucket,
+             greatest(1e-6, coalesce(ha.c, 0)
+               / (SELECT CAST(n AS DOUBLE) FROM params)) AS p,
+             greatest(1e-6, coalesce(hb.c, 0)
+               / (SELECT CAST(greatest(n_new, 1) AS DOUBLE) FROM nb)) AS q
+      FROM bk LEFT JOIN ha ON bucket = ha.b LEFT JOIN hb ON bucket = hb.b
+    )
+    SELECT (SELECT n FROM params) AS n_ref,
+           (SELECT n_new FROM nb) AS n_new,
+           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           round(sum((p * ln(p / ((p + q) / 2))
+                      + q * ln(q / ((p + q) / 2))) / 2), 6) AS js_div
+    FROM j
+    """,
+)
+def corpus_drift_psi(spark, sf_dir):
+    # Snapshot distribution drift (operators/drift.py): PSI + JS
+    # divergence of the odd-event_id half of events.value against the
+    # even half over reference-anchored fixed-width buckets — the
+    # ingest-monitoring primitive next to the dedup/quality gates
+    # (the IVF-PQ audit showed shift, not volume, is what degrades
+    # frozen models). Two column-pruned scans; nothing wider than
+    # n_buckets rows ever shuffles.
+    from nerd_spark.operators.drift import distribution_drift
+
+    ev = t(spark, sf_dir, "events")
+    return distribution_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )
