@@ -147,16 +147,21 @@ def run_skew(spark, replicas: int) -> None:
         ).write.format("noop").mode("overwrite").save()
         timings["salted_rollup"] = round(time.perf_counter() - t0, 3)
         # heavy hitters IS the skew detector — on the skewed variant it
-        # must return exactly the planted hot keys (count recorded):
-        # hot keys own ~50%/hot ≈ 0.17% each at 1%-of-keys, cold keys
-        # ~0.003%, so 0.1% separates the two cleanly at any replica
-        # count (uniform variant: zero found, also asserted)
+        # must return exactly the planted hot keys (count recorded).
+        # The threshold derives from the planted-key count: hot keys
+        # own share 0.5/hot each and cold keys ~1/(users*R), so
+        # phi = 0.25/hot sits 2x under the hot share and ~25x over the
+        # cold share AT ANY replica count — the r9 40x run exposed
+        # that a fixed 0.1% threshold silently rises above the hot
+        # share once 1% of the scaled key space exceeds 500 keys
+        # (share 0.5/hot < phi -> zero found, a useless detector)
         from nerd_spark.operators.sketches import heavy_hitters
 
+        phi = 0.25 / hot
         t0 = time.perf_counter()
-        hh_rows = heavy_hitters(ev, "user_id", 0.001).count()
+        hh_rows = heavy_hitters(ev, "user_id", phi).count()
         timings["heavy_hitters"] = round(time.perf_counter() - t0, 3)
-        timings["heavy_hitters_found"] = hh_rows
+        found = hh_rows  # a COUNT — reported beside, never summed as seconds
         top = (
             ev.groupBy("user_id").count().orderBy(F.desc("count")).limit(1).first()
         )
@@ -166,7 +171,7 @@ def run_skew(spark, replicas: int) -> None:
             "hot_keys": hot if label == "skewed" else 0,
             "hottest_key_share": round(top["count"] / total, 4),
             "value": round(sum(timings.values()), 3), "unit": "sec",
-            "queries": timings, "dir": d,
+            "queries": timings, "heavy_hitters_found": found, "dir": d,
         }))
 
 
