@@ -54,11 +54,13 @@ EXPECT = {
     # round 8: the sketch family — heavy hitters verify candidates via
     # a broadcast semi join (the full key universe never shuffles);
     # hh_terms is all MapInPandas pair-emit (no explode / token rows);
-    # grouped quantiles keep every metadata join broadcast and refine
-    # through a window, never a global Sort of the column
+    # grouped quantiles (r9: the probe picks the value-histogram
+    # strategy on this bounded domain) broadcast the per-group totals
+    # and select by cumulative sum over the distinct-value window —
+    # no GK sketch and never a global Sort of the column
     "hh_event_users": ["BroadcastHashJoin", "LeftSemi"],
     "hh_terms": ["MapInPandas"],
-    "quantile_by_event_type": ["BroadcastHashJoin", "Window [row_number()"],
+    "quantile_by_event_type": ["BroadcastHashJoin", "Window [sum(cnt"],
 }
 
 
