@@ -17,9 +17,9 @@ The SERVING query (current_heavy_hitters) unions all committed
 epochs, sums per term, and applies the exact cnt >= phi*N filter —
 cumulative results equal the one-shot batch hh_terms over everything
 ingested so far (test-pinned). State size is epochs x per-batch
-vocabulary, compacted per batch; at 100 TB a periodic roll-up of old
-epochs into one base epoch bounds the union width (the day-roll
-discipline of the window summary table).
+vocabulary, compacted per batch; streaming/epochs.py::compact_epochs
+is the periodic base-epoch roll-up that bounds the union width at
+long horizons (crash-safe write-aside; serve equality test-pinned).
 """
 
 from __future__ import annotations

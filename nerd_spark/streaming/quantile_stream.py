@@ -17,8 +17,9 @@ epochs — there is no merge error at any point, so the cumulative
 serving result equals the one-shot batch ``exact_quantiles_by`` over
 everything ingested so far (test- and oracle-pinned). State size is
 epochs x per-batch distinct values: vocabulary-like for the bounded
-value domains the histogram path targets, with the usual base-epoch
-roll-up discipline bounding the union width at long horizons. For
+value domains the histogram path targets, with streaming/epochs.py::
+compact_epochs (crash-safe base-epoch roll-up, serve equality
+test-pinned) bounding the union width at long horizons. For
 truly continuous values a per-epoch histogram approaches batch size —
 that is the price of exactness; the batch operator's GK bracket path
 is the right tool for a one-shot answer there, and a streaming serve
