@@ -115,3 +115,57 @@ def distribution_drift(
             6,
         ).alias("js_div"),
     )
+
+
+def shingle_novelty(
+    ref: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus freshness: the fraction of the new snapshot's distinct
+    k-word shingles unseen in the reference — the text companion to
+    :func:`distribution_drift` (numeric drift says a FEATURE moved;
+    novelty says the CONTENT did). Near 0 = the crawl is re-fetching
+    what it already has; near 1 = genuinely new material (or a domain
+    shift worth a look at the dedup/quality gates downstream).
+
+    Returns ONE row: (n_ref_shingles, n_new_shingles, novel_shingles,
+    novelty_rate). Shingling is the dedup family's map-only
+    shingle_arrays (identical '' -token edge semantics, so the SQL
+    oracle parity is inherited from the minhash oracles); both sides
+    reduce to DISTINCT shingles before anything shuffles, and the
+    novel count is one anti-join of the two distinct sets — the same
+    distinct-shingle-bounded cost class as the dedup DF counting, and
+    the exact-answer counterpart of a minhash containment estimate.
+    """
+    from nerd_spark.operators.dedup import shingle_arrays
+
+    def _distinct(df: DataFrame) -> DataFrame:
+        return (
+            shingle_arrays(df, id_col, text_col, k)
+            .select(F.explode(F.array_distinct("sarr")).alias("s"))
+            .distinct()
+        )
+
+    rs = _distinct(ref).persist()  # two consumers: count + anti join
+    ns = _distinct(new).persist()
+    n_ref = rs.count()
+    n_new = ns.count()
+    novel = ns.join(rs, "s", "anti").count()
+    rs.unpersist()
+    ns.unpersist()
+    spark = ref.sparkSession
+    # rate rounded IN-PLAN: Spark round is HALF_UP like the SQL
+    # oracle's; Python's built-in round is banker's (a pinned trap)
+    return spark.createDataFrame(
+        [(n_ref, n_new, novel)],
+        "n_ref_shingles long, n_new_shingles long, novel_shingles long",
+    ).select(
+        "*",
+        F.round(
+            F.col("novel_shingles") / F.greatest(F.col("n_new_shingles"), F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )

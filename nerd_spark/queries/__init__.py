@@ -36,8 +36,14 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 # 1. the 24 r6-latest queries the r8 trim scheduled first ("all
 #    rotate FIRST into r9") — the ≤2-round staleness invariant is
 #    binding on them this round;
-# 2. the query NEW this round (streaming_quantiles, the oracled
-#    streaming serve over the quantile family's histogram state);
+# 2. the queries NEW this round: streaming_quantiles (the oracled
+#    streaming serve over the quantile family's histogram state),
+#    corpus_drift_psi and corpus_novelty (the snapshot-monitoring
+#    pair); their two extra slots trim dedup_exact and
+#    a5_type_profile from the tier-4 fill — dedup_exact keeps five
+#    operators/dedup.py siblings in-window, a5's window-table serve
+#    path is pytest-pinned (test_summary_window) and seven other
+#    A-family rows stay in-window;
 # 3. every query whose CODE PATH changed this round and therefore
 #    needs a fresh driver row regardless of age: the quantile family
 #    (probe-chosen histogram strategy + narrowed refine:
@@ -48,7 +54,7 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    membership join (p20_passive_dns), the _SUCCESS-gated epoch
 #    serving (streaming_hh_terms), and the shared input-bytes
 #    estimator refactor (text_token_stats);
-# 4. r7-latest fill (15): the analytics A-family core, both headline
+# 4. r7-latest fill (14): the analytics A-family core, both headline
 #    relational aggregates, ML scoring, the tags DSL and the streaming
 #    baseline. The 30 r7-latest queries left out all
 #    have an unchanged code path this round AND a fresher sibling
@@ -101,6 +107,7 @@ _WINDOW_PRIORITY = [
     #     best_of_cluster, semantic, span)
     "streaming_quantiles",
     "corpus_drift_psi",
+    "corpus_novelty",
     # 3 — code path changed this round
     "quantile_event_values",
     "quantile_by_event_type",
@@ -116,7 +123,6 @@ _WINDOW_PRIORITY = [
     "a16_rollup_revenue",
     "a1_daily_rollup",
     "a3_ewma",
-    "a5_type_profile",
     "a6_source_reputation",
     "a7_total_reputation",
     "a8_threat_summary",

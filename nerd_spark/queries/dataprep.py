@@ -2405,3 +2405,54 @@ def corpus_drift_psi(spark, sf_dir):
         ev.filter(F.col("event_id") % 2 == 1),
         "value",
     )
+
+
+@query(
+    "corpus_novelty",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    shr AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM tr
+    ),
+    tn AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    shn AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(w) - 2, 0)),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM tn
+    ),
+    nv AS (SELECT count(*) AS novel FROM (
+      SELECT s FROM shn EXCEPT SELECT s FROM shr
+    ))
+    SELECT (SELECT count(*) FROM shr) AS n_ref_shingles,
+           (SELECT count(*) FROM shn) AS n_new_shingles,
+           (SELECT novel FROM nv) AS novel_shingles,
+           round((SELECT novel FROM nv)
+                 / greatest((SELECT count(*) FROM shn), 1), 6)
+             AS novelty_rate
+    """,
+)
+def corpus_novelty(spark, sf_dir):
+    # Cross-snapshot content freshness (operators/drift.py::
+    # shingle_novelty): fraction of the odd-doc_id half's distinct
+    # 3-word shingles unseen in the even half — numeric drift says a
+    # feature moved, novelty says the CONTENT did. Distinct-shingle-
+    # bounded anti join, the dedup family's cost class; shingling is
+    # the map-only shingle_arrays so oracle parity is inherited from
+    # the minhash oracles.
+    from nerd_spark.operators.drift import shingle_novelty
+
+    docs = t(spark, sf_dir, "documents")
+    return shingle_novelty(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

@@ -51,3 +51,29 @@ def test_nulls_ignored_both_sides(spark):
     )
     r = distribution_drift(ref, ref, "v").first()
     assert r.n_ref == r.n_new == 1000 and r.psi == 0.0
+
+
+def test_shingle_novelty_edges(spark):
+    from nerd_spark.operators.drift import shingle_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta gamma delta epsilon"),
+         (3, None), (4, "too short")],
+        "doc_id long, text string",
+    )
+    # identical snapshots: zero novelty
+    r = shingle_novelty(docs, docs).first()
+    assert r.novelty_rate == 0.0 and r.novel_shingles == 0
+    # doc1: {alpha beta gamma, beta gamma delta}; doc2 shares the
+    # second and adds {gamma delta epsilon} -> 3 distinct overall
+    assert r.n_ref_shingles == r.n_new_shingles == 3
+    # disjoint text: full novelty
+    other = spark.createDataFrame(
+        [(9, "one two three four five")], "doc_id long, text string"
+    )
+    r2 = shingle_novelty(docs, other).first()
+    assert r2.novelty_rate == 1.0 and r2.novel_shingles == r2.n_new_shingles == 3
+    # empty new: rate 0 via the guard, no division error
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r3 = shingle_novelty(docs, empty).first()
+    assert r3.n_new_shingles == 0 and r3.novelty_rate == 0.0
