@@ -171,10 +171,28 @@ def stream_dedup(
     / continuous triggers both work; per-key ordering is irrelevant
     (pair discovery is commutative across batches)."""
 
+    compact_after = kw.pop("compact_after", 16)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         process_batch(
             spark, batch_df, index_dir, epoch_id=epoch_id, pairs_dir=pairs_dir, **kw
         )
+        # Automatic index roll-up: bands/shingles are disjoint ROW-SET
+        # epochs (count_col=None — pure re-layout union), folded once
+        # the committed-epoch count passes the bound. keep_recent=2
+        # keeps the in-flight replay window unfolded, so a replayed
+        # epoch still reads exactly the pre-batch index and overwrites
+        # only its own directory. compact_after=None disables.
+        if compact_after is not None:
+            from nerd_spark.streaming.epochs import maybe_compact
+
+            for sub in ("bands", "shingles"):
+                maybe_compact(
+                    spark,
+                    os.path.join(index_dir, sub),
+                    None,
+                    max_epochs=compact_after,
+                )
 
     return (
         docs_stream.writeStream.outputMode("append")

@@ -103,13 +103,22 @@ def stream_heavy_hitters(
     state_dir: str,
     checkpoint_dir: str,
     text_col: str = "text",
+    compact_after: int | None = 16,
 ):
-    """Wire :func:`process_batch` as a foreachBatch sink."""
+    """Wire :func:`process_batch` as a foreachBatch sink. The sink
+    also runs the automatic base-epoch roll-up (epochs.maybe_compact)
+    once the committed-epoch count passes ``compact_after`` — safe
+    from inside foreachBatch because epochs below the current one are
+    checkpoint-committed and keep_recent=2 keeps the in-flight replay
+    window unfolded. ``compact_after=None`` disables."""
+    from nerd_spark.streaming.epochs import maybe_compact
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         process_batch(
             spark, batch_df, state_dir, epoch_id=epoch_id, text_col=text_col
         )
+        if compact_after is not None:
+            maybe_compact(spark, state_dir, "tf", max_epochs=compact_after)
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

@@ -88,14 +88,21 @@ def stream_quantiles(
     checkpoint_dir: str,
     key_col: str = "event_type",
     col: str = "value",
+    compact_after: int | None = 16,
 ):
-    """Wire :func:`process_batch` as a foreachBatch sink."""
+    """Wire :func:`process_batch` as a foreachBatch sink, with the
+    automatic base-epoch roll-up past ``compact_after`` committed
+    epochs (keep_recent=2 covers the at-least-once replay window;
+    ``None`` disables)."""
+    from nerd_spark.streaming.epochs import maybe_compact
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         process_batch(
             spark, batch_df, state_dir,
             epoch_id=epoch_id, key_col=key_col, col=col,
         )
+        if compact_after is not None:
+            maybe_compact(spark, state_dir, "cnt", max_epochs=compact_after)
 
     return (
         events_stream.writeStream.foreachBatch(sink)
