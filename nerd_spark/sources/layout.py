@@ -887,8 +887,16 @@ def write_join_pair(
         ("orders", ot, "o_custkey"),
         ("customer", ct, "c_custkey"),
     ]
+    from nerd_spark.sources import fsutil
+
     for name, tbl, key in specs:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a killed session strands the LOCATION while the in-memory
+        # catalog entry dies with it; DROP TABLE can't reach an
+        # orphaned dir, so clear it explicitly (cold-start self-heal)
+        fsutil.delete(
+            spark, os.path.join(data_dir, f"{tbl}.bucketed"), recursive=True
+        )
         (
             # repartition on the bucket expression FIRST: the writer
             # then emits exactly one file per bucket, which is what
@@ -935,7 +943,22 @@ def write_bucketed(
     the bucket key read pre-partitioned data and plan NO shuffle
     exchange (verified in tests). Uses saveAsTable (bucket metadata
     lives in the session catalog / warehouse dir).
+
+    Self-heals the orphaned-location cold start: a killed session can
+    strand the table's warehouse DIRECTORY while the (in-memory)
+    catalog entry dies with the JVM — the next saveAsTable then fails
+    with LOCATION_ALREADY_EXISTS and no DROP TABLE can reach it. When
+    the catalog has no such table but its location exists, the
+    orphan is deleted before writing (r9 verdict #3).
     """
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        from nerd_spark.sources import fsutil
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        orphan = os.path.join(wh, table.lower())
+        if fsutil.exists(spark, orphan):
+            fsutil.delete(spark, orphan, recursive=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)

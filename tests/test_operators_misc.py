@@ -465,6 +465,32 @@ def test_bucketed_layout_removes_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
 
 
+def test_write_bucketed_heals_orphaned_location(spark, sf_dir):
+    """Cold-start self-heal (r9 verdict #3): a killed session strands
+    a managed table's warehouse DIRECTORY while its in-memory catalog
+    entry dies — saveAsTable then hits LOCATION_ALREADY_EXISTS and no
+    DROP TABLE can reach it. write_bucketed must clear the orphan."""
+    import shutil
+
+    from nerd_spark.sources.layout import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    tbl = "ev_orphan_heal_test"
+    orphan = os.path.join(wh, tbl)
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "part-stale.parquet"), "wb").close()
+    assert not spark.catalog.tableExists(tbl)
+    ev = read_table(spark, sf_dir, "events").drop("ts_ns")
+    try:
+        write_bucketed(
+            ev.select("user_id", "value"), tbl, "user_id", n_buckets=4
+        )
+        assert spark.table(tbl).count() == ev.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def test_multimodal_frame_sample_and_resize(spark):
     from nerd_spark.operators import multimodal as MM
 
