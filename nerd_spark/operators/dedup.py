@@ -385,6 +385,114 @@ def minhash_band_table(
     )
 
 
+def minhash_cluster_edges(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k=3,
+    n_bands=4,
+    rows_per_band=3,
+    threshold=0.5,
+    star_rounds=3,
+) -> DataFrame:
+    """Cluster-oriented near-dup candidate edges: LINEAR in clique
+    depth where the pair path is quadratic (r9 verdict #1).
+
+    :func:`minhash_lsh_dedup`'s contract is every verified PAIR —
+    within an LSH band bucket of m mutually-similar docs that is
+    m(m-1)/2 candidate rows, and on deep replica cliques (the 320x
+    stress corpus holds 32-deep ones) the pair OUTPUT itself is the
+    quadratic cost both engines pay. Cluster consumers (dedup_clusters
+    / best-of-cluster survivors / leakage-safe splits) only need
+    CONNECTIVITY, so per bucket this emits the (member -> bucket-min)
+    STAR — m-1 edges — and Jaccard-verifies those. Members whose star
+    edge FAILS verification re-star among themselves within the
+    bucket (a bucket mixing several similarity groups resolves one
+    group per round; each round strictly shrinks the residue by at
+    least its root); after ``star_rounds`` rounds the residue — by
+    then >= star_rounds groups deep in one bucket, i.e. tiny — falls
+    back to all-pairs verification so dissimilar stragglers still
+    pair up exactly.
+
+    Semantics: returns (a_id, b_id, jaccard) edges whose connected
+    components equal the pair path's whenever within-bucket
+    similarity at the threshold is transitive across the chosen roots
+    (replica/near-replica cliques — the case whose cost motivates
+    this operator; hash-match with the pair-based clusters is
+    oracle-checked at test scale). For adversarial buckets where x~y
+    but neither ~ an intermediate the paths can split a component —
+    consumers needing the exact pair graph keep
+    :func:`minhash_lsh_dedup`, whose contract is unchanged.
+
+    Cost at 100 TB: per round, one (b, h) shuffle of the (residual)
+    band table + a probe-bounded pair verify (:func:`_pair_jaccard`);
+    round 1 dominates and is the same candidate-generation shuffle
+    the pair path pays — minus the quadratic within-bucket explosion.
+    Verified edges are localCheckpointed per round (bounded:
+    <= residual-band rows), so the shingle cache is released before
+    returning instead of riding the returned plan.
+    """
+    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    cur = minhash_band_table(sarr, n_bands, rows_per_band).localCheckpoint()
+    rounds = []
+    for rnd in range(star_rounds + 1):
+        if not cur.take(1):
+            break
+        final = rnd == star_rounds
+        if final:
+            # residue fallback: all remaining within-bucket pairs
+            star = None
+            cand_rows = (
+                cur.alias("x")
+                .join(cur.alias("y"), ["b", "h"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(
+                    F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id")
+                )
+            )
+        else:
+            roots = cur.groupBy("b", "h").agg(F.min("id").alias("rid"))
+            star = (
+                cur.join(roots, ["b", "h"])
+                .filter(F.col("id") != F.col("rid"))
+                .select(
+                    "id",
+                    "b",
+                    "h",
+                    F.least("id", "rid").alias("a_id"),
+                    F.greatest("id", "rid").alias("b_id"),
+                )
+                .localCheckpoint()
+            )
+            cand_rows = star.select("a_id", "b_id")
+        pj = _pair_jaccard(cand_rows.distinct(), sets).persist()
+        rounds.append(
+            pj.filter(F.col("jaccard") >= threshold).localCheckpoint()
+        )
+        if final:
+            pj.unpersist()
+            break
+        bad = pj.filter(F.col("jaccard") < threshold).select("a_id", "b_id")
+        cur = (
+            star.join(bad, ["a_id", "b_id"], "left_semi")
+            .select("id", "b", "h")
+            .localCheckpoint()
+        )
+        pj.unpersist()
+    sarr.unpersist()
+    if not rounds:
+        idt = docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"a_id {idt}, b_id {idt}, jaccard double"
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.dropDuplicates(["a_id", "b_id"])
+
+
 def incremental_minhash_pairs(
     docs: DataFrame,
     new_ids,

@@ -409,6 +409,11 @@ def bigram_logprob(
         .groupBy("w1", "w2")
         .agg(F.sum("c").alias("c2"))
         .persist()
+        # consumed by the probe + one of the two paths. The small
+        # path unpersists explicitly after toPandas; the over-bound
+        # JVM path keeps it inside the returned plan (c1 window + lp
+        # join) — lifetime = that plan's reference, ContextCleaner
+        # reclaims on GC (the ivf_probe adjudication).
     )
     small = (
         bg.limit(score_broadcast_max_pairs + 1).count()

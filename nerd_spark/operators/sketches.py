@@ -200,6 +200,9 @@ def top_frequent(
             src.groupBy(F.col("k").alias(key_col))
             .agg(F.count("*").alias("cnt"))
             .persist()
+            # consumed twice (n_total + topk); distinct-bounded by the
+            # probe. Lifetime = the returned DataFrame's reference
+            # (ContextCleaner reclaims on plan GC).
         )
         n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
         if n_total == 0:
@@ -373,11 +376,19 @@ def heavy_hitters_by(
     ).first()["nd"]
     if nd * 1.25 <= plain_max_distinct:
         # persisted: ng derives FROM hist — without the pin the corpus
-        # aggregation runs twice (distinct-bounded by the probe)
+        # aggregation runs twice (distinct-bounded by the probe).
+        # Lifetime = the returned DataFrame's reference (ContextCleaner
+        # reclaims on plan GC — the ivf_probe adjudication).
         hist = src.groupBy("g", "k").agg(F.count("*").alias("cnt")).persist()
         ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
         return (
-            hist.join(hint(ng), "g")
+            # UNHINTED: the probe bounds distinct (g, k) pairs, not
+            # group cardinality — ng can approach the full bound when
+            # every key is its own group, and a forced broadcast would
+            # ship it to every executor (r9 advice, the forced-
+            # broadcast defect class). AQE sees ng's real size at
+            # runtime and broadcasts exactly when it is small.
+            hist.join(ng, "g")
             .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
             .select(
                 F.col("g").alias(group_col),
@@ -406,8 +417,12 @@ def heavy_hitters_by(
         .agg(F.count("*").alias("cnt"))
     )
     return (
+        # hint-gated, not forced: totals is one row per GROUP, whose
+        # cardinality the group_col argument controls — the same
+        # escape (broadcast_candidates=False) that covers the
+        # candidate join covers this one (r9 verdict #4)
         counts.join(
-            F.broadcast(totals.withColumnRenamed("g", group_col)), group_col
+            hint(totals.withColumnRenamed("g", group_col)), group_col
         )
         .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
         .select(
@@ -464,6 +479,9 @@ def _hist_or_none(
         ).first()["nd"]
         if nd * 1.25 > max_rows:
             return None
+        # persisted into the caller's returned plan (two consumers:
+        # cum-window + ng); lifetime = that plan's reference
+        # (ContextCleaner reclaims on GC — the ivf_probe adjudication)
         return hist.persist()
     h = hist.persist()
     if h.limit(max_rows + 1).count() > max_rows:
@@ -472,18 +490,23 @@ def _hist_or_none(
     return h
 
 
-def _hist_quantiles(
-    hist: DataFrame, probs: list[float], broadcast_ng: bool = True
-) -> DataFrame:
+def _hist_quantiles(hist: DataFrame, probs: list[float]) -> DataFrame:
     """Serve exact per-group quantiles from a value histogram:
     cumulative counts in value order, then the pinned quantile_disc
     selector — the UNIQUE row where cum-cnt < ceil(p*n) <= cum. One
     window sort over distinct values only (bounded by the caller's
-    max_histogram_rows probe), never over data rows."""
+    max_histogram_rows probe), never over data rows.
+
+    The per-group totals join is UNHINTED: ng is one row per group,
+    and the histogram probe bounds (g, v) pairs, not groups — at the
+    degenerate every-value-its-own-group end ng approaches the full
+    8M-row bound, where a forced broadcast is the r9-advice defect
+    class. AQE broadcasts it at runtime exactly when it is small
+    (plan-audited: quantile_by_event_type still finalizes to a
+    BroadcastHashJoin at the design point)."""
     ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
-    hint = F.broadcast if broadcast_ng else (lambda d: d)
     w = Window.partitionBy("g").orderBy("v")
-    h = hist.withColumn("cum", F.sum("cnt").over(w)).join(hint(ng), "g")
+    h = hist.withColumn("cum", F.sum("cnt").over(w)).join(ng, "g")
     picks = []
     for p in probs:
         # IEEE p*n then ceil: bit-for-bit the pinned rank formula
@@ -752,7 +775,11 @@ def exact_quantiles_by(
             else _hist_or_none(df, vals, max_histogram_rows)
         )
         if hist is not None:
-            return _hist_quantiles(hist, probs, broadcast_bounds).select(
+            # the histogram path has no forced hints at all — AQE
+            # sizes the totals join (see _hist_quantiles); the
+            # broadcast_bounds escape applies to the bracket path's
+            # per-group metadata joins below
+            return _hist_quantiles(hist, probs).select(
                 F.col("g").alias(key_col), "p", "value"
             )
     sketch = vals.groupBy("g").agg(

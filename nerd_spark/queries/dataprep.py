@@ -165,9 +165,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
 
 
-@query(
-    "dedup_clusters",
-    f"""
+# Transitive closure of the pair-path graph via recursive CTE —
+# viable at oracle scale only. Shared by dedup_clusters AND
+# dedup_clusters_scalable: the star-edge generator's components must
+# equal the pair path's (its acceptance contract), so both oracle
+# against the same closure.
+_CLUSTERS_SQL = f"""
     WITH RECURSIVE pairs AS ({_MINHASH_PAIRS}),
     edges AS (
       SELECT a_id AS u, b_id AS v FROM pairs
@@ -183,8 +186,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     SELECT node AS doc_id, root AS cluster_root,
            count(*) OVER (PARTITION BY root) AS cluster_size
     FROM cc
-    """,
-)
+    """
+
+
+@query("dedup_clusters", _CLUSTERS_SQL)
 def dedup_clusters(spark, sf_dir):
     # Pair list -> duplicate clusters (transitive closure): alternating
     # large-star/small-star connected components over the Jaccard-
@@ -195,6 +200,25 @@ def dedup_clusters(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_dedup(spark, docs, n_bands=4, rows_per_band=3, threshold=0.5)
     return CCOMP.dedup_clusters(pairs)
+
+
+@query("dedup_clusters_scalable", _CLUSTERS_SQL)
+def dedup_clusters_scalable(spark, sf_dir):
+    # The 100 TB cluster path (r9 verdict #1): per LSH band bucket,
+    # only (member -> bucket-min) STAR edges are generated and
+    # Jaccard-verified — linear in clique depth where the pair path's
+    # candidate OUTPUT is quadratic (32-deep replica cliques at the
+    # 320x stress point) — then the same connected-components
+    # resolution. Oracled against the SAME pair-path closure: the
+    # operator's contract is connectivity equality
+    # (operators/dedup.py::minhash_cluster_edges documents the
+    # transitivity condition; the residue fallback covers mixed
+    # buckets). dedup_minhash_lsh keeps the exact-pair contract.
+    docs = t(spark, sf_dir, "documents")
+    edges = DD.minhash_cluster_edges(
+        spark, docs, n_bands=4, rows_per_band=3, threshold=0.5
+    )
+    return CCOMP.dedup_clusters(edges)
 
 
 _CONTAM_N = 8

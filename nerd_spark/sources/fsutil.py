@@ -86,8 +86,12 @@ def estimate_input_bytes(df) -> int | None:
     choose a strategy BEFORE paying any Spark job (token_stats'
     kernel-vs-HOF gate, the quantile histogram-vs-bracket gate).
     Returns None when the frame has no file inputs (in-memory test
-    frames, post-shuffle views): callers treat unknown as small —
-    every non-file source in this codebase is."""
+    frames, post-shuffle views). The unknown-size policy is PER
+    CALLER, chosen by which failure mode is cheap at that seam:
+    _hist_or_none treats None as small (a wasted small-source
+    aggregation), while token_stats and the dedup index serve gate
+    treat None as large/serve (their small-path fallbacks are the
+    expensive ones). New call sites must pick deliberately."""
     spark = df.sparkSession
     try:
         files = df.inputFiles()

@@ -62,16 +62,27 @@ def process_batch(
 
 
 def current_quantiles(
-    spark, state_dir: str, probs: list[float], key_col: str = "event_type"
+    spark,
+    state_dir: str,
+    probs: list[float],
+    key_col: str = "event_type",
+    value_type: str = "double",
 ) -> DataFrame:
     """Exact per-group quantiles over everything ingested so far —
     the same (key, p, value) contract as the batch
     ``exact_quantiles_by``: epoch histograms re-summed per (g, v),
-    then the cumulative-sum quantile_disc selector."""
+    then the cumulative-sum quantile_disc selector.
+
+    The value column carries the SOURCE type (the batch contract
+    preserves it through the state parquet). With zero committed
+    epochs there is no state schema to derive it from, so the empty
+    frame uses ``value_type`` (default double) — callers tracking a
+    non-double measure should pass their type to keep the schema
+    stable across the empty boundary (r9 advice)."""
     eps = _epochs(spark, state_dir)
     if not eps:
         return spark.createDataFrame(
-            [], f"{key_col} string, p double, value double"
+            [], f"{key_col} string, p double, value {value_type}"
         )
     paths = [os.path.join(state_dir, f"epoch={e}") for e in eps]
     pairs = spark.read.option("basePath", state_dir).parquet(*paths).drop("epoch")

@@ -294,6 +294,39 @@ def test_heavy_hitters_by_group_local_dominance(spark):
     assert forced == got
 
 
+def test_heavy_hitters_by_high_cardinality_group_escape(spark):
+    """r9 verdict #4: with a HIGH-CARDINALITY group column the
+    per-group totals frame is group-sized — the escape
+    (broadcast_candidates=False) must cover the totals join too, and
+    no plan may carry an unconditional broadcast hint. Both the
+    screen path (forced past the probe) and the plain path must agree
+    with the hinted default."""
+    # 800 groups x ~10 rows; each group has one locally-heavy key
+    rows = []
+    for g in range(800):
+        rows += [(f"grp{g}", f"hot{g}")] * 4 + [
+            (f"grp{g}", f"cold{g}_{j}") for j in range(6)
+        ]
+    df = spark.createDataFrame(rows, "g string, k string").repartition(7)
+
+    base = {
+        (r.g, r.k, r.cnt, r.share)
+        for r in SK.heavy_hitters_by(df, "g", "k", 0.3).collect()
+    }
+    assert len(base) == 800
+    # screen path, escape on: totals AND candidates joins unhinted
+    esc = SK.heavy_hitters_by(
+        df, "g", "k", 0.3, broadcast_candidates=False, plain_max_distinct=0
+    )
+    plan = esc._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower(), plan
+    assert {(r.g, r.k, r.cnt, r.share) for r in esc.collect()} == base
+    # plain path: ng join is unhinted regardless (AQE sizes it)
+    plain = SK.heavy_hitters_by(df, "g", "k", 0.3)
+    pplan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in pplan.lower(), pplan
+
+
 def test_hh_huge_int64_keys_survive_sentinel_column(spark):
     # review r8: the None sentinel must not coerce int64 keys to
     # float64 (keys above 2^53 would corrupt and silently vanish)
