@@ -30,109 +30,95 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (122) exceeds the driver's 50-entry correctness
+# The inventory (124) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
-# Round-9 rotation:
-# 1. the 24 r6-latest queries the r8 trim scheduled first ("all
-#    rotate FIRST into r9") — the ≤2-round staleness invariant is
-#    binding on them this round;
-# 2. the queries NEW this round: streaming_quantiles (the oracled
-#    streaming serve over the quantile family's histogram state),
-#    corpus_drift_psi and corpus_novelty (the snapshot-monitoring
-#    pair); their two extra slots trim dedup_exact and
-#    a5_type_profile from the tier-4 fill — dedup_exact keeps five
-#    operators/dedup.py siblings in-window, a5's window-table serve
-#    path is pytest-pinned (test_summary_window) and seven other
-#    A-family rows stay in-window;
-# 3. every query whose CODE PATH changed this round and therefore
-#    needs a fresh driver row regardless of age: the quantile family
-#    (probe-chosen histogram strategy + narrowed refine:
-#    quantile_event_values/by_event_type/corpus_stats_card), the
-#    bigram kernel rewrite (lm_bigram_logprob), the top_frequent
-#    degenerate guard (top_frequent_users), the dedup index size gate
-#    + bounded candidate broadcast (dedup_incremental), the unhinted
-#    membership join (p20_passive_dns), the _SUCCESS-gated epoch
-#    serving (streaming_hh_terms), and the shared input-bytes
-#    estimator refactor (text_token_stats);
-# 4. r7-latest fill (14): the analytics A-family core, both headline
-#    relational aggregates, ML scoring, the tags DSL and the streaming
-#    baseline. The 30 r7-latest queries left out all
-#    have an unchanged code path this round AND a fresher sibling
-#    in-window: the ann_* family's trained/pq/ivfpq siblings are
-#    r8-golden; text_quality/langid/pii/repetition/fingerprint share
-#    functions/text.py with in-window text_token_stats and
-#    corpus_stats_card; dedup_ngram/clusters/simhash/embedding share
-#    operators/dedup.py+components.py with in-window
-#    dedup_minhash_lsh/dedup_incremental/best_of_cluster/semantic/
-#    span; train_val/leakage/packing/mixture_sample share
-#    operators/sampling.py with in-window shard_assign and
-#    mixture_temperature; tfidf_top_terms/lm_unigram_logprob share
-#    operators/keywords.py with in-window lm_bigram_logprob;
-#    p12/p13/p14 share plans/enrich.py with in-window p20;
-#    set_ops_union/w6_rank_lag/a7_total_multi share
-#    queries/relational.py with in-window w5/j9/p3/p4/p7;
-#    corpus_curation composes the in-window v2/v3 funnels;
-#    dedup_exact keeps five operators/dedup.py siblings in-window
-#    (minhash_lsh, incremental, best_of_cluster, semantic, span).
-#    They sit at the staleness bound and rotate FIRST into r10.
+# Round-10 rotation (implements the r9 verdict's binding schedule):
+# 1. the 30 r7-latest queries MUST head the window — after r10 no
+#    query's latest driver row may be older than r8 (the ≤2-round
+#    staleness invariant);
+# 2. NEW this round: dedup_clusters_scalable (star-edge candidate
+#    generation feeding the same connected-components resolution —
+#    shares the pair-path oracle, so a hash match proves cluster
+#    equivalence);
+# 3. code path changed this round: op_merge_snapshot (ingest-
+#    maintained merged-snapshot serve with freshness gate + raw
+#    fallback, oracle stays on raw) and the sketches family's
+#    broadcast-escape + layout-stats probe rewiring — hh_by_event_type,
+#    hh_event_users, hh_terms are r8-latest AND changed, so they head
+#    the r8 fill; the r9-latest changed siblings (top_frequent_users,
+#    quantile_*) stay out-of-window this round but are pinned by the
+#    sf0.01 pytest oracle mirror and rotate first into r11 with the
+#    rest of the r9 cohort's dependents;
+# 4. r8-latest fill (18 of 43): the changed sketches trio, the
+#    headline bench queries (j1/j5/w1/w4/j4_bucketed/ann_ivf_indexed),
+#    the typed-record + read-path surface (ip_records,
+#    read_path_typed/search), ML training frame, the intel/event
+#    sources (s4/s8), and the DSL compilers (p9/p11) +
+#    quality_model_filter. The remaining 25 r8-latest
+#    (a2_window_totals_approx, a6_rep_blacklists, a6_rep_dshield,
+#    ann_ivf_trained, ann_ivfpq_indexed, ann_pq_topk,
+#    dedup_simhash_pairs, fmp_score_gbt, j2_enrichment_chain,
+#    j6_bulk_lookup, j8_group_stats_join_back, mixture_temperature_free,
+#    p10_validity_filter, p15_as_class, p16_reserved_ip, p17_asn_rank,
+#    p18_bgp_rank, p19_shodan, p1_projection, p2_range_predicate,
+#    p5_multi_value_and_or, p6_elem_match, p8_semijoin,
+#    sessionize_stats, weighted_sample_topk) sit at the staleness
+#    bound after r10 and rotate FIRST into r11.
 _WINDOW_PRIORITY = [
-    # 1 — r6-latest (staleness bound, scheduled by the r8 trim)
-    "a2_window_totals",
-    "j4_range_join",
-    "w5_pivot",
-    "f_ip_codec",
-    "dedup_minhash_lsh",
-    "corpus_curation_v2",
-    "corpus_curation_v3",
-    "s5_point_read",
-    "s6_filtered_find",
-    "s10_export_blocklist",
-    "p3_list_or_range",
-    "p4_suffix_predicate",
-    "p7_json_exists",
-    "j9_semi_anti",
-    "a11_distinct_pair_counts",
-    "a13_intervals",
-    "op_array_upsert_rebuild",
-    "nru_due_selection",
-    "shard_assign",
-    "dedup_best_of_cluster",
-    "text_span_dedup",
-    "dedup_semantic",
-    "quality_gopher_rules",
-    "mixture_temperature",
-    # 2 — new this round (corpus_drift_psi displaces dedup_exact from
-    #     the tier-4 fill: operators/dedup.py keeps FIVE in-window
-    #     representatives — dedup_minhash_lsh, dedup_incremental,
-    #     best_of_cluster, semantic, span)
-    "streaming_quantiles",
-    "corpus_drift_psi",
-    "corpus_novelty",
-    # 3 — code path changed this round
-    "quantile_event_values",
-    "quantile_by_event_type",
-    "corpus_stats_card",
-    "lm_bigram_logprob",
-    "top_frequent_users",
-    "dedup_incremental",
-    "p20_passive_dns",
-    "streaming_hh_terms",
-    "text_token_stats",
-    # 4 — r7-latest fill
-    "q1_pricing_summary",
-    "a16_rollup_revenue",
-    "a1_daily_rollup",
-    "a3_ewma",
-    "a6_source_reputation",
-    "a7_total_reputation",
-    "a8_threat_summary",
-    "a10_prefix_summary",
-    "a12_refcount_rebuild",
-    "a14_feed_rollup",
-    "tags_rules",
-    "fmp_score",
+    # 1 — r7-latest (staleness bound; mandated by the r9 verdict)
+    "a5_type_profile",
+    "a7_total_multi",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_topk",
+    "contamination_check",
+    "corpus_curation",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_centroids",
+    "leakage_safe_split",
+    "lm_unigram_logprob",
+    "mixture_sample",
+    "multimodal_bytes",
+    "p12_dnsbl_membership",
+    "p13_geo_enrichment",
+    "p14_ptr_hostname",
+    "sequence_packing",
+    "set_ops_union",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_repetition",
+    "tfidf_top_terms",
+    "train_val_split",
+    "w6_rank_lag",
+    # 2 — new this round
+    "dedup_clusters_scalable",
+    # 3 — code path changed this round (r9-latest)
     "op_merge_snapshot",
-    "streaming_daily_counts",
+    # 4 — r8-latest fill (18; changed sketches trio first)
+    "hh_by_event_type",
+    "hh_event_users",
+    "hh_terms",
+    "j1_equi_join",
+    "j5_asof_join",
+    "w1_topk",
+    "w4_last_n_per_key",
+    "j4_range_join_bucketed",
+    "ann_ivf_indexed",
+    "quality_model_filter",
+    "fmp_training_frame",
+    "ip_records",
+    "read_path_typed",
+    "read_path_search",
+    "s4_misp_upserts",
+    "s8_event_fetch",
+    "p9_warden_filter_dsl",
+    "p11_threat_categorization",
 ]
 
 
