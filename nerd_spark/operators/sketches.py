@@ -194,7 +194,16 @@ def top_frequent(
     hint = F.broadcast if broadcast_candidates else (lambda d: d)
     kt = df.schema[key_col].dataType.simpleString()
     src = df.select(F.col(key_col).alias("k")).filter(F.col("k").isNotNull())
-    nd = src.agg(F.approx_count_distinct("k", 0.05).alias("nd")).first()["nd"]
+    # layout sidecar first (FS-stat cost), scanning probe only on raw
+    # dirs / derived frames — see sources/colstats.py's safety model
+    # (a stat can only pick a slower exact plan, never a wrong result)
+    from nerd_spark.sources import colstats
+
+    nd = colstats.distinct_upper_bound(df, [key_col])
+    if nd is None:
+        nd = src.agg(
+            F.approx_count_distinct("k", 0.05).alias("nd")
+        ).first()["nd"]
     if nd * 1.25 <= plain_max_distinct:
         hh = (
             src.groupBy(F.col("k").alias(key_col))
@@ -371,9 +380,16 @@ def heavy_hitters_by(
     src = df.select(
         F.col(group_col).alias("g"), F.col(key_col).alias("k")
     ).filter(F.col("k").isNotNull() & F.col(group_col).isNotNull())
-    nd = src.agg(
-        F.approx_count_distinct(F.struct("g", "k"), 0.05).alias("nd")
-    ).first()["nd"]
+    # layout sidecar first (direct pair stat, or the product of the
+    # single-column stats — still an upper bound); scanning probe
+    # only when no fresh sidecar covers the scan (colstats.py)
+    from nerd_spark.sources import colstats
+
+    nd = colstats.distinct_upper_bound(df, [group_col, key_col])
+    if nd is None:
+        nd = src.agg(
+            F.approx_count_distinct(F.struct("g", "k"), 0.05).alias("nd")
+        ).first()["nd"]
     if nd * 1.25 <= plain_max_distinct:
         # persisted: ng derives FROM hist — without the pin the corpus
         # aggregation runs twice (distinct-bounded by the probe).
@@ -438,7 +454,10 @@ _REFINE_CAP = 2_000_000  # max rows a refine may order in one task
 
 
 def _hist_or_none(
-    source: DataFrame, vals: DataFrame, max_rows: int
+    source: DataFrame,
+    vals: DataFrame,
+    max_rows: int,
+    stat_cols: list[str] | None = None,
 ) -> DataFrame | None:
     """Decide histogram-vs-bracket from MEASURED cardinality and
     return the persisted (g, v, cnt) histogram, or None for bracket.
@@ -465,14 +484,26 @@ def _hist_or_none(
       path it might replace costs multiples of that.
     """
     from nerd_spark.operators.dedup import _bytes_conf
+    from nerd_spark.sources import colstats
     from nerd_spark.sources.fsutil import estimate_input_bytes
 
     spark = vals.sparkSession
     probe_floor = _bytes_conf(
         spark, "spark.nerd.quantileHistProbeBytes", 1 << 30
     )
-    est = estimate_input_bytes(source)
     hist = vals.groupBy("g", "v").agg(F.count("*").alias("cnt"))
+    if stat_cols:
+        # layout sidecar: answers the bounded-domain question for the
+        # cost of an FS stat — skips BOTH the size gate and the HLL
+        # scan below (colstats.py safety model: table-level upper
+        # bound, so a "bounded" certificate holds for any row subset;
+        # an over-bound verdict routes to bracket — exact either way)
+        nd = colstats.distinct_upper_bound(source, stat_cols)
+        if nd is not None:
+            if nd * 1.25 <= max_rows:
+                return hist.persist()
+            return None
+    est = estimate_input_bytes(source)
     if est is not None and est >= probe_floor:
         nd = vals.agg(
             F.approx_count_distinct(F.struct("g", "v"), 0.05).alias("nd")
@@ -630,7 +661,7 @@ def exact_quantiles(
         hist = (
             gvals.groupBy("g", "v").agg(F.count("*").alias("cnt")).persist()
             if strategy == "histogram"
-            else _hist_or_none(df, gvals, max_histogram_rows)
+            else _hist_or_none(df, gvals, max_histogram_rows, [col])
         )
         if hist is not None:
             return _hist_quantiles(hist, probs).select("p", "value")
@@ -772,7 +803,7 @@ def exact_quantiles_by(
         hist = (
             vals.groupBy("g", "v").agg(F.count("*").alias("cnt")).persist()
             if strategy == "histogram"
-            else _hist_or_none(df, vals, max_histogram_rows)
+            else _hist_or_none(df, vals, max_histogram_rows, [key_col, col])
         )
         if hist is not None:
             # the histogram path has no forced hints at all — AQE

@@ -106,3 +106,64 @@ def estimate_input_bytes(df) -> int | None:
     except Exception:
         return None
     return int(sum(sizes) / len(sizes) * n)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small driver-side text artifact (sidecar JSON) through
+    the Hadoop FS API — same any-scheme guarantee as the rest of this
+    module. Overwrites. Callers wanting atomicity write a temp name
+    and :func:`rename` (atomic on HDFS and local FS)."""
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text artifact; None when missing. Bounded by
+    sidecar size (KBs) — never data-sized."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def dir_signature(spark: SparkSession, table_dir: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) over every non-hidden file under a
+    table directory, recursively — the freshness fingerprint sidecar
+    stats are pinned to. Any append/compact/overwrite changes it, so a
+    stale sidecar can never be trusted. Hidden entries (`_*`, `.*` —
+    markers, sidecars, CRCs) are excluded at EVERY path component, so
+    writing the sidecar itself does not perturb the signature. Pure FS
+    metadata: one recursive listing, no data reads."""
+    fs, p = _fs(spark, table_dir)
+    if not fs.exists(p):
+        return (0, 0)
+    n = 0
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        fp = st.getPath()
+        hidden = False
+        # walk path components up to (excluding) table_dir
+        comp = fp
+        while comp is not None and str(comp) != str(p):
+            name = comp.getName()
+            if name.startswith("_") or name.startswith("."):
+                hidden = True
+                break
+            comp = comp.getParent()
+        if hidden:
+            continue
+        n += 1
+        total += int(st.getLen())
+    return (n, total)

@@ -338,6 +338,23 @@ def optimize_layout(
         # the co-located scan itself. Registered as external catalog
         # tables under out_dir (bucket metadata needs the catalog).
         write_join_pair(spark, out_dir)
+    if build_indexes and (tables is None or "events" in tables):
+        # Column-stats sidecar: the sketch probes (top_frequent,
+        # heavy_hitters_by, the quantile histogram gate) route on the
+        # table's distinct-count profile — a property of the TABLE,
+        # answered here ONCE in one map-side HLL aggregate instead of
+        # a per-query corpus scan (the reference's cron-refreshed
+        # meta-info discipline, scripts/update_db_meta_info.js). The
+        # sidecar is signature-pinned: any later write invalidates it
+        # and the probes fall back to scanning (sources/colstats.py).
+        from nerd_spark.sources import colstats
+
+        colstats.write_column_stats(
+            spark,
+            f"{out_dir}/events.parquet",
+            ["user_id", "value", "event_type"],
+            [("event_type", "user_id"), ("event_type", "value")],
+        )
     if build_indexes and (tables is None or "embeddings" in tables):
         # Derived index structures are ingest-time work too: the IVF
         # inverted-list layout (corpus partitioned by coarse-centroid
