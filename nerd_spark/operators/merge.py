@@ -359,3 +359,82 @@ def agg_append(value_col: str, order_col: str, alias: str):
         F.sort_array(F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v")))),
         lambda s: s["v"],
     ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot state: the commutative-op subset as a MERGEABLE per-entity
+# table (what the reference's entity record accumulates per update
+# task, NERDd/core/update_manager.py:83-231 — here the fold is a
+# groupBy for the batch and a full-outer merge for state ⊕ state).
+# ---------------------------------------------------------------------------
+
+# the mergeable state columns (entity key excluded)
+SNAPSHOT_STATE_COLS = (
+    "total",
+    "first_seen",
+    "types_arr",
+    "last_arrival",
+    "last_value",
+)
+
+
+def snapshot_events(ev: DataFrame, entity: str = "user_id") -> DataFrame:
+    """One aggregation pass folding an event set into §2.4 snapshot
+    STATE: add (total), setmin (first_seen), add_to_set (types_arr,
+    sorted), last-writer-wins set (last_value keyed by the arrival
+    order (ts, event_id) — kept in the state as ``last_arrival`` so a
+    later merge can re-adjudicate the writer). ``last_activity`` is
+    served as last_arrival.ts — identical to max(ts) since the struct
+    ordering is ts-major. Every column is associative/commutative
+    state, so snapshot(A ∪ B) == merge(snapshot(A), snapshot(B))
+    (:func:`merge_snapshots`, pinned by tests/test_summary_merged.py)
+    — the property that lets ingest maintain the table per
+    micro-batch while queries serve it aggregation-free."""
+    arr = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    return ev.groupBy(entity).agg(
+        F.count("*").alias("total"),
+        agg_setmin("ts", "first_seen"),
+        agg_add_to_set("event_type", "types_arr"),
+        F.max(arr).alias("last_arrival"),
+        agg_set_last("value", arr, "last_value"),
+    )
+
+
+def merge_snapshots(
+    old: DataFrame, batch: DataFrame, entity: str = "user_id"
+) -> DataFrame:
+    """state ⊕ state: fold a batch snapshot into an existing one with
+    the same op algebra — counts add, first_seen takes the least,
+    type sets union (re-sorted), the newer arrival wins last_value.
+    Null-side rows (entity present in only one input) pass the other
+    side through unchanged. One full-outer join on the entity key; at
+    scale both sides are entity-bucketed so the exchange is pruned to
+    touched buckets (sources/layout.py::update_merged_summary)."""
+    o = old.select(entity, *[F.col(c).alias(f"o_{c}") for c in SNAPSHOT_STATE_COLS])
+    b = batch.select(entity, *[F.col(c).alias(f"b_{c}") for c in SNAPSHOT_STATE_COLS])
+    j = o.join(b, entity, "full_outer")
+    batch_wins = F.col("o_last_arrival").isNull() | (
+        F.col("b_last_arrival").isNotNull()
+        & (F.col("b_last_arrival") >= F.col("o_last_arrival"))
+    )
+    empty = F.array().cast("array<string>")
+    zero = F.lit(0).cast("long")
+    return j.select(
+        entity,
+        (F.coalesce("o_total", zero) + F.coalesce("b_total", zero)).alias(
+            "total"
+        ),
+        F.least("o_first_seen", "b_first_seen").alias("first_seen"),
+        F.sort_array(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("o_types_arr", empty),
+                    F.coalesce("b_types_arr", empty),
+                )
+            )
+        ).alias("types_arr"),
+        F.greatest("o_last_arrival", "b_last_arrival").alias("last_arrival"),
+        F.when(batch_wins, F.col("b_last_value"))
+        .otherwise(F.col("o_last_value"))
+        .alias("last_value"),
+    )

@@ -52,6 +52,7 @@ SUMMARY_ASOF_DIRNAME = "summary_asof.parquet"
 SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 SUMMARY_Q1_DIRNAME = "summary_q1_daily.parquet"
 SUMMARY_A16_DIRNAME = "summary_a16_rollup.parquet"
+SUMMARY_MERGED_DIRNAME = "summary_merged.parquet"
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -432,6 +433,21 @@ def optimize_layout(
         )
         asof_d_df.write.mode("overwrite").parquet(_window_meta_path(wpath))
         fsutil.touch(spark, os.path.join(wpath, WINDOW_GATE))
+        # §2.4 merged snapshot (the op_merge_snapshot answer table):
+        # one mergeable row per entity, bucketed like the window
+        # table so incremental folds rewrite only touched buckets
+        # (update_merged_summary). Every column is commutative op
+        # state, so serving is bit-identical to the raw one-pass fold.
+        from nerd_spark.operators.merge import snapshot_events
+
+        (
+            snapshot_events(ev, "user_id")
+            .withColumn("wb", _wbucket("user_id"))
+            .repartition("wb")
+            .write.mode("overwrite")
+            .partitionBy("wb")
+            .parquet(os.path.join(out_dir, SUMMARY_MERGED_DIRNAME))
+        )
 
 
 def update_daily_summary(
@@ -783,13 +799,57 @@ def update_window_summary(
     fsutil.touch(spark, success)
 
 
+def update_merged_summary(
+    spark: SparkSession,
+    summary_path: str,
+    new_events,
+    entity: str = "user_id",
+) -> None:
+    """Incremental maintenance of the §2.4 merged snapshot: fold the
+    batch's snapshot state into the table with the op algebra
+    (operators/merge.py::merge_snapshots) and rewrite ONLY the entity
+    buckets the batch touches — cost O(batch + touched-bucket rows),
+    never O(entities). Same commit discipline as the daily summary:
+    lineage cut before the dynamic overwrite, readers gate on a root
+    _SUCCESS that is dropped before and re-touched after the commit
+    (torn write -> no gate -> raw-recompute fallback)."""
+    from nerd_spark.operators.merge import merge_snapshots, snapshot_events
+    from nerd_spark.sources import fsutil
+
+    bs = snapshot_events(new_events, entity).withColumn(
+        "wb", _wbucket(entity)
+    )
+    if any(
+        f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
+    ):
+        touched = [r.wb for r in bs.select("wb").distinct().collect()]
+        old = (
+            spark.read.parquet(summary_path)
+            .filter(F.col("wb").isin(touched))  # partition-pruned scan
+            .drop("wb")
+        )
+        merged = merge_snapshots(old, bs.drop("wb"), entity).withColumn(
+            "wb", _wbucket(entity)
+        )
+    else:
+        merged = bs
+    merged = merged.localCheckpoint()  # cut lineage: write reads inputs
+    success = os.path.join(summary_path, "_SUCCESS")
+    fsutil.delete(spark, success)
+    merged.repartition("wb").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("wb").parquet(summary_path)
+    fsutil.touch(spark, success)
+
+
 def update_event_summaries(
     spark: SparkSession, data_dir: str, new_events, entity: str = "user_id"
 ) -> None:
-    """One-call per-micro-batch maintenance of all three derived
-    event tables (daily, as-of anchor, per-entity window rollup) —
-    what the ingest job runs so every A-family query, including A2,
-    serves from precomputed state."""
+    """One-call per-micro-batch maintenance of all four derived
+    event tables (daily, as-of anchor, per-entity window rollup,
+    §2.4 merged snapshot) — what the ingest job runs so every
+    A-family query, including A2 and op_merge_snapshot, serves from
+    precomputed state."""
     from nerd_spark.sources import fsutil
 
     daily_p = os.path.join(data_dir, SUMMARY_DAILY_DIRNAME)
@@ -808,6 +868,12 @@ def update_event_summaries(
         spark,
         os.path.join(data_dir, SUMMARY_WINDOW_DIRNAME),
         daily_p,
+        new_events,
+        entity=entity,
+    )
+    update_merged_summary(
+        spark,
+        os.path.join(data_dir, SUMMARY_MERGED_DIRNAME),
         new_events,
         entity=entity,
     )
