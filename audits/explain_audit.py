@@ -51,14 +51,18 @@ EXPECT = {
     "ann_pq_topk": ["BroadcastNestedLoopJoin", "BroadcastHashJoin"],
     "ann_ivf_indexed": ["PartitionFilters: [cid"],
     "ann_ivfpq_indexed": ["PartitionFilters: [cid", "BroadcastHashJoin"],
-    # round 8: the sketch family — heavy hitters verify candidates via
-    # a broadcast semi join (the full key universe never shuffles);
+    # round 8/10: the sketch family — the r10 cardinality probe
+    # (layout sidecar / HLL scan) routes hh_event_users' bounded user
+    # domain to ONE plain map-side-combined count: HashAggregate
+    # pairs and NO screen stage (the screen path's broadcast-semi
+    # verify shape stays pinned by tests/test_sketches.py's forced
+    # plain_max_distinct=0 test);
     # hh_terms is all MapInPandas pair-emit (no explode / token rows);
     # grouped quantiles (r9: the probe picks the value-histogram
     # strategy on this bounded domain) broadcast the per-group totals
     # and select by cumulative sum over the distinct-value window —
     # no GK sketch and never a global Sort of the column
-    "hh_event_users": ["BroadcastHashJoin", "LeftSemi"],
+    "hh_event_users": ["HashAggregate"],
     "hh_terms": ["MapInPandas"],
     "quantile_by_event_type": ["BroadcastHashJoin", "Window [sum(cnt"],
 }

@@ -61,9 +61,19 @@ def test_thin_spread_heavy_key_is_found(spark):
 
 def test_plan_broadcasts_candidates(spark):
     df = spark.range(0, 5000).select((F.col("id") % 37).alias("k"))
-    plan = SK.heavy_hitters(df, "k", 0.01)._jdf.queryExecution().executedPlan().toString()
+    # plain_max_distinct=0 forces the screen path (the r10 probe
+    # routes this bounded domain to a plain count otherwise)
+    hh = SK.heavy_hitters(df, "k", 0.01, plain_max_distinct=0)
+    plan = hh._jdf.queryExecution().executedPlan().toString()
     # verify phase: candidates reach the corpus as a broadcast semi join
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the probe-routed plain path: no screen stage, same answer
+    plain = SK.heavy_hitters(df, "k", 0.01)
+    pplan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "mapinpandas" not in pplan.lower()
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, hh.collect())
+    )
 
 
 def test_min_frac_validation(spark):
