@@ -45,6 +45,8 @@ EXTENDED = [
     "corpus_stats_card",
     "top_frequent_users",
     "lm_bigram_logprob",
+    # round-10: the linear-in-clique-depth cluster path (r9 verdict #1)
+    "dedup_clusters_scalable",
 ]
 
 # Representative cut across operator families; excludes the

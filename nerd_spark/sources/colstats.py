@@ -212,3 +212,32 @@ def distinct_upper_bound(df: DataFrame, cols: list[str]) -> int | None:
             prod *= int(ent["nd"])
         return prod
     return None
+
+
+def maybe_refresh_column_stats(
+    spark: SparkSession,
+    table_dir: str,
+    columns: list[str],
+    pairs: list[tuple[str, str]] | tuple = (),
+    growth: float = 1.25,
+) -> bool:
+    """Amortized sidecar refresh for continuously-ingested tables:
+    every append invalidates the signature (probes then fall back to
+    scanning), but re-aggregating per micro-batch would cost one
+    corpus pass per batch. Refresh only when the table has grown past
+    ``growth``x the bytes the sidecar was computed at (or the sidecar
+    is missing/unreadable): O(log) full passes over the table's
+    lifetime — the epoch-compaction cadence discipline — while the
+    stat's routing verdict stays within the margin the probes already
+    apply. Between refreshes probes fall back to scanning, which is
+    only ever a performance cost (module safety model). Returns True
+    when a refresh ran."""
+    sp = stats_path(table_dir)
+    payload = _load(spark, sp)
+    if payload is not None:
+        old_n, old_bytes = payload.get("signature", (0, 0))
+        _, cur_bytes = fsutil.dir_signature(spark, table_dir)
+        if cur_bytes <= old_bytes * growth:
+            return False
+    write_column_stats(spark, table_dir, columns, pairs)
+    return True

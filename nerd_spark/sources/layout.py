@@ -877,6 +877,20 @@ def update_event_summaries(
         new_events,
         entity=entity,
     )
+    # amortized column-stats refresh: every merge_facts append
+    # invalidates the probe sidecar's signature; re-pin it only when
+    # the table has grown past the refresh factor (O(log) passes over
+    # the table's lifetime, colstats.maybe_refresh_column_stats)
+    ev_path = os.path.join(data_dir, "events.parquet")
+    if fsutil.exists(spark, ev_path):
+        from nerd_spark.sources import colstats
+
+        colstats.maybe_refresh_column_stats(
+            spark,
+            ev_path,
+            ["user_id", "value", "event_type"],
+            [("event_type", "user_id"), ("event_type", "value")],
+        )
 
 
 def prune_summary(

@@ -182,3 +182,30 @@ def test_union_of_tables_borrows_no_stats(spark, stats_table, tmp_path):
         spark.read.parquet(other)
     )
     assert colstats.distinct_upper_bound(df, ["user_id"]) is None
+
+
+def test_amortized_refresh_growth_gate(spark, stats_table):
+    df0 = spark.read.parquet(stats_table)
+    # small append: signature stale, but growth < 1.25x -> NO refresh
+    df0.limit(50).write.mode("append").parquet(stats_table)
+    colstats._CACHE.clear()
+    assert not colstats.maybe_refresh_column_stats(
+        spark, stats_table, ["user_id"]
+    )
+    assert (
+        colstats.distinct_upper_bound(
+            spark.read.parquet(stats_table), ["user_id"]
+        )
+        is None  # stale between refreshes: probes fall back to scanning
+    )
+    # grow past the factor -> refresh runs and re-pins the signature
+    big = spark.read.parquet(stats_table)
+    big.write.mode("append").parquet(stats_table)
+    colstats._CACHE.clear()
+    assert colstats.maybe_refresh_column_stats(
+        spark, stats_table, ["user_id"]
+    )
+    nd = colstats.distinct_upper_bound(
+        spark.read.parquet(stats_table), ["user_id"]
+    )
+    assert nd is not None and 30 <= nd <= 45
