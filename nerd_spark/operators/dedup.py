@@ -475,6 +475,14 @@ def minhash_cluster_edges(
             pj.unpersist()
             break
         bad = pj.filter(F.col("jaccard") < threshold).select("a_id", "b_id")
+        # early exit for the common pure-clique case (every star edge
+        # verified): the residue semi-join + checkpoint below is the
+        # dominant per-round fixed cost, and with no failed edge the
+        # residue is PROVABLY empty — pj is already persisted, so the
+        # probe is one bounded scan of the verified pair frame
+        if not bad.take(1):
+            pj.unpersist()
+            break
         cur = (
             star.join(bad, ["a_id", "b_id"], "left_semi")
             .select("id", "b", "h")
