@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nerd_spark.functions.text import fingerprint, tokens
+from nerd_spark.operators.cacheutil import tie_unpersist
 
 
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
@@ -231,17 +232,18 @@ def _pair_jaccard(
     a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
     b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
     c = F.size(F.array_intersect("sa", "sb"))
-    cand = cand.persist()
+    cand = cand.persist()  # probe + verify join; tied to the result below
     over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
     probe = cand.hint("merge") if over else F.broadcast(cand)
-    return (
+    return tie_unpersist(
         probe.join(a, "a_id")
         .join(b, "b_id")
         .select(
             "a_id",
             "b_id",
             F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
-        )
+        ),
+        cand,
     )
 
 
@@ -277,7 +279,12 @@ def jaccard_dedup(
         .distinct()
     )
     sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
-    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
+    pj = _pair_jaccard(cand, sets)
+    # re-tie: the filter below is a new handle; without this the
+    # intermediate dies at return and drops the candidate pin early
+    return tie_unpersist(
+        pj.filter(F.col("jaccard") >= threshold), pj, sarr, rare
+    )
 
 
 def minhash_lsh_dedup(
@@ -326,7 +333,12 @@ def minhash_lsh_dedup(
         .distinct()
     )
     sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
-    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
+    pj = _pair_jaccard(cand, sets)
+    # re-tie: the filter below is a new handle; without this the
+    # intermediate dies at return and drops the candidate pin early
+    return tie_unpersist(
+        pj.filter(F.col("jaccard") >= threshold), pj, sarr, mh
+    )
 
 
 def minhash_band_table(
@@ -540,7 +552,12 @@ def incremental_minhash_pairs(
         .distinct()
     )
     sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
-    return _pair_jaccard(cand, sets).filter(F.col("jaccard") >= threshold)
+    pj = _pair_jaccard(cand, sets)
+    # re-tie: the filter below is a new handle; without this the
+    # intermediate dies at return and drops the candidate pin early
+    return tie_unpersist(
+        pj.filter(F.col("jaccard") >= threshold), pj, sarr, mh
+    )
 
 
 def incremental_minhash_pairs_indexed(
@@ -604,8 +621,9 @@ def incremental_minhash_pairs_indexed(
     sets = shingle_arrays(_spread(cdocs), id_col, text_col, k).select(
         "id", F.array_distinct("sarr").alias("ss")
     )
-    return _pair_jaccard(cand, sets, broadcast_max_pairs).filter(
-        F.col("jaccard") >= threshold
+    pj = _pair_jaccard(cand, sets, broadcast_max_pairs)
+    return tie_unpersist(
+        pj.filter(F.col("jaccard") >= threshold), pj
     )
 
 

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from nerd_spark.functions.text import tokens
+from nerd_spark.operators.cacheutil import tie_unpersist
 
 
 def term_count_pairs(
@@ -412,8 +413,8 @@ def bigram_logprob(
         # consumed by the probe + one of the two paths. The small
         # path unpersists explicitly after toPandas; the over-bound
         # JVM path keeps it inside the returned plan (c1 window + lp
-        # join) — lifetime = that plan's reference, ContextCleaner
-        # reclaims on GC (the ivf_probe adjudication).
+        # join) — lifetime tied to the returned frame
+        # (cacheutil.tie_unpersist).
     )
     small = (
         bg.limit(score_broadcast_max_pairs + 1).count()
@@ -468,13 +469,14 @@ def bigram_logprob(
     ).select(
         "w1", "w2", F.log(F.col("c2") / F.col("c1")).alias("lp")
     )
-    return (
+    return tie_unpersist(
         pairs.join(bgj, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
-        )
+        ),
+        bg,
     )
 
 
@@ -630,6 +632,25 @@ def token_stats(
     import pandas as pd
 
     from nerd_spark.operators.dedup import _bytes_conf
+
+    # Serve path: layout-materialized per-doc counts (sources/
+    # layout.py, the lineitem-u4 discipline) — two long columns
+    # replace the text scan entirely; group sums are bit-identical to
+    # both query-time paths because the ingest expressions ARE the
+    # HOF reference and kernel==HOF parity is pinned. The columns
+    # travel with the rows (same parquet write), so there is no
+    # sidecar staleness to gate on; transforms that rewrite text own
+    # dropping them (the u4 contract).
+    if (
+        text_col == "text"
+        and "n_tokens_pre" in docs.columns
+        and "n_bpe_pre" in docs.columns
+    ):
+        return docs.groupBy(group_col).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens_pre").alias("total_tokens"),
+            F.sum("n_bpe_pre").alias("total_bpe_ish"),
+        )
 
     spark = docs.sparkSession
     min_bytes = _bytes_conf(spark, "spark.nerd.tokenStatsKernelMinBytes", 32 << 20)

@@ -576,13 +576,12 @@ def ivfpq_probe(
             adc_table_udf(books)(F.col("qv")).alias("qtab"),
             "cid",
         )
-        # consumed twice: the cid collect + the candidate join. Not
-        # explicitly unpersisted (ADVICE r7, declined with cause —
-        # the r7 ivf_probe precedent): the cache entry's lifetime is
-        # the caller's DataFrame reference; when it is GC'd,
-        # ContextCleaner reclaims the cached RDD. An eager unpersist
-        # here would invalidate the lazy result before the caller
-        # materializes it.
+        # consumed twice: the cid collect + the candidate join. An
+        # eager unpersist here would invalidate the lazy result
+        # before the caller materializes it, so the lifetime is tied
+        # to the returned frame instead (cacheutil.tie_unpersist —
+        # DataFrame cache entries are CacheManager-pinned and never
+        # reclaimed by GC alone, review r10).
         .cache()
     )
     probe_cids = sorted(r.cid for r in probes.select("cid").distinct().collect())
@@ -621,10 +620,13 @@ def ivfpq_probe(
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
+    from nerd_spark.operators.cacheutil import tie_unpersist
+
+    return tie_unpersist(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
+        .select("query_id", "neighbor_id", "sim", "rank"),
+        probes,
     )
 
 

@@ -444,10 +444,13 @@ def ivf_probe(
         .agg(F.max("sim").alias("sim"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
+    from nerd_spark.operators.cacheutil import tie_unpersist
+
+    return tie_unpersist(
         sims.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
+        .select("query_id", "neighbor_id", "sim", "rank"),
+        probes,
     )
 
 

@@ -47,6 +47,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from nerd_spark.operators.cacheutil import tie_unpersist
+
 
 def _screen_fn(min_frac: float):
     def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -116,26 +118,29 @@ def heavy_hitters(
                 .agg(F.count("*").alias("cnt"))
                 .persist()
                 # consumed twice (n_total + filter); distinct-bounded
-                # by the probe. Lifetime = the returned DataFrame's
-                # reference (ContextCleaner reclaims on plan GC).
+                # by the probe. Lifetime tied to the returned frame
+                # (cacheutil.tie_unpersist).
             )
             n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
             if n_total == 0:
+                hh.unpersist()
                 return df.sparkSession.createDataFrame(
                     [], f"{key_col} {kt}, cnt long, share double"
                 )
-            return hh.filter(
-                F.col("cnt") >= F.lit(min_frac) * F.lit(n_total)
-            ).select(
-                key_col,
-                "cnt",
-                F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
+            return tie_unpersist(
+                hh.filter(
+                    F.col("cnt") >= F.lit(min_frac) * F.lit(n_total)
+                ).select(
+                    key_col,
+                    "cnt",
+                    F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
+                ),
+                hh,
             )
     screened = src.mapInPandas(
         _screen_fn(min_frac), f"k {kt}, _local_n long"
     ).persist()  # consumed twice (candidates + N); <= batches/phi rows.
-    # Lifetime = this DataFrame's reference (the ivf_probe adjudication:
-    # ContextCleaner reclaims it when the plan is GC'd).
+    # Lifetime tied to the returned frame (cacheutil.tie_unpersist).
     totals = screened.groupBy().agg(F.sum("_local_n").alias("n"))  # 1 row
     cands = (
         screened.filter(F.col("_local_n") == 0)
@@ -148,14 +153,15 @@ def heavy_hitters(
         .groupBy(key_col)
         .agg(F.count("*").alias("cnt"))
     )
-    return (
+    return tie_unpersist(
         counts.crossJoin(F.broadcast(totals))
         .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
         .select(
             key_col,
             "cnt",
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
-        )
+        ),
+        screened,
     )
 
 
@@ -250,11 +256,12 @@ def top_frequent(
             .agg(F.count("*").alias("cnt"))
             .persist()
             # consumed twice (n_total + topk); distinct-bounded by the
-            # probe. Lifetime = the returned DataFrame's reference
-            # (ContextCleaner reclaims on plan GC).
+            # probe. Lifetime tied to the returned frame
+            # (cacheutil.tie_unpersist).
         )
         n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
         if n_total == 0:
+            hh.unpersist()
             return df.sparkSession.createDataFrame(
                 [], f"{key_col} {kt}, cnt long, share double, rank int"
             )
@@ -268,8 +275,11 @@ def top_frequent(
             .limit(k)
         )
         w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
-        return topk.withColumn("rank", F.row_number().over(w)).select(
-            key_col, "cnt", "share", "rank"
+        return tie_unpersist(
+            topk.withColumn("rank", F.row_number().over(w)).select(
+                key_col, "cnt", "share", "rank"
+            ),
+            hh,
         )
     screened = src.mapInPandas(
         _topk_screen_fn(initial_frac, k), f"k {kt}, _local_n long, _kth long"
@@ -282,6 +292,7 @@ def top_frequent(
     n_total, kth_max = stats.n or 0, stats.kth or 0
     bmax = stats.bmax or 0
     if n_total == 0:
+        screened.unpersist()
         return df.sparkSession.createDataFrame(
             [], f"{key_col} {kt}, cnt long, share double, rank int"
         )
@@ -347,8 +358,14 @@ def top_frequent(
         .limit(k)
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        key_col, "cnt", "share", "rank"
+    # hh is either the persisted round-1 frame, a tie-carrying
+    # heavy_hitters result (round 2 — ownership transfers), or the
+    # unpinned plain recount (tie is a no-op)
+    return tie_unpersist(
+        topk.withColumn("rank", F.row_number().over(w)).select(
+            key_col, "cnt", "share", "rank"
+        ),
+        hh,
     )
 
 
@@ -434,11 +451,10 @@ def heavy_hitters_by(
     if nd * 1.25 <= plain_max_distinct:
         # persisted: ng derives FROM hist — without the pin the corpus
         # aggregation runs twice (distinct-bounded by the probe).
-        # Lifetime = the returned DataFrame's reference (ContextCleaner
-        # reclaims on plan GC — the ivf_probe adjudication).
+        # Lifetime tied to the returned frame (cacheutil.tie_unpersist).
         hist = src.groupBy("g", "k").agg(F.count("*").alias("cnt")).persist()
         ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
-        return (
+        return tie_unpersist(
             # UNHINTED: the probe bounds distinct (g, k) pairs, not
             # group cardinality — ng can approach the full bound when
             # every key is its own group, and a forced broadcast would
@@ -452,7 +468,8 @@ def heavy_hitters_by(
                 F.col("k").alias(key_col),
                 "cnt",
                 F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
-            )
+            ),
+            hist,
         )
     screened = src.mapInPandas(
         _group_screen_fn(min_frac), f"g {gt}, k {kt}, _local_n long"
@@ -473,7 +490,7 @@ def heavy_hitters_by(
         .groupBy(group_col, key_col)
         .agg(F.count("*").alias("cnt"))
     )
-    return (
+    return tie_unpersist(
         # hint-gated, not forced: totals is one row per GROUP, whose
         # cardinality the group_col argument controls — the same
         # escape (broadcast_candidates=False) that covers the
@@ -487,7 +504,8 @@ def heavy_hitters_by(
             key_col,
             "cnt",
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
-        )
+        ),
+        screened,
     )
 
 
@@ -552,8 +570,8 @@ def _hist_or_none(
         if nd * 1.25 > max_rows:
             return None
         # persisted into the caller's returned plan (two consumers:
-        # cum-window + ng); lifetime = that plan's reference
-        # (ContextCleaner reclaims on GC — the ivf_probe adjudication)
+        # cum-window + ng); the caller ties its lifetime to the
+        # returned frame (cacheutil.tie_unpersist)
         return hist.persist()
     h = hist.persist()
     if h.limit(max_rows + 1).count() > max_rows:
@@ -705,7 +723,9 @@ def exact_quantiles(
             else _hist_or_none(df, gvals, max_histogram_rows, [col])
         )
         if hist is not None:
-            return _hist_quantiles(hist, probs).select("p", "value")
+            return tie_unpersist(
+                _hist_quantiles(hist, probs).select("p", "value"), hist
+            )
 
     eps = 2.0 / accuracy
     plos = [max(0.0, p - eps) for p in probs]
@@ -816,8 +836,8 @@ def exact_quantiles_by(
     frame (one row per group) is persisted: it feeds the verify, the
     widening, and the refine, and without the pin each consumer
     re-runs the GK pass — the initial form measured 15 s at 160x for
-    exactly that reason. Lifetime = the returned DataFrame's reference
-    (the ivf_probe adjudication). Note the broadcast of per-group
+    exactly that reason. Lifetime is tied to the returned frame
+    (cacheutil.tie_unpersist). Note the broadcast of per-group
     scalar metadata assumes broadcast-scale group cardinality (event
     types, sources, ASNs); at extreme cardinality pass
     ``broadcast_bounds=False`` and the joins shuffle on the group key
@@ -851,8 +871,11 @@ def exact_quantiles_by(
             # sizes the totals join (see _hist_quantiles); the
             # broadcast_bounds escape applies to the bracket path's
             # per-group metadata joins below
-            return _hist_quantiles(hist, probs).select(
-                F.col("g").alias(key_col), "p", "value"
+            return tie_unpersist(
+                _hist_quantiles(hist, probs).select(
+                    F.col("g").alias(key_col), "p", "value"
+                ),
+                hist,
             )
     sketch = vals.groupBy("g").agg(
         F.count("v").alias("n"),
@@ -937,10 +960,11 @@ def exact_quantiles_by(
         .select("g", "v", F.col("pr.p").alias("p"), F.col("pr.r").alias("r"))
     )
     w = Window.partitionBy("g", "p").orderBy("v")
-    return (
+    return tie_unpersist(
         tagged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == F.col("r"))
-        .select(F.col("g").alias(key_col), "p", F.col("v").alias("value"))
+        .select(F.col("g").alias(key_col), "p", F.col("v").alias("value")),
+        sketch,
     )
 
 
@@ -1025,12 +1049,13 @@ def heavy_hitter_terms(
     counts = pairs.groupBy(F.col("k").alias("term")).agg(
         F.sum("tf").alias("cnt")
     )
-    return (
+    return tie_unpersist(
         counts.crossJoin(F.broadcast(totals))
         .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
         .select(
             "term",
             "cnt",
             F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
-        )
+        ),
+        pairs,
     )

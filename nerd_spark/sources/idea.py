@@ -100,10 +100,15 @@ def read_idea_kafka_stream(
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Valid rows vs corrupt raw lines (errors-worker equivalent)."""
     # Spark refuses to query the corrupt column of a raw JSON scan
-    # unless the scan is cached first (documented limitation).
+    # unless the scan is cached first (documented limitation). The
+    # cache releases when BOTH returned handles are dropped
+    # (cacheutil.tie_unpersist_shared — session-lifetime hygiene).
+    from nerd_spark.operators.cacheutil import tie_unpersist_shared
+
     df = df.cache()
     corrupt = df.filter(F.col("_corrupt").isNotNull()).select("ID", "_corrupt")
     ok = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    ok, corrupt = tie_unpersist_shared([ok, corrupt], df)
     return ok, corrupt
 
 

@@ -40,6 +40,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
+from nerd_spark.operators.cacheutil import tie_unpersist
 from nerd_spark.operators.dedup import (
     _pair_jaccard,
     minhash_band_table,
@@ -129,7 +130,10 @@ def process_batch(
         )
         .distinct()
     )
-    pairs = _pair_jaccard(cand, all_sets).filter(F.col("jaccard") >= threshold)
+    pj = _pair_jaccard(cand, all_sets)
+    # re-tie: keep the candidate pin alive through the write below
+    # (the intermediate handle would otherwise drop it immediately)
+    pairs = tie_unpersist(pj.filter(F.col("jaccard") >= threshold), pj)
 
     # Durability order: pairs FIRST, then the index absorption, each
     # into this epoch's own overwritten subdir. A crash at any point
