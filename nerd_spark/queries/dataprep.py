@@ -662,14 +662,40 @@ def corpus_stats_card(spark, sf_dir):
     from nerd_spark.functions.text import tokens
     from nerd_spark.operators import sketches as SK
 
-    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    counts = docs.select(
-        "source", F.size(tokens("text")).cast("long").alias("ntok")
-    )
+    docs = t(spark, sf_dir, "documents")
+    # layout dirs carry the ingest-materialized per-doc token count
+    # (sources/layout.py n_tokens_pre — the HOF reference expression
+    # verbatim, parity pinned), so the card never tokenizes at query
+    # time there. Two details both measured at 160x:
+    # - the null filter uses the served column (n_tokens_pre is null
+    #   exactly when text is null — size/tokens propagate null,
+    #   pinned in the layout parity test); filtering on text would
+    #   drag the whole text column through the scan just for the
+    #   null test (~3 s of pure text I/O on the 160x card);
+    # - the quantile call keeps the STORED column name so its
+    #   cardinality probe hits the documents colstats sidecar (an
+    #   aliased column misses and falls back to the HLL scan).
+    # A fused one-pass variant (serve vols + quantiles from one
+    # persisted (source, ntok) histogram) measured SLOWER warm at
+    # 160x (2.0 vs 1.5 s): with the pruned two-long-column scan this
+    # cheap, the extra stages cost more than the saved pass. Raw
+    # dirs (every oracle run) tokenize on the fly.
+    if "n_tokens_pre" in docs.columns:
+        counts = docs.filter(F.col("n_tokens_pre").isNotNull()).select(
+            "source", "n_tokens_pre"
+        )
+        q = SK.exact_quantiles_by(
+            counts, "source", "n_tokens_pre", [0.5, 0.95]
+        )
+        counts = counts.withColumnRenamed("n_tokens_pre", "ntok")
+    else:
+        counts = docs.filter(F.col("text").isNotNull()).select(
+            "source", F.size(tokens("text")).cast("long").alias("ntok")
+        )
+        q = SK.exact_quantiles_by(counts, "source", "ntok", [0.5, 0.95])
     vols = counts.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("ntok").alias("total_tokens")
     )
-    q = SK.exact_quantiles_by(counts, "source", "ntok", [0.5, 0.95])
     wide = q.groupBy("source").agg(
         F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("p50_tokens"),
         F.max(F.when(F.col("p") == 0.95, F.col("value"))).alias("p95_tokens"),

@@ -267,6 +267,36 @@ def optimize_layout(
                 df = df.withColumn(
                     "o_totalprice_u4", _unscaled("o_totalprice")
                 )
+        if name == "documents":
+            # Materialize per-doc token statistics at ingest (the
+            # lineitem-u4 discipline applied to text): n_tokens /
+            # n_bpe are immutable per document, so the one-time
+            # tokenization here lets token_stats serve group sums
+            # from two long columns instead of Arrow-transferring the
+            # whole text column per query. The expressions are the
+            # HOF reference semantics (keywords._token_stats_hof) —
+            # kernel==HOF parity is already pinned, so the served
+            # sums are bit-identical to either query-time path.
+            # Contract (same as the u4 columns): any transform that
+            # REWRITES text must drop these columns or recompute them.
+            from nerd_spark.functions.text import (
+                bpe_ish_token_count,
+                tokens,
+            )
+
+            df = (
+                df.withColumn("_toks", tokens("text"))
+                .withColumn(
+                    "n_tokens_pre", F.size("_toks").cast("long")
+                )
+                .withColumn(
+                    "n_bpe_pre",
+                    bpe_ish_token_count("text", toks=F.col("_toks")).cast(
+                        "long"
+                    ),
+                )
+                .drop("_toks")
+            )
         (
             df.repartitionByRange(n_files, sort_col)
             .sortWithinPartitions(sort_col)
@@ -383,6 +413,21 @@ def optimize_layout(
         )
 
         dd = read_table(spark, out_dir, "documents")
+        # Column-stats sidecar over the just-materialized per-doc
+        # token counts: the corpus-card quantile probe then answers
+        # "is (source, n_tokens) a bounded domain?" from an FS stat
+        # instead of a scanning HLL pass (same discipline as events).
+        # Written BEFORE the band index: the sidecar lands inside
+        # documents.parquet and bumps that dir's mtime, and the band
+        # index's freshness gate (summary_fresh) compares against it.
+        from nerd_spark.sources import colstats
+
+        colstats.write_column_stats(
+            spark,
+            f"{out_dir}/documents.parquet",
+            ["source", "n_tokens_pre"],
+            [("source", "n_tokens_pre")],
+        )
         (
             minhash_band_table(shingle_arrays(_spread(dd), "doc_id", "text", 3))
             .coalesce(max(1, min(scale, 16)))

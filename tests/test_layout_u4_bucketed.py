@@ -207,3 +207,40 @@ def test_dedup_incremental_indexed_equals_raw(spark, sf_dir, layout_dir):
     ):
         d = normalize(REGISTRY["dedup_incremental"](spark, layout_dir).toPandas())
         assert a.equals(d)
+
+
+def test_token_stats_pre_columns_bit_equal_and_served(spark, sf_dir, layout_dir):
+    """Documents carry ingest-materialized per-doc token counts equal
+    to the HOF reference expressions row-for-row, token_stats serves
+    group sums from them (plan has no text-column scan), and the
+    served result equals the raw-dir result exactly."""
+    from nerd_spark.functions.text import bpe_ish_token_count, tokens
+    from nerd_spark.operators.keywords import token_stats
+
+    dd = read_table(spark, layout_dir, "documents")
+    assert "n_tokens_pre" in dd.columns and "n_bpe_pre" in dd.columns
+    staged = dd.withColumn("_toks", tokens("text"))
+    mismatch = staged.filter(
+        (F.col("n_tokens_pre") != F.size("_toks").cast("long"))
+        | (
+            F.col("n_bpe_pre")
+            != bpe_ish_token_count("text", toks=F.col("_toks")).cast("long")
+        )
+    ).count()
+    assert mismatch == 0
+    served = token_stats(dd, group_col="source")
+    # the served plan's scan reads only the pre columns, never text
+    plan = served._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("text" not in ln for ln in schemas), schemas
+    assert any("n_tokens_pre" in ln for ln in schemas), schemas
+    a = normalize(served.toPandas())
+    b = normalize(
+        token_stats(read_table(spark, sf_dir, "documents"), group_col="source")
+        .toPandas()
+    )
+    assert a.equals(b)
