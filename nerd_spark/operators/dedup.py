@@ -287,6 +287,81 @@ def jaccard_dedup(
     )
 
 
+def containment_dedup(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k=3,
+    threshold=0.9,
+    max_df=20,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    |A ∩ B| / min(|A|, |B|) >= threshold — the measure that catches a
+    short document embedded in a long one (quoted snippets, prefixed
+    boilerplate wrappers, chat logs pasted into articles), which
+    symmetric Jaccard structurally misses: a 50-shingle doc fully
+    contained in a 5000-shingle doc has containment 1.0 but Jaccard
+    ~0.01. For training-data curation this is the dedup that removes
+    subset copies a Jaccard threshold can never reach.
+
+    Candidate generation and scale shape are exactly
+    :func:`jaccard_dedup`'s (rare-shingle equi-join, df-capped to
+    kill the hot-shingle blowup; probe-bounded broadcast verify);
+    only the verify denominator differs, so containment(a, b) >=
+    jaccard(a, b) row-for-row and every Jaccard pair at a threshold
+    is also a containment pair at that threshold (property-tested).
+    """
+    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    sh = sarr.select("id", F.explode("sarr").alias("s"))
+    df_ok = (
+        sh.groupBy("s")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    rare = sh.join(df_ok.select("s"), "s").cache()
+    cand = (
+        rare.alias("x")
+        .join(rare.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    pc = _pair_containment(cand, sets)
+    return tie_unpersist(
+        pc.filter(F.col("containment") >= threshold), pc, sarr, rare
+    )
+
+
+def _pair_containment(
+    cand: DataFrame, sets: DataFrame, broadcast_max_pairs: int = 2_000_000
+) -> DataFrame:
+    """Exact containment for candidate (a_id, b_id) pairs — the
+    :func:`_pair_jaccard` verify (same measured-bound broadcast
+    discipline, same cache tie) with denominator min(|A|, |B|)."""
+    sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
+    a = sets.select(
+        F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na")
+    )
+    b = sets.select(
+        F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb")
+    )
+    c = F.size(F.array_intersect("sa", "sb"))
+    cand = cand.persist()  # probe + verify join; tied to the result below
+    over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+    probe = cand.hint("merge") if over else F.broadcast(cand)
+    return tie_unpersist(
+        probe.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(c / F.least("na", "nb"), 6).alias("containment"),
+        ),
+        cand,
+    )
+
+
 def minhash_lsh_dedup(
     spark: SparkSession,
     docs: DataFrame,

@@ -922,6 +922,87 @@ def sessionize_stats(spark, sf_dir):
     return session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)
 
 
+@query(
+    "funnel_stages",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= t1.t GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= t2.t GROUP BY 1
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM t1) AS users,
+           round((SELECT count(*) FROM t1)::DOUBLE
+                 / nullif((SELECT count(*) FROM t1), 0), 6) AS rate
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM t2),
+           round((SELECT count(*) FROM t2)::DOUBLE
+                 / nullif((SELECT count(*) FROM t1), 0), 6)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM t3),
+           round((SELECT count(*) FROM t3)::DOUBLE
+                 / nullif((SELECT count(*) FROM t1), 0), 6)
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    # Ordered-funnel conversion (operators/funnels.py): stage times
+    # reduce to per-user scalar mins with VALUE semantics (t_i =
+    # min ts of stage i at-or-after t_{i-1}), so each stage is one
+    # pushed-down filter + map-side-combined min + a user-key join —
+    # no window, no per-user sort, partition-invariant by
+    # construction.
+    from nerd_spark.operators.funnels import funnel
+
+    ev = t(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH c AS (
+      SELECT user_id, min(ts) AS t0,
+             strftime(min(ts), '%Y-%m-%d') AS cohort_date
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_date, count(*) AS cohort_size FROM c GROUP BY 1
+    ),
+    act AS (
+      SELECT c.cohort_date,
+             (epoch_us(e.ts) - epoch_us(c.t0)) // 604800000000 AS period,
+             count(DISTINCT e.user_id) AS active_users
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.ts >= c.t0
+        AND (epoch_us(e.ts) - epoch_us(c.t0)) // 604800000000 < 4
+      GROUP BY 1, 2
+    )
+    SELECT act.cohort_date, period, cohort_size, active_users,
+           round(active_users::DOUBLE / cohort_size, 6) AS retention
+    FROM act JOIN sizes ON act.cohort_date = sizes.cohort_date
+    """,
+)
+def cohort_retention_q(spark, sf_dir):
+    # Weekly cohort retention anchored on first signup
+    # (operators/funnels.py): one min-aggregation for the anchor, one
+    # distinct-aggregation for activity; period membership is exact
+    # integer division on microsecond epochs (no calendar-truncation
+    # parity risk between engines).
+    from nerd_spark.operators.funnels import cohort_retention
+
+    ev = t(spark, sf_dir, "events")
+    return cohort_retention(ev, "signup")
+
+
 # ---------------------------------------------------------------------------
 # §2.4 array_upsert in aggregation form: rebuild the per-entity
 # `events` array-of-structs exactly as the reference's record carries

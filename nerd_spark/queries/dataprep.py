@@ -112,6 +112,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return DD.jaccard_dedup(docs, threshold=0.8, max_df=20)
 
 
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_SH},
+    dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s) WHERE dfq.df <= 20),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+    ),
+    sets AS (SELECT doc_id, list(s) AS ss, count(*) AS n FROM sh GROUP BY 1),
+    con AS (
+      SELECT c.a_id, c.b_id,
+             round(len(list_intersect(sa.ss, sb.ss)) * 1.0
+                   / least(sa.n, sb.n), 6) AS containment
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.a_id
+      JOIN sets sb ON sb.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, containment FROM con WHERE containment >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    # Asymmetric containment dedup (operators/dedup.py::
+    # containment_dedup): |A∩B| / min(|A|,|B|) catches subset copies
+    # (snippet-in-article, boilerplate-wrapped reposts) that
+    # symmetric Jaccard structurally misses at any threshold. Same
+    # candidate generation and scale shape as the Jaccard verify.
+    docs = t(spark, sf_dir, "documents")
+    return DD.containment_dedup(docs, threshold=0.9, max_df=20)
+
+
 # 8-hex-digit parse (1-based start) — the oracle's mirror of Spark's
 # conv(substring(md5(s), start, 8), 16, 10)
 def _hex8(col: str, start: int) -> str:

@@ -1,0 +1,108 @@
+"""Funnel / cohort-retention operator properties (operators/funnels.py)
+plus the containment-vs-jaccard dominance property
+(operators/dedup.py::containment_dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nerd_spark.operators.funnels import cohort_retention, funnel
+
+
+@pytest.fixture()
+def ev(spark):
+    rows = [
+        # u1 completes the funnel in order
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "purchase"),
+        # u2 clicks BEFORE viewing: click must not count, and the
+        # purchase (after the view but with no qualifying click)
+        # must not count either
+        (4, 2, "2024-01-01 09:00:00", "click"),
+        (5, 2, "2024-01-01 09:30:00", "view"),
+        (6, 2, "2024-01-01 09:45:00", "purchase"),
+        # u3 views only
+        (7, 3, "2024-01-02 08:00:00", "view"),
+        # u4 same-instant view+click (ts ties count, >= semantics)
+        (8, 4, "2024-01-03 12:00:00", "view"),
+        (9, 4, "2024-01-03 12:00:00", "click"),
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_funnel_ordered_semantics(spark, ev):
+    out = {
+        r.stage: (r.users, r.rate)
+        for r in funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out["view"] == (4, 1.0)
+    assert out["click"] == (2, 0.5)  # u1 + u4 (same-instant counts)
+    assert out["purchase"] == (1, 0.25)  # u1 only
+
+
+def test_funnel_monotonic_on_real_data(spark, sf_dir):
+    from nerd_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["funnel_stages"](spark, sf_dir).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    users = [r.users for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert users[0] > 0
+
+
+def test_funnel_empty_first_stage(spark, ev):
+    rows = funnel(ev, ["no_such_type", "click"]).collect()
+    by = {r.stage: r for r in rows}
+    assert by["no_such_type"].users == 0
+    assert by["no_such_type"].rate is None
+    assert by["click"].users == 0
+
+
+def test_cohort_retention_periods(spark):
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "signup"),
+        (2, 10, "2024-01-03 00:00:00", "click"),  # period 0
+        (3, 10, "2024-01-09 00:00:00", "view"),  # period 1
+        (4, 11, "2024-01-01 06:00:00", "signup"),  # same cohort day
+        (5, 11, "2024-01-30 00:00:00", "view"),  # period 4 -> dropped
+        (6, 12, "2023-12-31 23:59:59", "view"),  # pre-anchor, no signup
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.cohort_date, r.period): (r.cohort_size, r.active_users, r.retention)
+        for r in cohort_retention(ev, "signup").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)  # both signups active p0
+    assert out[("2024-01-01", 1)] == (2, 1, 0.5)  # u10's day-9 view
+    assert ("2024-01-01", 4) not in out  # capped at n_periods
+    assert all(k[0] == "2024-01-01" for k in out)  # u12 never anchors
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """containment(a,b) >= jaccard(a,b) pointwise, so every Jaccard
+    pair at a threshold is a containment pair at that threshold."""
+    from nerd_spark.operators.dedup import containment_dedup, jaccard_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jac = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_dedup(docs, threshold=0.9).collect()
+    }
+    con = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_dedup(docs, threshold=0.9).collect()
+    }
+    assert set(jac) <= set(con)
+    for pair, j in jac.items():
+        assert con[pair] >= j - 1e-9
+    assert len(con) > 0
