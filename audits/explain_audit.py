@@ -65,6 +65,16 @@ EXPECT = {
     "hh_event_users": ["HashAggregate"],
     "hh_terms": ["MapInPandas"],
     "quantile_by_event_type": ["BroadcastHashJoin", "Window [sum(cnt"],
+    # round 10: j5's as-of is a carry-forward window — ONE exchange on
+    # the user key and NO join at all (the fan-out join form grew
+    # quadratically in per-user activity; "!" marks must be absent);
+    # funnel/cohort stage filters push to the parquet scan and the
+    # per-user scalar joins stay hash/broadcast; containment's
+    # candidate verify broadcasts the probe-bounded pair frame
+    "j5_asof_join": ["Window [last(", "!Join"],
+    "funnel_stages": ["EqualTo(event_type,view)", "HashAggregate"],
+    "cohort_retention": ["EqualTo(event_type,signup)", "HashAggregate"],
+    "dedup_containment": ["BroadcastHashJoin"],
 }
 
 
@@ -81,7 +91,7 @@ def main() -> int:
         # coalesced shuffles, switched join strategies) are visible
         plan = df._jdf.queryExecution().executedPlan().toString()
         for m in marks:
-            ok = m in plan
+            ok = (m[1:] not in plan) if m.startswith("!") else (m in plan)
             print(("OK  " if ok else "MISS") + f" {name}: {m}")
             if not ok:
                 failures.append((name, m))
