@@ -72,8 +72,13 @@ EXPECT = {
     # per-user scalar joins stay hash/broadcast; containment's
     # candidate verify broadcasts the probe-bounded pair frame
     "j5_asof_join": ["Window [last(", "!Join"],
-    "funnel_stages": ["EqualTo(event_type,view)", "HashAggregate"],
-    "cohort_retention": ["EqualTo(event_type,signup)", "HashAggregate"],
+    # funnel gathers only stage-typed events (pushed In filter) into
+    # ONE user-key aggregation; cohort's day-set aggregation is a
+    # single ObjectHashAggregate over the whole corpus (the anchor
+    # rides the same pass), with no join wider than the tiny
+    # (cohort, period) frames
+    "funnel_stages": ["In(event_type, [", "ObjectHashAggregate"],
+    "cohort_retention": ["ObjectHashAggregate", "PushedFilters: [IsNotNull(ts), IsNotNull(user_id)]"],
     "dedup_containment": ["BroadcastHashJoin"],
 }
 

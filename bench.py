@@ -47,6 +47,11 @@ EXTENDED = [
     "lm_bigram_logprob",
     # round-10: the linear-in-clique-depth cluster path (r9 verdict #1)
     "dedup_clusters_scalable",
+    # round-10 session 2: ordered funnel / cohort retention (per-user
+    # scalar aggregations) and asymmetric containment dedup
+    "funnel_stages",
+    "cohort_retention",
+    "dedup_containment",
 ]
 
 # Representative cut across operator families; excludes the

@@ -969,34 +969,42 @@ def funnel_stages(spark, sf_dir):
 @query(
     "cohort_retention",
     """
-    WITH c AS (
-      SELECT user_id, min(ts) AS t0,
-             strftime(min(ts), '%Y-%m-%d') AS cohort_date
-      FROM events WHERE event_type = 'signup' GROUP BY 1
+    WITH a AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS DATE) END) AS d0
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT user_id, d0, strftime(d0, '%Y-%m-%d') AS cohort_date
+      FROM a WHERE d0 IS NOT NULL
     ),
     sizes AS (
       SELECT cohort_date, count(*) AS cohort_size FROM c GROUP BY 1
     ),
     act AS (
-      SELECT c.cohort_date,
-             (epoch_us(e.ts) - epoch_us(c.t0)) // 604800000000 AS period,
-             count(DISTINCT e.user_id) AS active_users
+      SELECT DISTINCT c.user_id, c.cohort_date,
+             date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7 AS period
       FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.ts >= c.t0
-        AND (epoch_us(e.ts) - epoch_us(c.t0)) // 604800000000 < 4
-      GROUP BY 1, 2
+      WHERE CAST(e.ts AS DATE) >= c.d0
+        AND date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7 < 4
+    ),
+    cnt AS (
+      SELECT cohort_date, period, count(*) AS active_users
+      FROM act GROUP BY 1, 2
     )
-    SELECT act.cohort_date, period, cohort_size, active_users,
-           round(active_users::DOUBLE / cohort_size, 6) AS retention
-    FROM act JOIN sizes ON act.cohort_date = sizes.cohort_date
+    SELECT cnt.cohort_date, period, cohort_size, active_users,
+           round(active_users * 1.0 / cohort_size, 6) AS retention
+    FROM cnt JOIN sizes ON cnt.cohort_date = sizes.cohort_date
     """,
 )
 def cohort_retention_q(spark, sf_dir):
-    # Weekly cohort retention anchored on first signup
-    # (operators/funnels.py): one min-aggregation for the anchor, one
-    # distinct-aggregation for activity; period membership is exact
-    # integer division on microsecond epochs (no calendar-truncation
-    # parity risk between engines).
+    # Weekly day-granularity cohort retention anchored on first
+    # signup (operators/funnels.py): ONE shuffle on the user key —
+    # collect_set of distinct active days partially aggregates
+    # map-side and the anchor rides the same aggregation; periods
+    # resolve as array HOFs. The oracle states the same day
+    # semantics join-wise (correctness contract, not the plan).
     from nerd_spark.operators.funnels import cohort_retention
 
     ev = t(spark, sf_dir, "events")
