@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Event-analytics tour over the synthetic events table — the
+user-journey questions a security/product analyst asks of entity
+telemetry, each in its scale-safe single-shuffle shape:
+
+  1. gap-based sessionization (operators/sessionize.py)
+  2. last-preceding-event attribution (j5's carry-forward window —
+     one shuffle on the entity key, no fan-out join)
+  3. ordered funnel view -> click -> purchase (operators/funnels.py:
+     per-user scalar stage times via array HOFs)
+  4. weekly cohort retention anchored on first signup (day-set
+     aggregation; the anchor rides the same pass)
+
+Run: PYTHONPATH=. python examples/event_analytics.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+from nerd_spark.operators.funnels import cohort_retention, funnel
+from nerd_spark.operators.sessionize import session_stats
+from nerd_spark.queries import REGISTRY
+from nerd_spark.session import get_spark, read_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="event_analytics", shuffle_partitions=8)
+    ev = read_table(spark, sf_dir, "events")
+
+    print("== sessions (30-min gap), busiest first ==")
+    sessions = session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)
+    sessions.orderBy(sessions.n_events.desc(), "user_id", "session_id").show(5)
+
+    print("== purchase -> latest preceding click (as-of attribution) ==")
+    REGISTRY["j5_asof_join"](spark, sf_dir).orderBy("purchase_id").show(5)
+
+    print("== ordered funnel ==")
+    funnel(ev, ["view", "click", "purchase"]).orderBy("stage_idx").show()
+
+    print("== weekly cohort retention (first 10 cohort/period rows) ==")
+    cohort_retention(ev, "signup").orderBy("cohort_date", "period").show(10)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
