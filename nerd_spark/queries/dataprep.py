@@ -732,7 +732,12 @@ def corpus_stats_card(spark, sf_dir):
         F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("p50_tokens"),
         F.max(F.when(F.col("p") == 0.95, F.col("value"))).alias("p95_tokens"),
     )
-    return vols.join(wide, "source")
+    # re-tie: q carries the quantile histogram's cache tie; without
+    # the transfer q dies at return and the histogram (consumed twice
+    # inside the quantile plan) recomputes at materialization
+    from nerd_spark.operators.cacheutil import tie_unpersist
+
+    return tie_unpersist(vols.join(wide, "source"), q)
 
 
 @query(

@@ -194,3 +194,16 @@ def test_bigram_lm_jvm_path_releases_cache(spark):
     assert res.count() == 50
     del res, docs
     _assert_drains(spark, base)
+
+
+def test_registry_card_tie_transfers_and_releases(spark, sf_dir):
+    """corpus_stats_card derives from the quantile result — the tie
+    must TRANSFER to the card's returned frame (keeping the histogram
+    cached until the caller drops the card), then drain."""
+    from nerd_spark.queries import REGISTRY
+
+    base = _storage_count(spark)
+    res = REGISTRY["corpus_stats_card"](spark, sf_dir)
+    assert res.collect()
+    del res
+    _assert_drains(spark, base)
