@@ -78,6 +78,14 @@ HEADLINE = [
 ]
 
 
+def _canary_burn(n: int) -> int:
+    """Module-level so the canary pool's fork children can run it."""
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def main() -> None:
     import tempfile
 
@@ -193,6 +201,25 @@ def main() -> None:
             a = a @ a % 1.0
         return round(time.perf_counter() - t0, 4)
 
+    def _cpu_canary_par() -> float:
+        """Seconds for a fixed 16-process CPU workload — the PARALLEL
+        throughput calibration the single-thread canary misses: this
+        host has measured a nominal single-thread canary while
+        delivering only ~10 of 32 effective cores to a process pool
+        (and JVM stage times inflated 2-4x in exactly those windows —
+        the r10 session's 320x sketch spots vs the r9 session's).
+        Multi-thread Spark stages track THIS number, not the
+        single-thread one. Fully-delivered 32 cores put it near
+        16/32 x the per-task time (~0.15 s); ~0.5 s means half the
+        cores are gone. Compare rows only when BOTH canaries agree."""
+        import multiprocessing as mp
+
+        t0 = time.perf_counter()
+        ctx = mp.get_context("fork")
+        with ctx.Pool(16) as p:
+            p.map(_canary_burn, [6_000_000] * 16)
+        return round(time.perf_counter() - t0, 4)
+
     def _testdata_fingerprint() -> str:
         """Stable hash of the input dir's (name, size) listing — a
         bench row is only comparable to rows with the same data."""
@@ -228,6 +255,7 @@ def main() -> None:
             "loadavg_1m_end": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
             "cpu_canary_sec": _cpu_canary(),
+            "cpu_canary_par_sec": _cpu_canary_par(),
             "testdata_fingerprint": _testdata_fingerprint(),
         },
     }
