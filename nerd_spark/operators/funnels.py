@@ -168,8 +168,6 @@ def cohort_retention(
     division for the non-negative day counts involved (doubles
     represent these integers exactly).
     """
-    from nerd_spark.operators.cacheutil import tie_unpersist
-
     e = events.select(
         F.col(user_col).alias("u"),
         F.to_date(ts_col).alias("d"),
@@ -184,13 +182,25 @@ def cohort_retention(
             F.collect_set("d").alias("days"),
         )
         .filter(F.col("d0").isNotNull())
-        .select(
-            "d0",
-            "days",
-            F.date_format("d0", "yyyy-MM-dd").alias("cohort_date"),
-        )
-        .persist()  # two consumers (sizes + active); tied to the result
     )
+    return retention_from_per_user(per_u, period_days, n_periods)
+
+
+def retention_from_per_user(
+    per_u: DataFrame, period_days: int, n_periods: int
+) -> DataFrame:
+    """Resolve (cohort_date, period, cohort_size, active_users,
+    retention) from the per-user (d0, days) reduction — shared by the
+    batch operator above and the streaming epoch-state serve
+    (streaming/cohort_stream.py), which both arrive at the same
+    per-user state by different aggregations."""
+    from nerd_spark.operators.cacheutil import tie_unpersist
+
+    per_u = per_u.select(
+        "d0",
+        "days",
+        F.date_format("d0", "yyyy-MM-dd").alias("cohort_date"),
+    ).persist()  # two consumers (sizes + active); tied to the result
     sizes = per_u.groupBy("cohort_date").agg(
         F.count("*").alias("cohort_size")
     )

@@ -30,7 +30,7 @@ from nerd_spark.queries import analytics  # noqa: E402,F401
 from nerd_spark.queries import dataprep  # noqa: E402,F401
 from nerd_spark.queries import streamingq  # noqa: E402,F401
 
-# The inventory (127) exceeds the driver's 50-entry correctness
+# The inventory (128) exceeds the driver's 50-entry correctness
 # window, so the window front is hand-prioritized each round.
 # Round-10 rotation (implements the r9 verdict's binding schedule):
 # 1. the 30 r7-latest queries MUST head the window — after r10 no
@@ -64,8 +64,9 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    p5_multi_value_and_or, p6_elem_match, p8_semijoin,
 #    sessionize_stats, weighted_sample_topk) sit at the staleness
 #    bound after r10 and rotate FIRST into r11, together with the
-#    three queries ADDED mid-round-10 after the window was set
-#    (funnel_stages, cohort_retention, dedup_containment — oracled
+#    queries ADDED mid-round-10 after the window was set
+#    (funnel_stages, cohort_retention, dedup_containment,
+#    streaming_cohort — oracled
 #    and pytest-mirrored at sf0.001/sf0.01 this round, registered
 #    past the window so the mandated r7/r8 refresh is undisturbed).
 _WINDOW_PRIORITY = [

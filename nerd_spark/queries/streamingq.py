@@ -163,3 +163,70 @@ def streaming_quantiles(spark, sf_dir):
     )
     q.awaitTermination(300)
     return current_quantiles(spark, state, [0.5, 0.95])
+
+
+@query(
+    "streaming_cohort",
+    """
+    WITH a AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS DATE) END) AS d0
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT user_id, d0, strftime(d0, '%Y-%m-%d') AS cohort_date
+      FROM a WHERE d0 IS NOT NULL
+    ),
+    sizes AS (
+      SELECT cohort_date, count(*) AS cohort_size FROM c GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT c.user_id, c.cohort_date,
+             date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7 AS period
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE CAST(e.ts AS DATE) >= c.d0
+        AND date_diff('day', c.d0, CAST(e.ts AS DATE)) // 7 < 4
+    ),
+    cnt AS (
+      SELECT cohort_date, period, count(*) AS active_users
+      FROM act GROUP BY 1, 2
+    )
+    SELECT cnt.cohort_date, period, cohort_size, active_users,
+           round(active_users * 1.0 / cohort_size, 6) AS retention
+    FROM cnt JOIN sizes ON cnt.cohort_date = sizes.cohort_date
+    """,
+)
+def streaming_cohort(spark, sf_dir):
+    """Continuous cohort retention (streaming/cohort_stream.py): the
+    event stream drains under availableNow into per-epoch additive
+    day-set state — (user, day, kind, cnt) rows whose existence is
+    all serving reads, so replays and compaction cannot perturb the
+    answer — and the serving query must equal the one-shot batch
+    cohort_retention, so it shares that query's SQL oracle (the
+    streaming_quantiles discipline: a drained static set has no late
+    data, making the streamed result hash-checkable)."""
+    from nerd_spark.streaming.cohort_stream import (
+        current_retention,
+        stream_retention,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    state = tempfile.mkdtemp(prefix=f"nerd_spark_cs_{uuid.uuid4().hex[:8]}_")
+    q = stream_retention(
+        spark, stream, state_dir=state,
+        checkpoint_dir=tempfile.mkdtemp(prefix="nerd_spark_ckpt_"),
+    )
+    q.awaitTermination(300)
+    return current_retention(spark, state)
