@@ -1,0 +1,142 @@
+"""Property-based funnel / cohort tests: hypothesis-generated event
+sets checked against brute-force pure-Python references (the §5.4
+discipline applied to the value-semantics contracts — the operators'
+results must be pure functions of the event VALUES, independent of
+row order and partitioning)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nerd_spark.operators.funnels import cohort_retention, funnel
+
+_STAGES = ["view", "click", "purchase"]
+_TYPES = _STAGES + ["other"]
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.integers(min_value=0, max_value=50),  # ts (seconds; ties likely)
+        st.sampled_from(_TYPES),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _mk_df(spark, rows):
+    df = spark.createDataFrame(
+        [(u, t, et) for (u, t, et) in rows] or [(None, None, None)],
+        "user_id int, sec int, event_type string",
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    return df.select(
+        "user_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "event_type",
+    )
+
+
+def _ref_funnel(rows):
+    users = {u for u, _, _ in rows}
+    counts = []
+    reach = {u: None for u in users}
+    for st_name in _STAGES:
+        nxt = {}
+        for u in users:
+            prev = reach[u]
+            if st_name != _STAGES[0] and prev is None:
+                continue
+            cand = [
+                t
+                for (uu, t, et) in rows
+                if uu == u
+                and et == st_name
+                and (st_name == _STAGES[0] or t >= prev)
+            ]
+            if cand:
+                nxt[u] = min(cand)
+        reach = {u: nxt.get(u) for u in users}
+        counts.append(len(nxt))
+    return counts
+
+
+@given(_EVENTS)
+@settings(max_examples=12, deadline=None)
+def test_funnel_matches_bruteforce(spark, rows):
+    got = {
+        r.stage_idx: r.users
+        for r in funnel(_mk_df(spark, rows), _STAGES).collect()
+    }
+    want = _ref_funnel(rows)
+    assert [got[i + 1] for i in range(len(_STAGES))] == want
+
+
+_DAY_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.integers(min_value=0, max_value=45),  # day offset
+        st.sampled_from(["signup", "other"]),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _ref_cohort(rows, period_days=7, n_periods=4):
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    d0 = {}
+    for u, d, et in rows:
+        if et == "signup":
+            d0[u] = min(d0.get(u, d), d)
+    sizes: dict = {}
+    for u, a in d0.items():
+        cd = (base + datetime.timedelta(days=a)).isoformat()
+        sizes[cd] = sizes.get(cd, 0) + 1
+    active: dict = {}
+    for u, a in d0.items():
+        cd = (base + datetime.timedelta(days=a)).isoformat()
+        periods = {
+            (d - a) // period_days
+            for (uu, d, _) in rows
+            if uu == u and d >= a and (d - a) // period_days < n_periods
+        }
+        for p in periods:
+            active[(cd, p)] = active.get((cd, p), 0) + 1
+    return {
+        (cd, p): (sizes[cd], n, round(n / sizes[cd], 6))
+        for (cd, p), n in active.items()
+    }
+
+
+@given(_DAY_EVENTS)
+@settings(max_examples=12, deadline=None)
+def test_cohort_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01", d, et) for (u, d, et) in rows]
+        or [(None, None, None, None)],
+        "user_id int, base string, off int, event_type string",
+    )
+    if not rows:
+        df = df.filter(F.lit(False))
+    ev = df.select(
+        "user_id",
+        (
+            F.to_timestamp("base") + F.make_dt_interval(F.col("off"))
+        ).alias("ts"),
+        "event_type",
+    )
+    got = {
+        (r.cohort_date, r.period): (
+            r.cohort_size,
+            r.active_users,
+            r.retention,
+        )
+        for r in cohort_retention(ev, "signup").collect()
+    }
+    assert got == _ref_cohort(rows)
