@@ -24,6 +24,16 @@ State size: epochs x per-batch distinct (user, day, kind) — bounded
 by active users x days per epoch regardless of event volume, the
 canonical "reduced state, not events" streaming shape; compaction
 bounds the epoch union at long horizons.
+
+Why the FUNNEL has no streaming sibling here: its state is not
+reducible under out-of-order arrival. A late stage-1 event can lower
+t1, retroactively qualifying stage-2 events an earlier epoch already
+discarded — exactness therefore requires retaining every
+stage-typed event timestamp, which is "the events", not a reduction
+(a bounded (t1..tk) state is exact only for streams delivered in
+timestamp order, a contract the epoch replay model does not give).
+Cohorts escape this because day-granularity activity is a monotone
+SET — late data only ever adds elements, never invalidates one.
 """
 
 from __future__ import annotations
