@@ -168,6 +168,10 @@ def cohort_retention(
     division for the non-negative day counts involved (doubles
     represent these integers exactly).
     """
+    if period_days <= 0:
+        raise ValueError(f"period_days must be positive, got {period_days}")
+    if n_periods <= 0:
+        raise ValueError(f"n_periods must be positive, got {n_periods}")
     e = events.select(
         F.col(user_col).alias("u"),
         F.to_date(ts_col).alias("d"),

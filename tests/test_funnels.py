@@ -106,3 +106,18 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     for pair, j in jac.items():
         assert con[pair] >= j - 1e-9
     assert len(con) > 0
+
+
+def test_cohort_rejects_degenerate_params(spark):
+    import pytest as _pytest
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "signup")],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError):
+        cohort_retention(ev, "signup", period_days=0)
+    with _pytest.raises(ValueError):
+        cohort_retention(ev, "signup", n_periods=0)
+    with _pytest.raises(ValueError):
+        funnel(ev, [])
