@@ -40,6 +40,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _qualifies(st, prev):
+    # closure factory: pyspark counts the lambda's parameters, so
+    # captured values must not appear as defaulted params
+    return lambda x: (x["et"] == F.lit(st)) & (x["ts"] >= prev)
+
+
+def _chain_times(df: DataFrame, stages: list[str], arr_col: str) -> DataFrame:
+    """Add t2..tk columns row-locally: t_i = min ts of stage i at or
+    after t_{i-1} (array HOFs over the per-user gathered events — no
+    shuffle). Expects ``t1`` present and ``arr_col`` holding
+    struct(ts, et) rows of the non-first (or all) stage events."""
+    for i, st in enumerate(stages[1:], start=2):
+        df = df.withColumn(
+            f"t{i}",
+            F.array_min(
+                F.transform(
+                    F.filter(arr_col, _qualifies(st, F.col(f"t{i - 1}"))),
+                    lambda x: x["ts"],
+                )
+            ),
+        )
+    return df
+
+
+def funnel_rows_from_times(times: DataFrame, stages: list[str]) -> DataFrame:
+    """Final (stage_idx, stage, users, rate) rows from resolved
+    per-user t1..tk columns — ONE tiny global aggregation. Shared by
+    the raw operator and the layout serve path (the serve table stores
+    the resolved scalars, so serving reads k timestamp columns and
+    never touches the per-user arrays — parquet column pruning)."""
+    counts = times.agg(
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"c{i}")
+            for i in range(1, len(stages) + 1)
+        ]
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("stage_idx"),
+                    F.lit(st).alias("stage"),
+                    F.coalesce(F.col(f"c{i}"), F.lit(0)).alias("users"),
+                )
+                for i, st in enumerate(stages, start=1)
+            ]
+        )
+    )
+    return counts.select(
+        rows.alias("r"), F.coalesce("c1", F.lit(0)).alias("_base")
+    ).select(
+        F.col("r.stage_idx").alias("stage_idx"),
+        F.col("r.stage").alias("stage"),
+        F.col("r.users").alias("users"),
+        F.when(
+            F.col("_base") > 0, F.round(F.col("r.users") / F.col("_base"), 6)
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rate"),
+    )
+
+
 def funnel(
     events: DataFrame,
     stages: list[str],
@@ -84,49 +146,160 @@ def funnel(
             F.when(F.col("et") != stages[0], F.struct("ts", "et"))
         ).alias("arr"),
     )
-    def _qualifies(st, prev):
-        # closure factory: pyspark counts the lambda's parameters, so
-        # captured values must not appear as defaulted params
-        return lambda x: (x["et"] == F.lit(st)) & (x["ts"] >= prev)
+    per_u = _chain_times(per_u, stages, "arr")
+    return funnel_rows_from_times(per_u, stages)
 
-    for i, st in enumerate(stages[1:], start=2):
-        per_u = per_u.withColumn(
-            f"t{i}",
-            F.array_min(
-                F.transform(
-                    F.filter("arr", _qualifies(st, F.col(f"t{i - 1}"))),
-                    lambda x: x["ts"],
-                )
-            ),
-        )
-    counts = per_u.agg(
-        *[
-            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"c{i}")
-            for i in range(1, len(stages) + 1)
-        ]
+
+def funnel_user_state(
+    events: DataFrame,
+    stage_types: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user MERGEABLE funnel state: the distinct (ts, stage) pairs
+    of stage-typed events, gathered in one map-side-combined user-key
+    shuffle. Returns (u, st_arr: array<struct<ts, et>>, sorted for
+    deterministic storage).
+
+    This is the minimal EXACT state under out-of-order arrival: a late
+    stage-1 event can lower t1 and retroactively qualify stage-2
+    timestamps that any bounded (t1..tk) scalar state already
+    discarded (streaming/cohort_stream.py's impossibility note). The
+    distinct SET stays exact because resolution is value-semantics
+    mins over the set — duplicates and order never matter — and sets
+    union associatively, so per-batch ingest folds
+    (sources/layout.py::update_funnel_summary) reproduce the one-shot
+    gather exactly. State is bounded by the user's own distinct
+    stage-typed activity, the same bound as the batch operator's
+    gathered array.
+    """
+    if not stage_types:
+        raise ValueError("stage_types must be non-empty")
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("et"),
+    ).filter(F.col("ts").isNotNull() & F.col("et").isin(list(stage_types)))
+    return e.groupBy("u").agg(
+        F.array_sort(F.collect_set(F.struct("ts", "et"))).alias("st_arr")
     )
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("stage_idx"),
-                    F.lit(st).alias("stage"),
-                    F.coalesce(F.col(f"c{i}"), F.lit(0)).alias("users"),
-                )
-                for i, st in enumerate(stages, start=1)
-            ]
-        )
+
+
+def merge_funnel_state(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Fold two per-user funnel states: set union per user (null-safe
+    user key — the batch operator and the DuckDB oracle both keep the
+    null-user group)."""
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(
+        n, F.col("o.u").eqNullSafe(F.col("n.u")), "full_outer"
+    ).select(
+        F.coalesce(F.col("o.u"), F.col("n.u")).alias("u"),
+        F.array_sort(
+            F.array_union(
+                F.coalesce(F.col("o.st_arr"), F.array()),
+                F.coalesce(F.col("n.st_arr"), F.array()),
+            )
+        ).alias("st_arr"),
     )
-    return counts.select(rows.alias("r"), F.coalesce("c1", F.lit(0)).alias("_base")).select(
-        F.col("r.stage_idx").alias("stage_idx"),
-        F.col("r.stage").alias("stage"),
-        F.col("r.users").alias("users"),
-        F.when(
-            F.col("_base") > 0, F.round(F.col("r.users") / F.col("_base"), 6)
-        )
-        .otherwise(F.lit(None).cast("double"))
-        .alias("rate"),
+
+
+def resolve_funnel_times(state: DataFrame, stages: list[str]) -> DataFrame:
+    """Row-local stage-time resolution over the per-user state
+    (no shuffle): adds t1..tk columns for the given stage sequence.
+    Any sequence over the state's stored stage types resolves exactly
+    — the state keeps every distinct stage-typed timestamp."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    first = stages[0]
+    out = state.withColumn(
+        "t1",
+        F.array_min(
+            F.transform(
+                F.filter(
+                    "st_arr", lambda x: x["et"] == F.lit(first)
+                ),
+                lambda x: x["ts"],
+            )
+        ),
     )
+    return _chain_times(out, stages, "st_arr")
+
+
+def cohort_user_state(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user MERGEABLE cohort state: (u, days: array<date> of
+    distinct active days, anchors: map<event_type, date> of each
+    type's first day). Serves cohort_retention for ANY anchor type /
+    period length / period count — d0 is a map lookup, days feed the
+    shared period resolution (retention_from_per_user).
+
+    Mergeable exactly: day sets union, anchors zip-min — both
+    order-insensitive, so per-batch ingest folds
+    (sources/layout.py::update_cohort_summary) equal the one-shot
+    aggregation. Two aggregations, but the first ((u, et) grain)
+    bounds the second at |users| x |types| rows; day granularity keeps
+    the state at the user's own distinct (type, day) activity, the
+    streaming_cohort epoch-state bound.
+    """
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.to_date(ts_col).alias("d"),
+        F.col(type_col).alias("et"),
+    ).filter(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+    g1 = e.groupBy("u", "et").agg(
+        F.collect_set("d").alias("ds"), F.min("d").alias("md")
+    )
+    return g1.groupBy("u").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("ds")))
+        ).alias("days"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("et", "md")))
+        ).alias("anchors"),
+    )
+
+
+def merge_cohort_state(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Fold two per-user cohort states: day-set union, per-type
+    first-day min (map_zip_with; F.least skips the null of a type
+    present on only one side)."""
+    empty_days = F.array().cast("array<date>")
+    empty_map = F.map_from_entries(
+        F.array().cast("array<struct<et:string,md:date>>")
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(n, F.col("o.u") == F.col("n.u"), "full_outer").select(
+        F.coalesce(F.col("o.u"), F.col("n.u")).alias("u"),
+        F.array_sort(
+            F.array_union(
+                F.coalesce(F.col("o.days"), empty_days),
+                F.coalesce(F.col("n.days"), empty_days),
+            )
+        ).alias("days"),
+        F.map_zip_with(
+            F.coalesce(F.col("o.anchors"), empty_map),
+            F.coalesce(F.col("n.anchors"), empty_map),
+            lambda _k, v1, v2: F.least(v1, v2),
+        ).alias("anchors"),
+    )
+
+
+def cohort_state_to_per_user(
+    state: DataFrame, anchor_type: str
+) -> DataFrame:
+    """Resolve the generic per-user state to the (d0, days) frame
+    retention_from_per_user consumes — a row-local map lookup
+    (try_element_at: missing anchor type -> null -> filtered, matching
+    the batch operator's no-anchor exclusion)."""
+    return state.select(
+        F.try_element_at("anchors", F.lit(anchor_type)).alias("d0"),
+        "days",
+    ).filter(F.col("d0").isNotNull())
 
 
 def cohort_retention(

@@ -922,6 +922,35 @@ def sessionize_stats(spark, sf_dir):
     return session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)
 
 
+def _event_serve_table(spark, sf_dir, dirname, meta_want, expect_cols):
+    """Shared serve gate for the ingest-maintained event-analytics
+    tables: committed + no older than events (_summary_fresh), meta
+    sidecar matches the requested parameter binding, schema carries
+    the expected columns. Returns the DataFrame or None (fall back to
+    the raw operator — exact, just slower)."""
+    import os
+
+    from nerd_spark.sources.layout import read_summary_meta
+
+    if not _summary_fresh(spark, sf_dir, dirname):
+        return None
+    path = os.path.join(sf_dir, dirname)
+    if meta_want:  # parameter-bound table: sidecar must match
+        meta = read_summary_meta(spark, path)
+        if meta is None or any(
+            meta.get(k) != v for k, v in meta_want.items()
+        ):
+            return None
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None
+    if not set(expect_cols) <= set(df.columns):
+        return None
+    return df
+
+
+
 @query(
     "funnel_stages",
     """
@@ -960,10 +989,39 @@ def funnel_stages(spark, sf_dir):
     # pushed-down filter + map-side-combined min + a user-key join —
     # no window, no per-user sort, partition-invariant by
     # construction.
-    from nerd_spark.operators.funnels import funnel
+    #
+    # Serve path (the op_merge discipline): ingest maintains the
+    # per-user distinct (ts, stage) state — the exact mergeable
+    # reduction; scalar t_i states cannot fold under late data — with
+    # resolved t1..tk columns, plus the 3-row resolved result cache.
+    # Serving prefers the result cache (a file read), then the state
+    # scalars (one O(users) column scan, arrays pruned away), then
+    # the raw recompute (the driver's sf0.01 correctness runs; every
+    # oracle stays on raw). served==raw pinned by
+    # tests/test_summary_funnel_cohort.py.
+    from nerd_spark.operators.funnels import funnel, funnel_rows_from_times
+    from nerd_spark.sources.layout import (
+        SUMMARY_FUNNEL_DIRNAME,
+        SUMMARY_FUNNEL_RESULT_DIRNAME,
+    )
 
-    ev = t(spark, sf_dir, "events")
-    return funnel(ev, ["view", "click", "purchase"])
+    stages = ["view", "click", "purchase"]
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_FUNNEL_RESULT_DIRNAME,
+        {"stages": stages},
+        ("stage_idx", "stage", "users", "rate"),
+    )
+    if res is not None:
+        return res.select("stage_idx", "stage", "users", "rate")
+    tcols = tuple(f"t{i}" for i in range(1, len(stages) + 1))
+    st = _event_serve_table(
+        spark, sf_dir, SUMMARY_FUNNEL_DIRNAME, {"stages": stages}, tcols
+    )
+    if st is not None:
+        return funnel_rows_from_times(st.select(*tcols), stages)
+    return funnel(t(spark, sf_dir, "events"), stages)
 
 
 @query(
@@ -1005,10 +1063,43 @@ def cohort_retention_q(spark, sf_dir):
     # map-side and the anchor rides the same aggregation; periods
     # resolve as array HOFs. The oracle states the same day
     # semantics join-wise (correctness contract, not the plan).
-    from nerd_spark.operators.funnels import cohort_retention
+    #
+    # Serve path: ingest maintains the per-user (day set, per-type
+    # first day) state — monotone sets, exactly mergeable — plus the
+    # resolved result cache for the default binding. Prefer the
+    # result cache (cohorts x periods rows), then the state (one
+    # O(users) pass through the shared retention_from_per_user
+    # resolution), then raw recompute; oracles stay on raw.
+    from nerd_spark.operators.funnels import (
+        cohort_retention,
+        cohort_state_to_per_user,
+        retention_from_per_user,
+    )
+    from nerd_spark.sources.layout import (
+        COHORT_DEFAULTS,
+        SUMMARY_COHORT_DIRNAME,
+        SUMMARY_COHORT_RESULT_DIRNAME,
+    )
 
-    ev = t(spark, sf_dir, "events")
-    return cohort_retention(ev, "signup")
+    out_cols = (
+        "cohort_date", "period", "cohort_size", "active_users", "retention",
+    )
+    res = _event_serve_table(
+        spark, sf_dir, SUMMARY_COHORT_RESULT_DIRNAME, COHORT_DEFAULTS,
+        out_cols,
+    )
+    if res is not None:
+        return res.select(*out_cols)
+    st = _event_serve_table(
+        spark, sf_dir, SUMMARY_COHORT_DIRNAME, {}, ("u", "days", "anchors")
+    )
+    if st is not None:
+        return retention_from_per_user(
+            cohort_state_to_per_user(st, COHORT_DEFAULTS["anchor_type"]),
+            COHORT_DEFAULTS["period_days"],
+            COHORT_DEFAULTS["n_periods"],
+        )
+    return cohort_retention(t(spark, sf_dir, "events"), "signup")
 
 
 # ---------------------------------------------------------------------------

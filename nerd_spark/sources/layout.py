@@ -53,6 +53,19 @@ SUMMARY_WINDOW_DIRNAME = "summary_window.parquet"
 SUMMARY_Q1_DIRNAME = "summary_q1_daily.parquet"
 SUMMARY_A16_DIRNAME = "summary_a16_rollup.parquet"
 SUMMARY_MERGED_DIRNAME = "summary_merged.parquet"
+SUMMARY_FUNNEL_DIRNAME = "summary_funnel.parquet"
+SUMMARY_FUNNEL_RESULT_DIRNAME = "summary_funnel_result.parquet"
+SUMMARY_COHORT_DIRNAME = "summary_cohort.parquet"
+SUMMARY_COHORT_RESULT_DIRNAME = "summary_cohort_result.parquet"
+# The stage sequence / cohort parameters the layout resolves and
+# caches results for (the registered funnel_stages/cohort_retention
+# contract). The per-user STATE tables are parameter-generic — any
+# stage sequence over these types / any anchor+period resolves from
+# them row-locally; only the tiny result caches are parameter-bound
+# (meta sidecar records the binding, mismatches fall through).
+FUNNEL_STAGES_DEFAULT = ("view", "click", "purchase")
+COHORT_DEFAULTS = {"anchor_type": "signup", "period_days": 7, "n_periods": 4}
+SUMMARY_META_NAME = "_nerd_meta.json"
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -493,6 +506,47 @@ def optimize_layout(
             .partitionBy("wb")
             .parquet(os.path.join(out_dir, SUMMARY_MERGED_DIRNAME))
         )
+        # Funnel / cohort per-user state + resolved result caches (the
+        # op_merge discipline applied to event analytics): the state
+        # tables hold the exact mergeable per-user reduction — distinct
+        # (ts, stage) sets / (day set, per-type first day) — so ingest
+        # folds stay exact under out-of-order arrival; the result
+        # caches make the registered queries a tiny file read. Raw
+        # dirs (and every oracle) recompute from events.
+        from nerd_spark.operators.funnels import (
+            cohort_user_state,
+            funnel_user_state,
+            resolve_funnel_times,
+        )
+
+        fstages = list(FUNNEL_STAGES_DEFAULT)
+        fstate = resolve_funnel_times(
+            funnel_user_state(ev, fstages), fstages
+        )
+        fpath = os.path.join(out_dir, SUMMARY_FUNNEL_DIRNAME)
+        (
+            fstate.withColumn("wb", _wbucket("u"))
+            .repartition("wb")
+            .write.mode("overwrite")
+            .partitionBy("wb")
+            .parquet(fpath)
+        )
+        write_summary_meta(spark, fpath, {"stages": fstages})
+        fsutil.touch(spark, os.path.join(fpath, "_SUCCESS"))
+        _write_funnel_result(
+            spark, out_dir, spark.read.parquet(fpath), fstages
+        )
+        cstate = cohort_user_state(ev)
+        cpath = os.path.join(out_dir, SUMMARY_COHORT_DIRNAME)
+        (
+            cstate.withColumn("wb", _wbucket("u"))
+            .repartition("wb")
+            .write.mode("overwrite")
+            .partitionBy("wb")
+            .parquet(cpath)
+        )
+        fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
+        _write_cohort_result(spark, out_dir, spark.read.parquet(cpath))
 
 
 def update_daily_summary(
@@ -887,6 +941,172 @@ def update_merged_summary(
     fsutil.touch(spark, success)
 
 
+def write_summary_meta(spark: SparkSession, dirpath: str, meta: dict) -> None:
+    """Parameter-binding sidecar for a derived table, written BEFORE
+    the _SUCCESS gate is (re)touched so a reader that sees the gate
+    also sees the binding; a gate-passing dir with missing/mismatched
+    meta falls back instead of serving wrong parameters."""
+    import json
+
+    from nerd_spark.sources import fsutil
+
+    fsutil.write_text(
+        spark, os.path.join(dirpath, SUMMARY_META_NAME), json.dumps(meta)
+    )
+
+
+def read_summary_meta(spark: SparkSession, dirpath: str) -> dict | None:
+    import json
+
+    from nerd_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, os.path.join(dirpath, SUMMARY_META_NAME))
+    if txt is None:
+        return None
+    try:
+        return json.loads(txt)
+    except ValueError:
+        return None
+
+
+def _write_funnel_result(
+    spark: SparkSession, data_dir: str, state, stages: list[str]
+) -> None:
+    """Materialize the tiny resolved funnel rows (|stages| rows) from
+    the per-user state — the q1-partials discipline taken to its
+    limit: the registered query becomes a 3-row file read."""
+    from nerd_spark.operators.funnels import funnel_rows_from_times
+    from nerd_spark.sources import fsutil
+
+    out = os.path.join(data_dir, SUMMARY_FUNNEL_RESULT_DIRNAME)
+    res = funnel_rows_from_times(state, stages).localCheckpoint()
+    res.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(spark, out, {"stages": list(stages)})
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+
+
+def _write_cohort_result(spark: SparkSession, data_dir: str, state) -> None:
+    """Materialize the resolved (cohort_date, period, ...) retention
+    rows for the default binding — |cohorts| x |periods| rows."""
+    from nerd_spark.operators.funnels import (
+        cohort_state_to_per_user,
+        retention_from_per_user,
+    )
+    from nerd_spark.sources import fsutil
+
+    out = os.path.join(data_dir, SUMMARY_COHORT_RESULT_DIRNAME)
+    res = retention_from_per_user(
+        cohort_state_to_per_user(state, COHORT_DEFAULTS["anchor_type"]),
+        COHORT_DEFAULTS["period_days"],
+        COHORT_DEFAULTS["n_periods"],
+    ).localCheckpoint()
+    res.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(spark, out, dict(COHORT_DEFAULTS))
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+
+
+def update_funnel_summary(
+    spark: SparkSession,
+    data_dir: str,
+    new_events,
+    stages: list[str] | None = None,
+    entity: str = "user_id",
+) -> None:
+    """Incremental maintenance of the funnel per-user state + result
+    cache: fold the batch's distinct (ts, stage) sets into the state
+    table (set union is the exact mergeable form — a late stage-1
+    event lowers t1 and re-qualifies stage-2 timestamps, so scalar
+    t_i states cannot fold; operators/funnels.py::funnel_user_state)
+    and rewrite ONLY touched entity buckets. Resolved t1..tk columns
+    are recomputed row-locally on the rewritten buckets. Commit
+    discipline: update_merged_summary's drop/touch _SUCCESS gate."""
+    from nerd_spark.operators.funnels import (
+        funnel_user_state,
+        merge_funnel_state,
+        resolve_funnel_times,
+    )
+    from nerd_spark.sources import fsutil
+
+    stages = list(stages or FUNNEL_STAGES_DEFAULT)
+    summary_path = os.path.join(data_dir, SUMMARY_FUNNEL_DIRNAME)
+    bs = funnel_user_state(new_events, stages, user_col=entity).withColumn(
+        "wb", _wbucket("u")
+    )
+    if any(
+        f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
+    ):
+        touched = [r.wb for r in bs.select("wb").distinct().collect()]
+        old = (
+            spark.read.parquet(summary_path)
+            .filter(F.col("wb").isin(touched))  # partition-pruned scan
+            .select("u", "st_arr")
+        )
+        merged = merge_funnel_state(old, bs.drop("wb")).withColumn(
+            "wb", _wbucket("u")
+        )
+    else:
+        merged = bs
+    merged = resolve_funnel_times(merged, stages)
+    merged = merged.localCheckpoint()  # cut lineage: write reads inputs
+    success = os.path.join(summary_path, "_SUCCESS")
+    fsutil.delete(spark, success)
+    merged.repartition("wb").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("wb").parquet(summary_path)
+    write_summary_meta(spark, summary_path, {"stages": stages})
+    fsutil.touch(spark, success)
+    _write_funnel_result(
+        spark,
+        data_dir,
+        spark.read.parquet(summary_path),
+        stages,
+    )
+
+
+def update_cohort_summary(
+    spark: SparkSession,
+    data_dir: str,
+    new_events,
+    entity: str = "user_id",
+) -> None:
+    """Incremental maintenance of the cohort per-user state + result
+    cache: day-set union / per-type first-day min per user (both
+    order-insensitive — the streaming_cohort monotone-set argument),
+    touched-buckets-only rewrite, same commit gate."""
+    from nerd_spark.operators.funnels import (
+        cohort_user_state,
+        merge_cohort_state,
+    )
+    from nerd_spark.sources import fsutil
+
+    summary_path = os.path.join(data_dir, SUMMARY_COHORT_DIRNAME)
+    bs = cohort_user_state(new_events, user_col=entity).withColumn(
+        "wb", _wbucket("u")
+    )
+    if any(
+        f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
+    ):
+        touched = [r.wb for r in bs.select("wb").distinct().collect()]
+        old = (
+            spark.read.parquet(summary_path)
+            .filter(F.col("wb").isin(touched))
+            .drop("wb")
+        )
+        merged = merge_cohort_state(old, bs.drop("wb")).withColumn(
+            "wb", _wbucket("u")
+        )
+    else:
+        merged = bs
+    merged = merged.localCheckpoint()
+    success = os.path.join(summary_path, "_SUCCESS")
+    fsutil.delete(spark, success)
+    merged.repartition("wb").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("wb").parquet(summary_path)
+    fsutil.touch(spark, success)
+    _write_cohort_result(spark, data_dir, spark.read.parquet(summary_path))
+
+
 def update_event_summaries(
     spark: SparkSession, data_dir: str, new_events, entity: str = "user_id"
 ) -> None:
@@ -922,6 +1142,8 @@ def update_event_summaries(
         new_events,
         entity=entity,
     )
+    update_funnel_summary(spark, data_dir, new_events, entity=entity)
+    update_cohort_summary(spark, data_dir, new_events, entity=entity)
     # amortized column-stats refresh: every merge_facts append
     # invalidates the probe sidecar's signature; re-pin it only when
     # the table has grown past the refresh factor (O(log) passes over
