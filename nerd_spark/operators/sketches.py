@@ -73,6 +73,58 @@ def _screen_fn(min_frac: float):
     return screen
 
 
+def _hh_tail(hh: DataFrame, key_col: str, kt: str, min_frac: float):
+    """Shared heavy-hitters finish over a PERSISTED per-key count
+    frame (two consumers: the total and the threshold filter):
+    (key, cnt, share) rows with cnt >= min_frac * N."""
+    n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
+    if n_total == 0:
+        hh.unpersist()
+        return hh.sparkSession.createDataFrame(
+            [], f"{key_col} {kt}, cnt long, share double"
+        )
+    return tie_unpersist(
+        hh.filter(
+            F.col("cnt") >= F.lit(min_frac) * F.lit(n_total)
+        ).select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
+        ),
+        hh,
+    )
+
+
+def heavy_hitters_from_counts(
+    counts: DataFrame, key_col: str, min_frac: float
+) -> DataFrame:
+    """:func:`heavy_hitters` served from a maintained per-key count
+    table (sources/layout.py::update_keycount_summaries): the corpus
+    pass was paid at ingest, so the query costs two map-only O(keys)
+    scans (total + threshold filter) — no shuffle, no persist (the
+    materialization job costs more than re-scanning the small table;
+    measured at the 160x point). CONTRACT: ``counts`` is at key grain
+    (one row per key — what the maintained tables guarantee by
+    construction); duplicate key rows would make the threshold see
+    partial counts. Null keys are dropped here (operator contract)."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    src = counts.select(key_col, "cnt").filter(F.col(key_col).isNotNull())
+    # ONE plan: the 1-row total rides a broadcast crossJoin instead of
+    # a driver .first() round-trip — the serve is a single job (the
+    # table is small, but job-launch floors dominate at this absolute)
+    tot = src.agg(F.sum("cnt").alias("n"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -121,22 +173,7 @@ def heavy_hitters(
                 # by the probe. Lifetime tied to the returned frame
                 # (cacheutil.tie_unpersist).
             )
-            n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
-            if n_total == 0:
-                hh.unpersist()
-                return df.sparkSession.createDataFrame(
-                    [], f"{key_col} {kt}, cnt long, share double"
-                )
-            return tie_unpersist(
-                hh.filter(
-                    F.col("cnt") >= F.lit(min_frac) * F.lit(n_total)
-                ).select(
-                    key_col,
-                    "cnt",
-                    F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
-                ),
-                hh,
-            )
+            return _hh_tail(hh, key_col, kt, min_frac)
     screened = src.mapInPandas(
         _screen_fn(min_frac), f"k {kt}, _local_n long"
     ).persist()  # consumed twice (candidates + N); <= batches/phi rows.
@@ -192,6 +229,63 @@ def _topk_screen_fn(min_frac: float, k: int):
             )
 
     return screen
+
+
+def _topk_tail(hh: DataFrame, key_col: str, kt: str, k: int):
+    """Shared top-k finish over a PERSISTED per-key count frame:
+    (key, cnt, share, rank), ties broken by key ascending."""
+    n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
+    if n_total == 0:
+        hh.unpersist()
+        return hh.sparkSession.createDataFrame(
+            [], f"{key_col} {kt}, cnt long, share double, rank int"
+        )
+    topk = (
+        hh.select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return tie_unpersist(
+        topk.withColumn("rank", F.row_number().over(w)).select(
+            key_col, "cnt", "share", "rank"
+        ),
+        hh,
+    )
+
+
+def top_frequent_from_counts(
+    counts: DataFrame, key_col: str, k: int = 10
+) -> DataFrame:
+    """:func:`top_frequent` served from a maintained per-key count
+    table — a map-only total + TakeOrderedAndProject over O(keys)
+    rows, no corpus pass, no screen, no shuffle. Same key-grain
+    contract as :func:`heavy_hitters_from_counts`."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    src = counts.select(key_col, "cnt").filter(F.col(key_col).isNotNull())
+    # ONE plan (see heavy_hitters_from_counts): TakeOrderedAndProject
+    # over O(keys) rows, total via broadcast crossJoin, rank window
+    # over <= k rows
+    tot = src.agg(F.sum("cnt").alias("n"))
+    topk = (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        key_col, "cnt", "share", "rank"
+    )
 
 
 def top_frequent(
@@ -259,28 +353,7 @@ def top_frequent(
             # probe. Lifetime tied to the returned frame
             # (cacheutil.tie_unpersist).
         )
-        n_total = (hh.agg(F.sum("cnt").alias("n")).first()["n"]) or 0
-        if n_total == 0:
-            hh.unpersist()
-            return df.sparkSession.createDataFrame(
-                [], f"{key_col} {kt}, cnt long, share double, rank int"
-            )
-        topk = (
-            hh.select(
-                key_col,
-                "cnt",
-                F.round(F.col("cnt") / F.lit(n_total), 6).alias("share"),
-            )
-            .orderBy(F.col("cnt").desc(), F.col(key_col))
-            .limit(k)
-        )
-        w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
-        return tie_unpersist(
-            topk.withColumn("rank", F.row_number().over(w)).select(
-                key_col, "cnt", "share", "rank"
-            ),
-            hh,
-        )
+        return _topk_tail(hh, key_col, kt, k)
     screened = src.mapInPandas(
         _topk_screen_fn(initial_frac, k), f"k {kt}, _local_n long, _kth long"
     ).persist()
@@ -402,6 +475,55 @@ def _group_screen_fn(min_frac: float):
     return screen
 
 
+def _hh_by_tail(
+    hist: DataFrame, group_col: str, key_col: str, min_frac: float
+):
+    """Shared per-group heavy-hitters finish over a PERSISTED
+    (g, k, cnt) frame: per-group totals derive from the same frame
+    (sum over keys), join left UNHINTED — the probe bounds distinct
+    (g, k) pairs, not group cardinality; AQE sees ng's real size at
+    runtime and broadcasts exactly when it is small (r9 advice, the
+    forced-broadcast defect class)."""
+    ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    return tie_unpersist(
+        hist.join(ng, "g")
+        .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").alias(key_col),
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        ),
+        hist,
+    )
+
+
+def heavy_hitters_by_from_counts(
+    counts: DataFrame, group_col: str, key_col: str, min_frac: float
+) -> DataFrame:
+    """:func:`heavy_hitters_by` served from a maintained (group, key)
+    count table — the corpus pass was paid at ingest; the query is
+    two map-only O(pairs) scans (per-group totals + the unhinted
+    join; no persist — see heavy_hitters_from_counts). Same
+    (group, key)-grain contract as the other _from_counts serves."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    hist = counts.select(
+        F.col(group_col).alias("g"), F.col(key_col).alias("k"), "cnt"
+    ).filter(F.col("k").isNotNull() & F.col("g").isNotNull())
+    ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    return (
+        hist.join(ng, "g")
+        .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").alias(key_col),
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
 def heavy_hitters_by(
     df: DataFrame,
     group_col: str,
@@ -453,24 +575,7 @@ def heavy_hitters_by(
         # aggregation runs twice (distinct-bounded by the probe).
         # Lifetime tied to the returned frame (cacheutil.tie_unpersist).
         hist = src.groupBy("g", "k").agg(F.count("*").alias("cnt")).persist()
-        ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
-        return tie_unpersist(
-            # UNHINTED: the probe bounds distinct (g, k) pairs, not
-            # group cardinality — ng can approach the full bound when
-            # every key is its own group, and a forced broadcast would
-            # ship it to every executor (r9 advice, the forced-
-            # broadcast defect class). AQE sees ng's real size at
-            # runtime and broadcasts exactly when it is small.
-            hist.join(ng, "g")
-            .filter(F.col("cnt") >= F.lit(min_frac) * F.col("n"))
-            .select(
-                F.col("g").alias(group_col),
-                F.col("k").alias(key_col),
-                "cnt",
-                F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
-            ),
-            hist,
-        )
+        return _hh_by_tail(hist, group_col, key_col, min_frac)
     screened = src.mapInPandas(
         _group_screen_fn(min_frac), f"g {gt}, k {kt}, _local_n long"
     ).persist()  # see heavy_hitters

@@ -95,6 +95,7 @@ _WINDOW_PRIORITY = [
     "q1_pricing_summary",
     "corpus_curation_v3",
     "hh_by_event_type",
+    "hh_event_users",
     "j5_asof_join",
     # 5 — r9-latest fill to 50 (headline + infra-adjacent)
     "a1_daily_rollup",
@@ -108,7 +109,6 @@ _WINDOW_PRIORITY = [
     "a6_source_reputation",
     "a8_threat_summary",
     "w5_pivot",
-    "s5_point_read",
 ]
 
 

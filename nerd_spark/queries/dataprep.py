@@ -537,10 +537,38 @@ def hh_event_users(spark, sf_dir):
     # the averaging argument) + exact verify over candidates only —
     # operators/sketches.py. The security-native use is scanner IPs
     # hitting every sensor; the oracle is the naive full groupBy.
+    #
+    # Serve path: the ingest-maintained per-entity count table
+    # (sources/layout.py::update_keycount_summaries) — counts are
+    # additive, so the fold is exact and the query is one O(keys)
+    # scan; raw dirs (every oracle) recompute from events.
     from nerd_spark.operators import sketches as SK
 
+    cnts = _user_counts(spark, sf_dir)
+    if cnts is not None:
+        return SK.heavy_hitters_from_counts(
+            cnts.withColumnRenamed("u", "user_id"), "user_id", 0.005
+        )
     ev = t(spark, sf_dir, "events")
     return SK.heavy_hitters(ev, "user_id", min_frac=0.005)
+
+
+def _user_counts(spark, sf_dir):
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import SUMMARY_USER_COUNTS_DIRNAME
+
+    return _event_serve_table(
+        spark, sf_dir, SUMMARY_USER_COUNTS_DIRNAME, {}, ("u", "cnt")
+    )
+
+
+def _type_user_counts(spark, sf_dir):
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import SUMMARY_TYPE_USER_DIRNAME
+
+    return _event_serve_table(
+        spark, sf_dir, SUMMARY_TYPE_USER_DIRNAME, {}, ("et", "u", "cnt")
+    )
 
 
 @query(
@@ -586,9 +614,22 @@ def hh_by_event_type(spark, sf_dir):
     # Per-group heavy hitters (per-day top talkers / per-sensor
     # dominant sources): the screen+verify discipline with the
     # averaging argument applied within each group
-    # (operators/sketches.py::heavy_hitters_by).
+    # (operators/sketches.py::heavy_hitters_by). Serve path: the
+    # ingest-maintained (type, entity) count table — already at the
+    # aggregation's grain, so the query is an O(pairs) scan + the
+    # per-group totals join.
     from nerd_spark.operators import sketches as SK
 
+    cnts = _type_user_counts(spark, sf_dir)
+    if cnts is not None:
+        return SK.heavy_hitters_by_from_counts(
+            cnts.withColumnRenamed("et", "event_type").withColumnRenamed(
+                "u", "user_id"
+            ),
+            "event_type",
+            "user_id",
+            0.008,
+        )
     ev = t(spark, sf_dir, "events")
     return SK.heavy_hitters_by(ev, "event_type", "user_id", 0.008)
 
@@ -614,9 +655,16 @@ def top_frequent_users(spark, sf_dir):
     # (operators/sketches.py::top_frequent): once >= k keys clear the
     # threshold, the global top-k is exactly their best k; the
     # threshold halves until that holds. The oracle is the naive full
-    # groupBy + global rank.
+    # groupBy + global rank. Serve path: the ingest-maintained
+    # per-entity count table — one O(keys) scan +
+    # TakeOrderedAndProject, no corpus pass, no screen.
     from nerd_spark.operators import sketches as SK
 
+    cnts = _user_counts(spark, sf_dir)
+    if cnts is not None:
+        return SK.top_frequent_from_counts(
+            cnts.withColumnRenamed("u", "user_id"), "user_id", k=10
+        )
     ev = t(spark, sf_dir, "events")
     return SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005)
 

@@ -66,6 +66,8 @@ SUMMARY_COHORT_RESULT_DIRNAME = "summary_cohort_result.parquet"
 FUNNEL_STAGES_DEFAULT = ("view", "click", "purchase")
 COHORT_DEFAULTS = {"anchor_type": "signup", "period_days": 7, "n_periods": 4}
 SUMMARY_META_NAME = "_nerd_meta.json"
+SUMMARY_TYPE_USER_DIRNAME = "summary_type_user_counts.parquet"
+SUMMARY_USER_COUNTS_DIRNAME = "summary_user_counts.parquet"
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -547,6 +549,33 @@ def optimize_layout(
         )
         fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
         _write_cohort_result(spark, out_dir, spark.read.parquet(cpath))
+        # (type, entity) count table + entity totals: the hh / top-k
+        # sketch-spot serve tables (operators/sketches.py::
+        # *_from_counts) — the corpus pass the screen/plain paths pay
+        # per query happens once here; queries read O(pairs)/O(keys).
+        kpath = os.path.join(out_dir, SUMMARY_TYPE_USER_DIRNAME)
+        (
+            ev.groupBy(
+                F.col("event_type").alias("et"),
+                F.col("user_id").alias("u"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("wb", _wbucket("u"))
+            .repartition("wb")
+            .write.mode("overwrite")
+            .partitionBy("wb")
+            .parquet(kpath)
+        )
+        fsutil.touch(spark, os.path.join(kpath, "_SUCCESS"))
+        tpath = os.path.join(out_dir, SUMMARY_USER_COUNTS_DIRNAME)
+        (
+            spark.read.parquet(kpath)
+            .groupBy("u")
+            .agg(F.sum("cnt").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(tpath)
+        )
+        fsutil.touch(spark, os.path.join(tpath, "_SUCCESS"))
 
 
 def update_daily_summary(
@@ -1005,6 +1034,66 @@ def _write_cohort_result(spark: SparkSession, data_dir: str, state) -> None:
     fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
 
 
+def update_keycount_summaries(
+    spark: SparkSession,
+    data_dir: str,
+    new_events,
+    entity: str = "user_id",
+    type_col: str = "event_type",
+) -> None:
+    """Incremental maintenance of the (type, entity) count table and
+    its entity-total projection — the serve tables behind the hh /
+    top-k sketch-spot queries (operators/sketches.py::*_from_counts).
+    Counts are ADDITIVE, so the fold is union + sum within touched
+    entity buckets; null types/entities are KEPT in the table (true
+    grain counts) and each serve path applies its own null contract.
+    The totals table re-derives from the committed pair table (one
+    O(pairs) pass), so the two can never disagree."""
+    from nerd_spark.sources import fsutil
+
+    pair_path = os.path.join(data_dir, SUMMARY_TYPE_USER_DIRNAME)
+    bs = (
+        new_events.groupBy(
+            F.col(type_col).alias("et"), F.col(entity).alias("u")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wb", _wbucket("u"))
+    )
+    if any(
+        f.startswith("wb=") for f in fsutil.list_names(spark, pair_path)
+    ):
+        touched = [r.wb for r in bs.select("wb").distinct().collect()]
+        old = (
+            spark.read.parquet(pair_path)
+            .filter(F.col("wb").isin(touched))  # partition-pruned scan
+            .drop("wb")
+        )
+        merged = (
+            old.unionByName(bs.drop("wb"))
+            .groupBy("et", "u")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("wb", _wbucket("u"))
+        )
+    else:
+        merged = bs
+    merged = merged.localCheckpoint()
+    success = os.path.join(pair_path, "_SUCCESS")
+    fsutil.delete(spark, success)
+    merged.repartition("wb").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("wb").parquet(pair_path)
+    fsutil.touch(spark, success)
+    tot_path = os.path.join(data_dir, SUMMARY_USER_COUNTS_DIRNAME)
+    tot = (
+        spark.read.parquet(pair_path)
+        .groupBy("u")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    tot.write.mode("overwrite").parquet(tot_path)
+    fsutil.touch(spark, os.path.join(tot_path, "_SUCCESS"))
+
+
 def update_funnel_summary(
     spark: SparkSession,
     data_dir: str,
@@ -1144,6 +1233,7 @@ def update_event_summaries(
     )
     update_funnel_summary(spark, data_dir, new_events, entity=entity)
     update_cohort_summary(spark, data_dir, new_events, entity=entity)
+    update_keycount_summaries(spark, data_dir, new_events, entity=entity)
     # amortized column-stats refresh: every merge_facts append
     # invalidates the probe sidecar's signature; re-pin it only when
     # the table has grown past the refresh factor (O(log) passes over

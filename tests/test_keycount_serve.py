@@ -1,0 +1,134 @@
+"""Ingest-maintained (type, entity) count tables serving the hh /
+top-k sketch-spot queries (r10 verdict #3).
+
+Pins: the additive fold equals the one-shot build; the queries serve
+the tables when fresh with values identical to the raw operators; the
+_from_counts operators honor the null contracts; staleness falls back
+to raw.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from nerd_spark.operators import sketches as SK
+from nerd_spark.queries.dataprep import (
+    hh_by_event_type,
+    hh_event_users,
+    top_frequent_users,
+)
+from nerd_spark.sources import fsutil
+from nerd_spark.sources.layout import (
+    SUMMARY_TYPE_USER_DIRNAME,
+    SUMMARY_USER_COUNTS_DIRNAME,
+    update_keycount_summaries,
+)
+
+
+def _mk_events(spark, n=800, users=30, start="2024-03-01 00:00:00"):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit(start))
+            + F.make_interval(mins=(F.col("id") * 11 % 30_000).cast("int"))
+        ).alias("ts"),
+        F.when(F.col("id") % 13 == 0, F.lit(None)).otherwise(
+            # zipf-ish: low ids dominate
+            F.pmod(F.pmod("id", F.lit(users)) * F.pmod("id", F.lit(7)), F.lit(users))
+        ).alias("user_id"),
+        F.when(F.col("id") % 19 == 0, F.lit(None)).otherwise(
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("signup"), F.lit("error"),
+                ),
+                (F.col("id") % 5 + 1).cast("int"),
+            )
+        ).alias("event_type"),
+        (F.col("id") % 97 / 7.0).alias("value"),
+    )
+
+
+def _rows(df):
+    return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+
+def _data_dir(spark, tmp_path):
+    d = str(tmp_path / "data")
+    _mk_events(spark).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def test_fold_equals_one_shot_and_serve(spark, tmp_path):
+    d = _data_dir(spark, tmp_path)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    a = ev.filter(F.col("event_id") % 3 != 0)
+    b = ev.filter(F.col("event_id") % 3 == 0)
+    update_keycount_summaries(spark, d, a)
+    update_keycount_summaries(spark, d, b)
+    # folded pair counts == one-shot grain counts (nulls KEPT in the
+    # table; the serves apply their own null contracts)
+    folded = spark.read.parquet(
+        os.path.join(d, SUMMARY_TYPE_USER_DIRNAME)
+    ).select("et", "u", "cnt")
+    one = ev.groupBy(
+        F.col("event_type").alias("et"), F.col("user_id").alias("u")
+    ).agg(F.count("*").alias("cnt"))
+    assert _rows(folded) == _rows(one)
+    # totals table == pair table collapsed
+    tot = spark.read.parquet(os.path.join(d, SUMMARY_USER_COUNTS_DIRNAME))
+    assert _rows(tot) == _rows(
+        folded.groupBy("u").agg(F.sum("cnt").alias("cnt"))
+    )
+    # queries serve values identical to the raw operators
+    assert _rows(hh_event_users(spark, d)) == _rows(
+        SK.heavy_hitters(ev, "user_id", min_frac=0.005)
+    )
+    assert _rows(hh_by_event_type(spark, d)) == _rows(
+        SK.heavy_hitters_by(ev, "event_type", "user_id", 0.008)
+    )
+    assert _rows(top_frequent_users(spark, d)) == _rows(
+        SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005)
+    )
+
+
+def test_staleness_falls_back_to_raw(spark, tmp_path):
+    d = _data_dir(spark, tmp_path)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    update_keycount_summaries(spark, d, ev)
+    raw = _rows(SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005))
+    # bump events past the summaries: gate must refuse, result exact
+    ev.limit(0).write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    served = top_frequent_users(spark, d)
+    # raw fallback reads the events scan (the serve table's cnt column
+    # never appears); inputFiles() is empty through the persist
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "cnt" not in plan.split("ReadSchema")[-1]
+    assert _rows(served) == raw
+
+
+def test_from_counts_null_and_empty_contracts(spark):
+    counts = spark.createDataFrame(
+        [("a", 90, "g1"), ("b", 9, "g1"), (None, 50, "g1"), ("c", 1, None)],
+        "k string, cnt long, g string",
+    )
+    # null keys excluded from N and the result
+    hh = SK.heavy_hitters_from_counts(counts, "k", 0.05)
+    got = {r.k: (r.cnt, r.share) for r in hh.collect()}
+    assert got == {"a": (90, 0.9), "b": (9, 0.09)}
+    # per-group: null group AND null key rows dropped
+    hb = SK.heavy_hitters_by_from_counts(
+        counts.select(F.col("g").alias("grp"), "k", "cnt"), "grp", "k", 0.01
+    )
+    assert {(r.grp, r.k) for r in hb.collect()} == {("g1", "a"), ("g1", "b")}
+    tf = SK.top_frequent_from_counts(counts, "k", k=2)
+    assert [(r.k, r.rank) for r in tf.orderBy("rank").collect()] == [
+        ("a", 1), ("b", 2),
+    ]
+    empty = counts.filter(F.lit(False))
+    assert SK.heavy_hitters_from_counts(empty, "k", 0.1).count() == 0
+    assert SK.top_frequent_from_counts(empty, "k", 3).count() == 0
