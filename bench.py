@@ -52,6 +52,8 @@ EXTENDED = [
     "funnel_stages",
     "cohort_retention",
     "dedup_containment",
+    # round-11: curation funnel + containment subset-copy stage
+    "corpus_curation_v4",
 ]
 
 # Representative cut across operator families; excludes the

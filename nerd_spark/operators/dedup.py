@@ -247,22 +247,13 @@ def _pair_jaccard(
     )
 
 
-def jaccard_dedup(
-    docs: DataFrame,
-    id_col="doc_id",
-    text_col="text",
-    k=3,
-    threshold=0.8,
-    max_df=20,
-) -> DataFrame:
-    """Near-dup pairs by exact shingle Jaccard >= threshold.
-
-    Candidate generation joins docs on shared shingles, keeping only
-    shingles appearing in <= max_df docs (stop-shingle removal): a
-    pair sharing only ultra-common shingles is never considered —
-    acceptable for near-dup detection and essential at scale (the
-    hot-shingle join otherwise degenerates to all-pairs).
-    """
+def _rare_shingle_candidates(docs, id_col, text_col, k, max_df):
+    """ONE shingle scan shared by every rare-shingle similarity
+    verify (jaccard_dedup, containment_dedup, and the combined
+    jaccard_containment_pairs): shingle the corpus, df-cap to kill the
+    hot-shingle blowup, self-join the rare rows into candidate pairs.
+    Returns (sarr CACHED, rare CACHED, cand, sets) — callers must tie
+    the two cached frames to their result (cacheutil.tie_unpersist)."""
     sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
     sh = sarr.select("id", F.explode("sarr").alias("s"))
     df_ok = (
@@ -279,11 +270,91 @@ def jaccard_dedup(
         .distinct()
     )
     sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    return sarr, rare, cand, sets
+
+
+def jaccard_dedup(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k=3,
+    threshold=0.8,
+    max_df=20,
+) -> DataFrame:
+    """Near-dup pairs by exact shingle Jaccard >= threshold.
+
+    Candidate generation joins docs on shared shingles, keeping only
+    shingles appearing in <= max_df docs (stop-shingle removal): a
+    pair sharing only ultra-common shingles is never considered —
+    acceptable for near-dup detection and essential at scale (the
+    hot-shingle join otherwise degenerates to all-pairs).
+    """
+    sarr, rare, cand, sets = _rare_shingle_candidates(
+        docs, id_col, text_col, k, max_df
+    )
     pj = _pair_jaccard(cand, sets)
     # re-tie: the filter below is a new handle; without this the
     # intermediate dies at return and drops the candidate pin early
     return tie_unpersist(
         pj.filter(F.col("jaccard") >= threshold), pj, sarr, rare
+    )
+
+
+def jaccard_containment_pairs(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    k=3,
+    jaccard_threshold=0.8,
+    containment_threshold=0.9,
+    max_df=20,
+) -> DataFrame:
+    """BOTH similarity measures from one shared scan: (a_id, b_id,
+    jaccard, containment) for every candidate pair passing EITHER
+    threshold. When a curation pipeline wants Jaccard near-dups AND
+    subset-copy containment (corpus_curation_v4), running
+    jaccard_dedup + containment_dedup separately pays the shingle
+    scan, the df-cap aggregation, and the candidate self-join TWICE
+    for byte-identical intermediates — here one candidate frame
+    verifies once and both scores come out of the same
+    array_intersect (the denominators are the only difference).
+    Per-measure filters reproduce the standalone operators exactly
+    (pytest-pinned)."""
+    sarr, rare, cand, sets = _rare_shingle_candidates(
+        docs, id_col, text_col, k, max_df
+    )
+    sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
+    a = sets.select(
+        F.col("id").alias("a_id"), F.col("ss").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("id").alias("b_id"), F.col("ss").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    c = F.size(F.array_intersect("sa", "sb"))
+    cand = cand.persist()  # probe + verify join (the _pair_jaccard
+    # measured-bound broadcast discipline); tied to the result below
+    over = cand.limit(2_000_001).count() > 2_000_000
+    probe = cand.hint("merge") if over else F.broadcast(cand)
+    scored = (
+        probe.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
+            F.round(c / F.least("na", "nb"), 6).alias("containment"),
+        )
+    )
+    return tie_unpersist(
+        scored.filter(
+            (F.col("jaccard") >= jaccard_threshold)
+            | (F.col("containment") >= containment_threshold)
+        ),
+        cand,
+        sarr,
+        rare,
     )
 
 
@@ -311,22 +382,9 @@ def containment_dedup(
     jaccard(a, b) row-for-row and every Jaccard pair at a threshold
     is also a containment pair at that threshold (property-tested).
     """
-    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
-    sh = sarr.select("id", F.explode("sarr").alias("s"))
-    df_ok = (
-        sh.groupBy("s")
-        .agg(F.count_distinct("id").alias("df"))
-        .filter(F.col("df") <= max_df)
+    sarr, rare, cand, sets = _rare_shingle_candidates(
+        docs, id_col, text_col, k, max_df
     )
-    rare = sh.join(df_ok.select("s"), "s").cache()
-    cand = (
-        rare.alias("x")
-        .join(rare.alias("y"), "s")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
-        .distinct()
-    )
-    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
     pc = _pair_containment(cand, sets)
     return tie_unpersist(
         pc.filter(F.col("containment") >= threshold), pc, sarr, rare

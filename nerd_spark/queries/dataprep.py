@@ -2082,6 +2082,137 @@ _CURATION_V3_ORACLE = _CURATION_V3_TPL.format(
     SPLIT_CUT=_SPLIT_CUT,
 )
 
+# v4 = v3 + an asymmetric-containment stage between the Jaccard
+# cluster survivors and the mixture: subset copies (snippet-in-
+# article, boilerplate-wrapped reposts) survive any Jaccard threshold
+# — containment |A∩B|/min(|A|,|B|) catches them; the SHORTER text of
+# each passing pair drops (it is the contained copy; doc_id breaks
+# ties). The containment CTEs reuse the v3 oracle's d2 shingle rows
+# (`sh`) and per-doc sets, restricted to d3 and df-capped over d3 —
+# exactly operators/dedup.py::containment_dedup's candidate shape.
+_CONTAINMENT_STAGE_SQL = """
+    sh3 AS MATERIALIZED (
+      SELECT doc_id, s FROM sh WHERE doc_id IN (SELECT doc_id FROM d3)
+    ),
+    df3 AS (SELECT s FROM sh3 GROUP BY s HAVING count(DISTINCT doc_id) <= 20),
+    rare3 AS MATERIALIZED (
+      SELECT doc_id, s FROM sh3 WHERE s IN (SELECT s FROM df3)
+    ),
+    cand3 AS (
+      SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      FROM rare3 x JOIN rare3 y ON x.s = y.s AND x.doc_id < y.doc_id
+    ),
+    cont AS (
+      SELECT c.a_id, c.b_id,
+             round(len(list_intersect(sa.ss, sb.ss)) * 1.0
+                   / least(sa.n, sb.n), 6) AS containment
+      FROM cand3 c JOIN sets sa ON sa.doc_id = c.a_id
+                   JOIN sets sb ON sb.doc_id = c.b_id
+    ),
+    cpair AS (SELECT a_id, b_id FROM cont WHERE containment >= 0.9),
+    dlen AS (SELECT doc_id, length(text) AS len FROM d3),
+    closers AS (
+      SELECT DISTINCT CASE WHEN la.len < lb.len
+                             OR (la.len = lb.len AND a_id > b_id)
+                           THEN a_id ELSE b_id END AS doc_id
+      FROM cpair JOIN dlen la ON la.doc_id = a_id
+                 JOIN dlen lb ON lb.doc_id = b_id
+    ),
+    d4 AS (SELECT * FROM d3 WHERE doc_id NOT IN (SELECT doc_id FROM closers)),
+"""
+
+_V3_HEAD, _V3_TAIL = _CURATION_V3_ORACLE.split("    tcnt AS", 1)
+_CURATION_V4_ORACLE = (
+    # d3 and the shingle `sets` gain MATERIALIZED in v4: the
+    # containment CTEs reference them repeatedly, and DuckDB
+    # re-executes a plain CTE per reference — measured 309 s vs ~20 s
+    # at sf0.001 (the recursive cluster closure re-ran per branch)
+    _V3_HEAD.replace("d3 AS (", "d3 AS MATERIALIZED (").replace(
+        "sets AS (", "sets AS MATERIALIZED ("
+    )
+    + _CONTAINMENT_STAGE_SQL.strip("\n")
+    + "\n    tcnt AS"
+    + _V3_TAIL.replace("d3", "d4")
+)
+
+
+@query("corpus_curation_v4", _CURATION_V4_ORACLE)
+def corpus_curation_v4(spark, sf_dir):
+    """v3 + containment dedup (r10 verdict #5): Gopher gate ->
+    span/boilerplate removal -> decontamination -> MinHash-LSH
+    Jaccard clusters -> CONTAINMENT subset-copy removal (the shorter
+    text of each containment pair drops — it is the contained copy;
+    operators/dedup.py::containment_dedup) -> temperature mixture ->
+    split/shard. Without the new stage a snippet-in-article copy
+    survives the whole pipeline: its Jaccard against the container is
+    ~|A|/|B| (tiny) while its containment is ~1.0."""
+    docs = t(spark, sf_dir, "documents")
+    gated = docs.join(
+        QM.gopher_rules(docs).filter("keep").select("doc_id"), "doc_id"
+    )
+    cleaned = (
+        gated.select("doc_id", "source")
+        .join(
+            DD.span_dedup(gated, k=10, min_df=2).select(
+                "doc_id", F.col("kept_text").alias("text")
+            ),
+            "doc_id",
+        )
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    cleaned = cleaned.localCheckpoint()  # funnel waist (see v3)
+    ev = cleaned.filter(F.col("doc_id") % 19 == 3)
+    tr = cleaned.filter(F.col("doc_id") % 19 != 3)
+    contaminated = (
+        CONTAM.ngram_contamination(tr, ev, n=_CONTAM_N)
+        .filter(F.col("eval_frac") >= 0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    d2 = tr.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    pairs = DD.minhash_lsh_dedup(
+        spark, d2, n_bands=4, rows_per_band=3, threshold=0.5
+    )
+    losers = (
+        CCOMP.dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_root"))
+        .select("doc_id")
+    )
+    # third funnel waist: the containment stage consumes d3 twice
+    # (shingle scan + the length lookup) and the mixture consumes d4
+    d3 = d2.join(losers, "doc_id", "left_anti").localCheckpoint()
+    cpairs = DD.containment_dedup(d3, k=3, threshold=0.9, max_df=20)
+    dlen = d3.select("doc_id", F.length("text").alias("len"))
+    la = dlen.select(F.col("doc_id").alias("a_id"), F.col("len").alias("la"))
+    lb = dlen.select(F.col("doc_id").alias("b_id"), F.col("len").alias("lb"))
+    closers = (
+        cpairs.join(la, "a_id")
+        .join(lb, "b_id")
+        .select(
+            F.when(
+                (F.col("la") < F.col("lb"))
+                | ((F.col("la") == F.col("lb")) & (F.col("a_id") > F.col("b_id"))),
+                F.col("a_id"),
+            )
+            .otherwise(F.col("b_id"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    d4 = d3.join(closers, "doc_id", "left_anti")
+    kept = (
+        SAMP.temperature_mixture(d4)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    split = SAMP.hash_split(kept, val_frac=_SPLIT_FRAC)
+    shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
+        "doc_id", "shard"
+    )
+    return split.join(shards, "doc_id").select(
+        "doc_id", "source", "n_copies", "split", "shard"
+    )
+
 
 @query("corpus_curation_v3", _CURATION_V3_ORACLE)
 def corpus_curation_v3(spark, sf_dir):

@@ -121,3 +121,54 @@ def test_cohort_rejects_degenerate_params(spark):
         cohort_retention(ev, "signup", n_periods=0)
     with _pytest.raises(ValueError):
         funnel(ev, [])
+
+
+def test_jaccard_containment_pairs_equals_separate_ops(spark, sf_dir):
+    """The shared-scan combined verify reproduces jaccard_dedup and
+    containment_dedup exactly (per-measure filters over the one
+    candidate frame) — the corpus_curation_v4 stage contract."""
+    from nerd_spark.operators.dedup import (
+        containment_dedup,
+        jaccard_containment_pairs,
+        jaccard_dedup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    both = jaccard_containment_pairs(
+        docs, jaccard_threshold=0.8, containment_threshold=0.9
+    ).collect()
+    jac_from_both = {
+        (r.a_id, r.b_id): r.jaccard for r in both if r.jaccard >= 0.8
+    }
+    con_from_both = {
+        (r.a_id, r.b_id): r.containment for r in both if r.containment >= 0.9
+    }
+    jac = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_dedup(docs, threshold=0.8).collect()
+    }
+    con = {
+        (r.a_id, r.b_id): r.containment
+        for r in containment_dedup(docs, threshold=0.9).collect()
+    }
+    assert jac_from_both == jac
+    assert con_from_both == con
+
+
+def test_containment_stage_drops_planted_subset_copy(spark):
+    """A snippet fully contained in a long article survives any
+    Jaccard threshold (jaccard ~ |A|/|B|) but containment catches it
+    and the SHORTER doc drops — the corpus_curation_v4 stage rule."""
+    from nerd_spark.operators.dedup import containment_dedup, jaccard_dedup
+
+    long_words = " ".join(f"w{i}" for i in range(400))
+    snippet = " ".join(f"w{i}" for i in range(40, 80))
+    docs = spark.createDataFrame(
+        [(1, long_words, "web"), (2, snippet, "web"),
+         (3, " ".join(f"x{i}" for i in range(100)), "web")],
+        "doc_id long, text string, source string",
+    )
+    assert jaccard_dedup(docs, threshold=0.5, max_df=3).count() == 0
+    pairs = containment_dedup(docs, threshold=0.9, max_df=3).collect()
+    assert [(r.a_id, r.b_id) for r in pairs] == [(1, 2)]
+    assert pairs[0].containment == 1.0
