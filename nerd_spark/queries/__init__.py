@@ -95,6 +95,7 @@ _WINDOW_PRIORITY = [
     "q1_pricing_summary",
     "corpus_curation_v3",
     "corpus_curation_v4",
+    "streaming_funnel",
     "hh_by_event_type",
     "hh_event_users",
     "j5_asof_join",
@@ -108,7 +109,6 @@ _WINDOW_PRIORITY = [
     "tags_rules",
     "streaming_daily_counts",
     "a6_source_reputation",
-    "a8_threat_summary",
 ]
 
 

@@ -230,3 +230,74 @@ def streaming_cohort(spark, sf_dir):
     )
     q.awaitTermination(300)
     return current_retention(spark, state)
+
+
+@query(
+    "streaming_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= t1.t GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= t2.t GROUP BY 1
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           (SELECT count(*) FROM t1) AS users,
+           round((SELECT count(*) FROM t1)::DOUBLE
+                 / nullif((SELECT count(*) FROM t1), 0), 6) AS rate
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM t2),
+           round((SELECT count(*) FROM t2)::DOUBLE
+                 / nullif((SELECT count(*) FROM t1), 0), 6)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM t3),
+           round((SELECT count(*) FROM t3)::DOUBLE
+                 / nullif((SELECT count(*) FROM t1), 0), 6)
+    """,
+)
+def streaming_funnel(spark, sf_dir):
+    """Watermark-bounded continuous funnel (streaming/funnel_stream.py,
+    r10 verdict #6): the event stream drains under availableNow into
+    per-epoch accepted stage-event state; acceptance drops events more
+    than 7 days behind the committed high-water event time (the P10
+    contract that makes a bounded exact state possible — see the
+    module docstring's freeze argument). Serving must equal the batch
+    funnel over ACCEPTED events; a drained static set arrives as one
+    on-time batch (no drops), so it shares funnel_stages' SQL oracle
+    (the streaming_cohort discipline). The late-beyond-watermark
+    divergence case is pytest-pinned instead
+    (tests/test_funnel_stream.py)."""
+    from nerd_spark.streaming.funnel_stream import (
+        current_funnel,
+        stream_funnel,
+    )
+
+    stages = ["view", "click", "purchase"]
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    state = tempfile.mkdtemp(prefix=f"nerd_spark_fs_{uuid.uuid4().hex[:8]}_")
+    q = stream_funnel(
+        spark, stream, state_dir=state,
+        checkpoint_dir=tempfile.mkdtemp(prefix="nerd_spark_ckpt_"),
+        stages=stages,
+    )
+    q.awaitTermination(300)
+    return current_funnel(spark, state, stages)

@@ -25,7 +25,7 @@ by active users x days per epoch regardless of event volume, the
 canonical "reduced state, not events" streaming shape; compaction
 bounds the epoch union at long horizons.
 
-Why the FUNNEL has no streaming sibling here: its state is not
+Why the FUNNEL has no UNBOUNDED streaming sibling: its state is not
 reducible under out-of-order arrival. A late stage-1 event can lower
 t1, retroactively qualifying stage-2 events an earlier epoch already
 discarded — exactness therefore requires retaining every
@@ -34,6 +34,14 @@ stage-typed event timestamp, which is "the events", not a reduction
 timestamp order, a contract the epoch replay model does not give).
 Cohorts escape this because day-granularity activity is a monotone
 SET — late data only ever adds elements, never invalidates one.
+
+The engine's OWN lateness contract changes the funnel's answer,
+though: P10 acceptance drops events more than 7 days behind the
+high-water event time, and within that bound the pre-watermark
+prefix is final — streaming/funnel_stream.py ships the
+watermark-bounded EXACT funnel on that argument (frozen prefix
+scalars + in-horizon event rows; see its docstring for the freeze
+proof and the acceptance caveat).
 """
 
 from __future__ import annotations
