@@ -497,7 +497,17 @@ def j5_asof_join(spark, sf_dir):
     # with clicks as side 0 makes same-instant clicks visible to the
     # purchase and breaks ts ties by max event_id — bit-for-bit the
     # oracle's ORDER BY c.ts DESC, c.event_id DESC LIMIT 1.
-    ev = t(spark, sf_dir, "events")
+    #
+    # Layout dirs carry a user-bucketed (user_id, ts)-sorted events
+    # table (sources/layout.py::write_events_bucketed): the window's
+    # required distribution is satisfied by the bucketing, so the
+    # plan drops its Exchange and sorts pre-sorted buckets; raw dirs
+    # (every oracle) keep the shuffle plan.
+    from nerd_spark.sources.layout import bucketed_events
+
+    ev = bucketed_events(spark, sf_dir)
+    if ev is None:
+        ev = t(spark, sf_dir, "events")
     e = ev.filter(F.col("event_type").isin("purchase", "click")).select(
         "event_id",
         "user_id",

@@ -553,6 +553,9 @@ def optimize_layout(
         # sketch-spot serve tables (operators/sketches.py::
         # *_from_counts) — the corpus pass the screen/plain paths pay
         # per query happens once here; queries read O(pairs)/O(keys).
+        # user-bucketed sorted events: per-user ordered operators (the
+        # j5 as-of window, w4 last-N, sessionize) plan exchange-free
+        write_events_bucketed(spark, out_dir)
         kpath = os.path.join(out_dir, SUMMARY_TYPE_USER_DIRNAME)
         (
             ev.groupBy(
@@ -1324,6 +1327,87 @@ def bucketed_pair_names(data_dir: str) -> tuple[str, str]:
 
     h = hashlib.md5(os.path.abspath(data_dir).encode()).hexdigest()[:10]
     return f"orders_bkt_{h}", f"customer_bkt_{h}"
+
+
+def bucketed_events_name(data_dir: str) -> str:
+    """Catalog table name for the user-bucketed events table of a
+    layout dir (same hash-suffix discipline as bucketed_pair_names)."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(data_dir).encode()).hexdigest()[:10]
+    return f"events_bkt_{h}"
+
+
+def write_events_bucketed(
+    spark: SparkSession, data_dir: str, n_buckets: int = 32
+) -> str:
+    """Write events bucketed by user_id AND sorted by (user_id, ts)
+    as an external table under data_dir. Every per-user ordered
+    operator (the j5 as-of window, last-N-per-key, sessionization)
+    then plans with NO Exchange — HashPartitioning(user_id) satisfies
+    the window's required distribution — and the in-partition sort
+    runs over pre-sorted buckets. At 100 TB this is the entity-
+    clustered event layout the PLANS.md deployment map prescribes."""
+    from nerd_spark.session import read_table
+    from nerd_spark.sources import fsutil
+
+    tbl = bucketed_events_name(data_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # cold-start self-heal: clear an orphaned LOCATION a killed
+    # session stranded (same as write_join_pair)
+    fsutil.delete(
+        spark, os.path.join(data_dir, f"{tbl}.bucketed"), recursive=True
+    )
+    (
+        # one file per bucket (repartition on the bucket key first) so
+        # the reader trusts sortBy — see write_join_pair
+        read_table(spark, data_dir, "events")
+        .repartition(n_buckets, F.col("user_id"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "user_id")
+        .sortBy("user_id", "ts")
+        .option("path", os.path.join(data_dir, f"{tbl}.bucketed"))
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    return tbl
+
+
+def bucketed_events(spark: SparkSession, data_dir: str):
+    """The user-bucketed events table if this layout dir has one and
+    it is no older than events.parquet, else None (raw fallback).
+
+    Bucket METADATA lives in the session catalog and dies with the
+    JVM while the files survive — a later session re-registers the
+    DDL over the existing location (CLUSTERED/SORTED BY must match
+    the writer's spec in write_events_bucketed, which always writes
+    32 buckets sorted (user_id, ts); the _SUCCESS + freshness gate
+    covers staleness, and only that writer produces this dirname)."""
+    from nerd_spark.sources import fsutil
+
+    tbl = bucketed_events_name(data_dir)
+    loc = os.path.join(data_dir, f"{tbl}.bucketed")
+    if not spark.catalog.tableExists(tbl):
+        if not fsutil.exists(spark, os.path.join(loc, "_SUCCESS")):
+            return None
+        try:
+            df = spark.read.parquet(loc)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+                f"CLUSTERED BY (user_id) SORTED BY (user_id, ts) "
+                f"INTO 32 BUCKETS LOCATION '{os.path.abspath(loc)}'"
+            )
+        except Exception:
+            return None
+    if not summary_fresh(
+        spark, data_dir, f"{tbl}.bucketed", ("events.parquet",)
+    ):
+        return None
+    return spark.table(tbl)
 
 
 def write_join_pair(

@@ -244,3 +244,56 @@ def test_token_stats_pre_columns_bit_equal_and_served(spark, sf_dir, layout_dir)
         .toPandas()
     )
     assert a.equals(b)
+
+
+def test_bucketed_events_serves_j5_exchange_free(spark, sf_dir, tmp_path):
+    """The user-bucketed (user_id, ts)-sorted events table satisfies
+    the as-of window's required distribution: j5 plans WITHOUT an
+    Exchange over it, values identical to the raw shuffle plan; a
+    fresh session re-registers the catalog DDL over the surviving
+    files; appending to events makes the gate refuse (raw fallback)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nerd_spark.queries.relational import j5_asof_join
+    from nerd_spark.sources.layout import (
+        bucketed_events,
+        bucketed_events_name,
+        write_events_bucketed,
+    )
+
+    d = str(tmp_path / "data")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    write_events_bucketed(spark, d)
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    raw = rows(j5_asof_join(spark, sf_dir))
+    srv = j5_asof_join(spark, d)
+    plan = srv._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert rows(srv) == raw
+    # cross-session re-register: drop the catalog entry (the files
+    # survive) — bucketed_events rebuilds the DDL and the plan is
+    # still exchange-free
+    tbl = bucketed_events_name(d)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert bucketed_events(spark, d) is not None
+    plan2 = (
+        j5_asof_join(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan2
+    # staleness: append to events -> gate refuses -> raw plan, exact
+    src.limit(0).write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    assert bucketed_events(spark, d) is None
+    stale = j5_asof_join(spark, d)
+    assert "Exchange hashpartitioning" in (
+        stale._jdf.queryExecution().executedPlan().toString()
+    )
+    assert rows(stale) == raw
