@@ -43,16 +43,18 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    (top_frequent_users, quantile_event_values, quantile_by_event_type,
 #    corpus_stats_card, text_token_stats — the sketches probe-routing +
 #    colstats-sidecar rewiring);
-# 4. queries whose code paths change THIS round (round 11):
-#    q1_pricing_summary (serve-gate constant fix), corpus_curation_v3
-#    (containment stage / shared shingle scan), hh_by_event_type and
-#    top_frequent_users (layout-summary top-k serve), j5_asof_join
-#    (bucketed-layout window attempt), plus any queries ADDED this
-#    round (registered inside the window, not past it — the r10
-#    never-checked gap came from registering past a set window);
+# 4. queries whose code paths changed THIS round (round 11):
+#    q1_pricing_summary (serve-constant adjudication),
+#    corpus_curation_v3 (shared shingle scan), hh_by_event_type /
+#    hh_event_users / top_frequent_users (count-table serves),
+#    j5_asof_join (user-bucketed exchange-free window), PLUS the two
+#    queries ADDED this round — corpus_curation_v4 (containment
+#    curation stage) and streaming_funnel (watermark-bounded exact) —
+#    registered INSIDE the window, not past it (the r10 never-checked
+#    gap came from registering past a set window);
 # 5. fill to 50 with r9-latest rows (headline + infra-adjacent first).
 # After r11: zero never-checked queries; no query's latest driver row
-# older than r9. The remaining r9-latest rows (~28) rotate in r12.
+# older than r9. The remaining 33 r9-latest rows rotate in r12.
 _WINDOW_PRIORITY = [
     # 1 — never driver-checked (added mid-round-10; binding, r10 verdict)
     "funnel_stages",
@@ -99,6 +101,7 @@ _WINDOW_PRIORITY = [
     "hh_by_event_type",
     "hh_event_users",
     "j5_asof_join",
+    "w1_topk",
     # 5 — r9-latest fill to 50 (headline + infra-adjacent)
     "a1_daily_rollup",
     "a2_window_totals",
@@ -108,7 +111,6 @@ _WINDOW_PRIORITY = [
     "fmp_score",
     "tags_rules",
     "streaming_daily_counts",
-    "a6_source_reputation",
 ]
 
 

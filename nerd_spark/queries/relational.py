@@ -616,6 +616,31 @@ def j9_semi_anti(spark, sf_dir):
 def w1_topk(spark, sf_dir):
     # Sort+limit → Catalyst TakeOrderedAndProject (no full sort)
     # (reference: nerd_main.py:955-962 sort attr + limit 1-1000).
+    #
+    # Serve path: top-k is an exactly mergeable sketch for
+    # append-only events, so ingest maintains the k-row answer table
+    # (sources/layout.py::update_topk_summary) and the query becomes
+    # a 100-row file read; staleness / meta mismatch / raw dirs take
+    # the TakeOrderedAndProject scan (every oracle does).
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        SUMMARY_TOPK_VALUE_DIRNAME,
+        TOPK_VALUE_K,
+    )
+
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_TOPK_VALUE_DIRNAME,
+        {"k": TOPK_VALUE_K, "order": "value_desc"},
+        ("event_id", "value"),
+    )
+    if res is not None:
+        return (
+            res.orderBy(F.col("value").desc(), F.col("event_id"))
+            .limit(100)
+            .select("event_id", F.round("value", 2).alias("value"))
+        )
     return (
         t(spark, sf_dir, "events")
         .orderBy(F.col("value").desc(), F.col("event_id"))

@@ -68,6 +68,8 @@ COHORT_DEFAULTS = {"anchor_type": "signup", "period_days": 7, "n_periods": 4}
 SUMMARY_META_NAME = "_nerd_meta.json"
 SUMMARY_TYPE_USER_DIRNAME = "summary_type_user_counts.parquet"
 SUMMARY_USER_COUNTS_DIRNAME = "summary_user_counts.parquet"
+SUMMARY_TOPK_VALUE_DIRNAME = "summary_topk_value.parquet"
+TOPK_VALUE_K = 100
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -556,6 +558,9 @@ def optimize_layout(
         # user-bucketed sorted events: per-user ordered operators (the
         # j5 as-of window, w4 last-N, sessionize) plan exchange-free
         write_events_bucketed(spark, out_dir)
+        # global top-k-by-value rows (the w1 serve table; exactly
+        # mergeable for append-only events — update_topk_summary)
+        update_topk_summary(spark, out_dir, ev)
         kpath = os.path.join(out_dir, SUMMARY_TYPE_USER_DIRNAME)
         (
             ev.groupBy(
@@ -1097,6 +1102,40 @@ def update_keycount_summaries(
     fsutil.touch(spark, os.path.join(tot_path, "_SUCCESS"))
 
 
+def _topk_value(df, k: int):
+    # no null filter: the raw path (and the oracle) keep null values,
+    # sorted last by both engines' desc default — the serve table
+    # must mirror that ordering exactly, and nulls-last is still a
+    # total order so the top-k merge algebra holds
+    return (
+        df.select("event_id", "value")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .limit(k)
+    )
+
+
+def update_topk_summary(
+    spark: SparkSession, data_dir: str, new_events, k: int = TOPK_VALUE_K
+) -> None:
+    """Incremental maintenance of the global top-k-by-value rows (the
+    w1 serve table): top-k is an exactly mergeable sketch for
+    APPEND-ONLY data — topk(S ∪ B) == topk(topk(S) ∪ topk(B)) — so
+    the fold unions two k-row frames. Deletions/retention rewrites
+    bump the events dir mtime past the commit and the gate falls back
+    to the raw TakeOrderedAndProject (exact, just a corpus scan)."""
+    from nerd_spark.sources import fsutil
+
+    out = os.path.join(data_dir, SUMMARY_TOPK_VALUE_DIRNAME)
+    bt = _topk_value(new_events, k)
+    if fsutil.exists(spark, os.path.join(out, "_SUCCESS")):
+        old = spark.read.parquet(out).select("event_id", "value")
+        bt = _topk_value(old.unionByName(bt), k)
+    bt = bt.localCheckpoint()
+    bt.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(spark, out, {"k": k, "order": "value_desc"})
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+
+
 def update_funnel_summary(
     spark: SparkSession,
     data_dir: str,
@@ -1237,6 +1276,7 @@ def update_event_summaries(
     update_funnel_summary(spark, data_dir, new_events, entity=entity)
     update_cohort_summary(spark, data_dir, new_events, entity=entity)
     update_keycount_summaries(spark, data_dir, new_events, entity=entity)
+    update_topk_summary(spark, data_dir, new_events)
     # amortized column-stats refresh: every merge_facts append
     # invalidates the probe sidecar's signature; re-pin it only when
     # the table has grown past the refresh factor (O(log) passes over

@@ -132,3 +132,38 @@ def test_from_counts_null_and_empty_contracts(spark):
     empty = counts.filter(F.lit(False))
     assert SK.heavy_hitters_from_counts(empty, "k", 0.1).count() == 0
     assert SK.top_frequent_from_counts(empty, "k", 3).count() == 0
+
+
+def test_topk_value_fold_and_serve(spark, tmp_path):
+    """Top-k is an exactly mergeable sketch for append-only data:
+    per-batch folds equal the one-shot TakeOrderedAndProject, w1
+    serves the maintained k rows, staleness falls back to raw."""
+    from pyspark.sql import functions as F2
+
+    from nerd_spark.queries.relational import w1_topk
+    from nerd_spark.sources.layout import (
+        SUMMARY_TOPK_VALUE_DIRNAME,
+        update_topk_summary,
+    )
+
+    d = _data_dir(spark, tmp_path)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    update_topk_summary(spark, d, ev.filter(F.col("event_id") % 2 == 0))
+    update_topk_summary(spark, d, ev.filter(F.col("event_id") % 2 == 1))
+    raw = [
+        (r.event_id, r.value)
+        for r in ev.orderBy(F2.col("value").desc(), "event_id")
+        .limit(100)
+        .select("event_id", F2.round("value", 2).alias("value"))
+        .collect()
+    ]
+    served = w1_topk(spark, d)
+    assert any(
+        SUMMARY_TOPK_VALUE_DIRNAME in f for f in served.inputFiles()
+    )
+    assert [(r.event_id, r.value) for r in served.collect()] == raw
+    # staleness: append -> gate refuses -> raw scan, still exact
+    ev.limit(0).write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    stale = w1_topk(spark, d)
+    assert any("events.parquet" in f for f in stale.inputFiles())
+    assert [(r.event_id, r.value) for r in stale.collect()] == raw
