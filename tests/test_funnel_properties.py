@@ -140,3 +140,73 @@ def test_cohort_matches_bruteforce(spark, rows):
         for r in cohort_retention(ev, "signup").collect()
     }
     assert got == _ref_cohort(rows)
+
+
+@given(_EVENTS, st.integers(min_value=1, max_value=3))
+@settings(max_examples=12, deadline=None)
+def test_funnel_state_fold_equals_one_shot(spark, rows, mod):
+    """The serve-table fold algebra (tests the r11 ingest-maintained
+    state): split an arbitrary event set into batches by any rule,
+    fold the per-batch states, resolve — identical to the one-shot
+    batch funnel (and the brute-force reference). Exercises the
+    late-data case by construction: hypothesis freely puts a user's
+    stage-1 event in a later batch than their stage-2 event."""
+    from nerd_spark.operators.funnels import (
+        funnel_rows_from_times,
+        funnel_user_state,
+        merge_funnel_state,
+        resolve_funnel_times,
+    )
+
+    df = _mk_df(spark, rows)
+    parts = [
+        df.filter(
+            F.crc32(F.concat_ws("|", "user_id", "ts", "event_type"))
+            % (mod + 1) == i
+        )
+        for i in range(mod + 1)
+    ]
+    state = funnel_user_state(parts[0], _STAGES)
+    for p in parts[1:]:
+        state = merge_funnel_state(state, funnel_user_state(p, _STAGES))
+    folded = {
+        r.stage_idx: r.users
+        for r in funnel_rows_from_times(
+            resolve_funnel_times(state, _STAGES), _STAGES
+        ).collect()
+    }
+    one = {r.stage_idx: r.users for r in funnel(df, _STAGES).collect()}
+    assert folded == one
+
+
+@given(_EVENTS, st.integers(min_value=1, max_value=3))
+@settings(max_examples=12, deadline=None)
+def test_cohort_state_fold_equals_one_shot(spark, rows, mod):
+    from nerd_spark.operators.funnels import (
+        cohort_state_to_per_user,
+        cohort_user_state,
+        merge_cohort_state,
+        retention_from_per_user,
+    )
+
+    df = _mk_df(spark, rows)
+    parts = [
+        df.filter(
+            F.crc32(F.concat_ws("|", "user_id", "ts", "event_type"))
+            % (mod + 1) == i
+        )
+        for i in range(mod + 1)
+    ]
+    state = cohort_user_state(parts[0])
+    for p in parts[1:]:
+        state = merge_cohort_state(state, cohort_user_state(p))
+    folded = sorted(
+        map(
+            repr,
+            retention_from_per_user(
+                cohort_state_to_per_user(state, "view"), 7, 4
+            ).collect(),
+        )
+    )
+    one = sorted(map(repr, cohort_retention(df, "view").collect()))
+    assert folded == one
