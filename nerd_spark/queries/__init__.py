@@ -47,7 +47,8 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    q1_pricing_summary (serve-constant adjudication),
 #    corpus_curation_v3 (shared shingle scan), hh_by_event_type /
 #    hh_event_users / top_frequent_users (count-table serves),
-#    j5_asof_join (user-bucketed exchange-free window), PLUS the two
+#    j5_asof_join (user-bucketed exchange-free window), w1_topk
+#    (mergeable top-k answer table), PLUS the two
 #    queries ADDED this round — corpus_curation_v4 (containment
 #    curation stage) and streaming_funnel (watermark-bounded exact) —
 #    registered INSIDE the window, not past it (the r10 never-checked
