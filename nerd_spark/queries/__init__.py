@@ -103,6 +103,7 @@ _WINDOW_PRIORITY = [
     "hh_event_users",
     "j5_asof_join",
     "w1_topk",
+    "w4_last_n_per_key",
     # 5 — r9-latest fill to 50 (headline + infra-adjacent)
     "a1_daily_rollup",
     "a2_window_totals",
@@ -110,7 +111,6 @@ _WINDOW_PRIORITY = [
     "j4_range_join",
     "op_array_upsert_rebuild",
     "fmp_score",
-    "tags_rules",
     "streaming_daily_counts",
 ]
 

@@ -916,9 +916,15 @@ def op_merge_snapshot(spark, sf_dir):
 def sessionize_stats(spark, sf_dir):
     # Gap-based sessionization (30-min gap): lag + boundary flag +
     # running sum, then per-session rollup (operators/sessionize.py).
+    # Rides the user-bucketed events table on layout dirs (the j5
+    # discipline: the lag/sum windows' required distribution is
+    # satisfied by the bucketing, no Exchange).
     from nerd_spark.operators.sessionize import session_stats
+    from nerd_spark.sources.layout import bucketed_events
 
-    ev = t(spark, sf_dir, "events")
+    ev = bucketed_events(spark, sf_dir)
+    if ev is None:
+        ev = t(spark, sf_dir, "events")
     return session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)
 
 

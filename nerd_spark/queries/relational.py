@@ -661,10 +661,17 @@ def w1_topk(spark, sf_dir):
 )
 def w4_last_n_per_key(spark, sf_dir):
     # Last-N-per-key (reference: intervals_between_events.py:31 keeps
-    # last 21 timestamps).
+    # last 21 timestamps). Rides the user-bucketed events table on
+    # layout dirs (no Exchange — the j5 discipline); WindowGroupLimit
+    # still prunes to N per key before the final filter.
+    from nerd_spark.sources.layout import bucketed_events
+
+    ev = bucketed_events(spark, sf_dir)
+    if ev is None:
+        ev = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        t(spark, sf_dir, "events")
+        ev
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "ts", "rn")
