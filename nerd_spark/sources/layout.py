@@ -1348,15 +1348,30 @@ def summary_fresh(
         except Exception:  # source absent (pure derived-state dir)
             continue
     if expect_cols:
-        try:
-            cols = set(
-                spark.read.parquet(os.path.join(data_dir, dirname)).columns
-            )
-        except Exception:
-            return False
+        # schema probe memoized by the commit marker's mtime: the
+        # footer read costs ~0.1 s per call (the dominant gate cost —
+        # r10 verdict #4's suspect class) and any rewrite bumps the
+        # marker, so the key self-invalidates
+        key = (os.path.join(data_dir, dirname), smtime)
+        cols = _SCHEMA_COLS_CACHE.get(key)
+        if cols is None:
+            try:
+                cols = set(
+                    spark.read.parquet(
+                        os.path.join(data_dir, dirname)
+                    ).columns
+                )
+            except Exception:
+                return False
+            if len(_SCHEMA_COLS_CACHE) > 256:  # bound the session cache
+                _SCHEMA_COLS_CACHE.clear()
+            _SCHEMA_COLS_CACHE[key] = cols
         if not set(expect_cols) <= cols:
             return False
     return True
+
+
+_SCHEMA_COLS_CACHE: dict = {}
 
 
 def bucketed_pair_names(data_dir: str) -> tuple[str, str]:

@@ -167,3 +167,32 @@ def test_topk_value_fold_and_serve(spark, tmp_path):
     stale = w1_topk(spark, d)
     assert any("events.parquet" in f for f in stale.inputFiles())
     assert [(r.event_id, r.value) for r in stale.collect()] == raw
+
+
+def test_summary_fresh_schema_cache_invalidates(spark, tmp_path):
+    """The expect_cols schema probe is memoized by the commit marker's
+    mtime: a rewrite (new marker mtime) re-probes, so a schema-breaking
+    rewrite is never served from the cached verdict."""
+    from nerd_spark.sources.layout import summary_fresh
+
+    d = str(tmp_path / "data")
+    ev = _mk_events(spark, n=50)
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    ev.select("event_id", "value").write.mode("overwrite").parquet(
+        os.path.join(d, "derived.parquet")
+    )
+    fsutil.touch(spark, os.path.join(d, "derived.parquet", "_SUCCESS"))
+    args = (spark, d, "derived.parquet")
+    kw = {"sources": ("events.parquet",),
+          "expect_cols": ("event_id", "value")}
+    assert summary_fresh(*args, **kw)
+    assert summary_fresh(*args, **kw)  # cached verdict
+    # schema-breaking rewrite bumps the marker -> re-probe -> False
+    import time as _t
+
+    _t.sleep(0.01)
+    ev.select("event_id").write.mode("overwrite").parquet(
+        os.path.join(d, "derived.parquet")
+    )
+    fsutil.touch(spark, os.path.join(d, "derived.parquet", "_SUCCESS"))
+    assert not summary_fresh(*args, **kw)
