@@ -42,6 +42,46 @@ def main() -> None:
     print("== weekly cohort retention (first 10 cohort/period rows) ==")
     cohort_retention(ev, "signup").orderBy("cohort_date", "period").show(10)
 
+    # ---- the serve architecture (round 11) --------------------------
+    # A production deployment never recomputes these per query: ingest
+    # maintains per-user mergeable state + tiny result caches
+    # (sources/layout.py::update_event_summaries), and the registered
+    # queries serve them with a freshness gate + raw fallback. Split
+    # the corpus into two "micro-batches", fold, and serve — the
+    # served answers are identical to the recomputes above.
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nerd_spark.queries.analytics import cohort_retention_q, funnel_stages
+    from nerd_spark.sources.layout import update_event_summaries
+
+    d = tempfile.mkdtemp(prefix="nerd_example_serve_")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    for i in (0, 1):  # two ingest batches, folded incrementally
+        update_event_summaries(spark, d, ev.filter(F.col("event_id") % 2 == i))
+
+    print("== funnel SERVED from the ingest-maintained result cache ==")
+    funnel_stages(spark, d).orderBy("stage_idx").show()
+    print("== cohort retention SERVED (same values as the recompute) ==")
+    cohort_retention_q(spark, d).orderBy("cohort_date", "period").show(10)
+
+    # Watermark-bounded streaming funnel: the same answer, maintained
+    # continuously; events >7 days behind the high-water event time
+    # are dropped (the acceptance contract that makes a bounded exact
+    # state possible — streaming/funnel_stream.py's freeze argument).
+    from nerd_spark.streaming.funnel_stream import current_funnel, process_batch
+
+    sdir = tempfile.mkdtemp(prefix="nerd_example_fstream_")
+    stages = ["view", "click", "purchase"]
+    for i in (0, 1):
+        process_batch(
+            spark, ev.filter(F.col("event_id") % 2 == i), sdir, stages,
+            epoch_id=i,
+        )
+    print("== streaming funnel (cumulative over two epochs) ==")
+    current_funnel(spark, sdir, stages).orderBy("stage_idx").show()
+
     spark.stop()
 
 
