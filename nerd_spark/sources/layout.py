@@ -1241,11 +1241,21 @@ def update_cohort_summary(
 def update_event_summaries(
     spark: SparkSession, data_dir: str, new_events, entity: str = "user_id"
 ) -> None:
-    """One-call per-micro-batch maintenance of all four derived
-    event tables (daily, as-of anchor, per-entity window rollup,
-    §2.4 merged snapshot) — what the ingest job runs so every
-    A-family query, including A2 and op_merge_snapshot, serves from
-    precomputed state."""
+    """One-call per-micro-batch maintenance of every derived event
+    table (daily, as-of anchor, per-entity window rollup, §2.4 merged
+    snapshot, funnel/cohort per-user state + result caches, hh/top-k
+    count tables, w1 top-k answer) — what the ingest job runs so the
+    A-family and event-analytics queries serve precomputed state.
+
+    The folds after daily/as-of are mutually independent (each owns
+    its directory and reads only new_events + its own prior state),
+    so they submit CONCURRENTLY — the per-batch maintenance latency
+    is the slowest fold, not the sum; the scheduler interleaves their
+    small jobs across cores (the optimize_layout rewrite discipline).
+    The window rollup reads the just-committed daily summary, so it
+    joins the parallel phase only after daily+as-of land."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from nerd_spark.sources import fsutil
 
     daily_p = os.path.join(data_dir, SUMMARY_DAILY_DIRNAME)
@@ -1260,23 +1270,34 @@ def update_event_summaries(
         )
     b_asof = b_asof.localCheckpoint()
     b_asof.write.mode("overwrite").parquet(asof_p)
-    update_window_summary(
-        spark,
-        os.path.join(data_dir, SUMMARY_WINDOW_DIRNAME),
-        daily_p,
-        new_events,
-        entity=entity,
-    )
-    update_merged_summary(
-        spark,
-        os.path.join(data_dir, SUMMARY_MERGED_DIRNAME),
-        new_events,
-        entity=entity,
-    )
-    update_funnel_summary(spark, data_dir, new_events, entity=entity)
-    update_cohort_summary(spark, data_dir, new_events, entity=entity)
-    update_keycount_summaries(spark, data_dir, new_events, entity=entity)
-    update_topk_summary(spark, data_dir, new_events)
+    folds = [
+        lambda: update_window_summary(
+            spark,
+            os.path.join(data_dir, SUMMARY_WINDOW_DIRNAME),
+            daily_p,
+            new_events,
+            entity=entity,
+        ),
+        lambda: update_merged_summary(
+            spark,
+            os.path.join(data_dir, SUMMARY_MERGED_DIRNAME),
+            new_events,
+            entity=entity,
+        ),
+        lambda: update_funnel_summary(
+            spark, data_dir, new_events, entity=entity
+        ),
+        lambda: update_cohort_summary(
+            spark, data_dir, new_events, entity=entity
+        ),
+        lambda: update_keycount_summaries(
+            spark, data_dir, new_events, entity=entity
+        ),
+        lambda: update_topk_summary(spark, data_dir, new_events),
+    ]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        # list() drains the iterator so any fold's exception raises
+        list(pool.map(lambda f: f(), folds))
     # amortized column-stats refresh: every merge_facts append
     # invalidates the probe sidecar's signature; re-pin it only when
     # the table has grown past the refresh factor (O(log) passes over
