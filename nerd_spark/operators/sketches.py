@@ -1073,6 +1073,30 @@ def exact_quantiles_by(
     )
 
 
+def quantiles_from_counts(counts: DataFrame, probs: list[float]) -> DataFrame:
+    """Serve exact GLOBAL quantiles from a (v, cnt) value-count table —
+    the ingest-maintained summary_value_counts serve path
+    (sources/layout.py::update_value_hist_summary): one in-plan
+    cumulative-sum lookup over distinct values, no corpus scan, no
+    sketch. Output contract matches :func:`exact_quantiles`:
+    (p double, value <v type>), quantile_disc semantics."""
+    hist = counts.select(F.lit(0).alias("g"), "v", "cnt")
+    return _hist_quantiles(hist, probs).select("p", "value")
+
+
+def quantiles_by_from_counts(
+    hist: DataFrame, key_col: str, probs: list[float]
+) -> DataFrame:
+    """Per-group variant over the ingest-maintained (et, v, cnt) pair
+    histogram (null groups KEPT — the per-group quantile contract
+    groups nulls). Output matches :func:`exact_quantiles_by`:
+    (key_col, p double, value <v type>)."""
+    h = hist.select(F.col("et").alias("g"), "v", "cnt")
+    return _hist_quantiles(h, probs).select(
+        F.col("g").alias(key_col), "p", "value"
+    )
+
+
 def _terms_count_fn():
     """EXACT per-batch term counting at the text level: one Arrow
     transfer of the TEXT column per batch, (term, tf) pairs out — the

@@ -571,6 +571,24 @@ def _type_user_counts(spark, sf_dir):
     )
 
 
+def _value_counts(spark, sf_dir):
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import SUMMARY_VALUE_COUNTS_DIRNAME
+
+    return _event_serve_table(
+        spark, sf_dir, SUMMARY_VALUE_COUNTS_DIRNAME, {}, ("v", "cnt")
+    )
+
+
+def _value_hist(spark, sf_dir):
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import SUMMARY_VALUE_HIST_DIRNAME
+
+    return _event_serve_table(
+        spark, sf_dir, SUMMARY_VALUE_HIST_DIRNAME, {}, ("et", "v", "cnt")
+    )
+
+
 @query(
     "hh_terms",
     r"""
@@ -687,8 +705,17 @@ def quantile_event_values(spark, sf_dir):
     # and-refine with an iteratively-narrowed pick — never a global
     # sort either way. The result is an actual data element
     # (quantile_disc semantics), so the compare is exact.
+    #
+    # Serve path (the keycount discipline): ingest maintains the
+    # global (value, cnt) projection of the (event_type, value)
+    # histogram — quantiles become one cumulative-sum lookup over a
+    # distinct-values file read, no corpus pass at all. served==raw
+    # pinned by tests/test_quantile_serve.py; oracles stay on raw.
     from nerd_spark.operators import sketches as SK
 
+    vc = _value_counts(spark, sf_dir)
+    if vc is not None:
+        return SK.quantiles_from_counts(vc, [0.25, 0.5, 0.9, 0.99])
     ev = t(spark, sf_dir, "events")
     return SK.exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
 
@@ -711,8 +738,16 @@ def quantile_by_event_type(spark, sf_dir):
     # value domains, else the fully in-plan GK bracket path (sketch
     # shuffle + conditional-agg verify + window refine over bracket
     # rows only). Never a per-group sort of the data.
+    #
+    # Serve path: the ingest-maintained (event_type, value) histogram
+    # (sources/layout.py::update_value_hist_summary) — the corpus pass
+    # happened at ingest; the query is a cumulative-sum lookup over
+    # distinct (type, value) pairs.
     from nerd_spark.operators import sketches as SK
 
+    vh = _value_hist(spark, sf_dir)
+    if vh is not None:
+        return SK.quantiles_by_from_counts(vh, "event_type", [0.5, 0.95])
     ev = t(spark, sf_dir, "events")
     return SK.exact_quantiles_by(ev, "event_type", "value", [0.5, 0.95])
 
@@ -741,6 +776,47 @@ def corpus_stats_card(spark, sf_dir):
     # the histogram path), never a sort of the corpus.
     from nerd_spark.functions.text import tokens
     from nerd_spark.operators import sketches as SK
+    from nerd_spark.sources.layout import (
+        SUMMARY_DOC_TOKEN_HIST_DIRNAME,
+        summary_fresh,
+    )
+
+    # Serve tier: the layout-built per-(source, token-count) histogram
+    # — volumes AND exact quantiles derive from it, so a fresh layout
+    # dir answers the card from a distinct-pairs file read instead of
+    # a corpus scan. Gated on documents freshness + schema.
+    if summary_fresh(
+        spark,
+        sf_dir,
+        SUMMARY_DOC_TOKEN_HIST_DIRNAME,
+        ("documents.parquet",),
+        ("src", "ntok", "cnt"),
+    ):
+        import os as _os
+
+        h = spark.read.parquet(
+            _os.path.join(sf_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
+        )
+        vols = h.groupBy(F.col("src").alias("source")).agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum(F.col("ntok") * F.col("cnt")).alias("total_tokens"),
+        )
+        q = SK.quantiles_by_from_counts(
+            h.select(
+                F.col("src").alias("et"), F.col("ntok").alias("v"), "cnt"
+            ),
+            "source",
+            [0.5, 0.95],
+        )
+        wide = q.groupBy("source").agg(
+            F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias(
+                "p50_tokens"
+            ),
+            F.max(F.when(F.col("p") == 0.95, F.col("value"))).alias(
+                "p95_tokens"
+            ),
+        )
+        return vols.join(wide, "source")
 
     docs = t(spark, sf_dir, "documents")
     # layout dirs carry the ingest-materialized per-doc token count

@@ -70,6 +70,19 @@ SUMMARY_TYPE_USER_DIRNAME = "summary_type_user_counts.parquet"
 SUMMARY_USER_COUNTS_DIRNAME = "summary_user_counts.parquet"
 SUMMARY_TOPK_VALUE_DIRNAME = "summary_topk_value.parquet"
 TOPK_VALUE_K = 100
+# (event_type, value) histogram + its global (value) projection: the
+# quantile family's serve tables (exact quantiles are cumulative-sum
+# lookups over distinct values — operators/sketches.py::_hist_quantiles).
+# Built/maintained ONLY under a bounded-domain certificate (the same
+# 8M-row class as the query-time probe): on a continuous domain the
+# histogram IS the corpus and the GK bracket path stays the tool.
+SUMMARY_VALUE_HIST_DIRNAME = "summary_value_hist.parquet"
+SUMMARY_VALUE_COUNTS_DIRNAME = "summary_value_counts.parquet"
+VALUE_HIST_MAX_ROWS = 8_000_000
+# per-(source, token-count) histogram of `documents` — the corpus
+# stats card's serve table (volumes AND exact token quantiles derive
+# from it); seeded at layout time from the n_tokens_pre column
+SUMMARY_DOC_TOKEN_HIST_DIRNAME = "summary_doc_token_hist.parquet"
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -445,6 +458,26 @@ def optimize_layout(
             ["source", "n_tokens_pre"],
             [("source", "n_tokens_pre")],
         )
+        # per-(source, token-count) histogram: the corpus stats card's
+        # serve table — volumes (n_docs, total_tokens) and EXACT token
+        # quantiles all derive from it, so the card never re-scans the
+        # corpus on a fresh layout dir. Same bounded-domain gate as
+        # the events value histogram.
+        nd_doc = colstats.distinct_upper_bound(
+            dd, ["source", "n_tokens_pre"]
+        )
+        if nd_doc is not None and nd_doc * 1.25 <= VALUE_HIST_MAX_ROWS:
+            dh = (
+                dd.filter(F.col("n_tokens_pre").isNotNull())
+                .groupBy(
+                    F.col("source").alias("src"),
+                    F.col("n_tokens_pre").alias("ntok"),
+                )
+                .agg(F.count("*").alias("cnt"))
+            )
+            dhpath = os.path.join(out_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
+            dh.coalesce(1).write.mode("overwrite").parquet(dhpath)
+            fsutil.touch(spark, os.path.join(dhpath, "_SUCCESS"))
         (
             minhash_band_table(shingle_arrays(_spread(dd), "doc_id", "text", 3))
             .coalesce(max(1, min(scale, 16)))
@@ -584,6 +617,17 @@ def optimize_layout(
             .parquet(tpath)
         )
         fsutil.touch(spark, os.path.join(tpath, "_SUCCESS"))
+        # (event_type, value) histogram + global value counts — the
+        # quantile family's serve tables — seeded ONLY under a
+        # bounded-domain certificate from the colstats sidecar written
+        # above (a continuous value domain keeps the GK bracket path:
+        # there the histogram would BE the corpus). One corpus pass;
+        # quantiles become cumulative-sum lookups over distinct values.
+        from nerd_spark.sources import colstats as _cs
+
+        nd_ev = _cs.distinct_upper_bound(ev, ["event_type", "value"])
+        if nd_ev is not None and nd_ev * 1.25 <= VALUE_HIST_MAX_ROWS:
+            seed_value_hist(spark, out_dir, ev)
 
 
 def update_daily_summary(
@@ -592,6 +636,7 @@ def update_daily_summary(
     new_events,
     entity: str = "user_id",
     max_touched_dates: int = 64,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the daily summary table — what a
     production ingest job runs per micro-batch instead of the full
@@ -604,9 +649,15 @@ def update_daily_summary(
     fact-table merge (streaming/ingest.py::merge_facts): a batch
     spanning more dates than the acceptance window allows is a bug
     upstream, not a bigger rewrite.
+
+    ``batch_id`` (optional) makes the additive merge replay-safe: the
+    fold records applied ids in the dir's batch ledger and a replayed
+    batch is skipped (see SUMMARY_LEDGER_NAME).
     """
     from nerd_spark.plans import derivations as D
 
+    if _fold_ledger_skip(spark, summary_path, batch_id):
+        return
     batch = D.daily_rollup(new_events, entity)
     dates = [r.d for r in batch.select("d").distinct().collect()]
     if len(dates) > max_touched_dates:
@@ -661,6 +712,7 @@ def update_daily_summary(
     merged.repartition("d").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("d").parquet(summary_path)
+    _fold_ledger_record(spark, summary_path, batch_id)
     # restore the root marker the dynamic commit omits, so readers
     # (queries/analytics._daily) recognize a stream-maintained summary
     fsutil.touch(spark, success)
@@ -673,10 +725,14 @@ def update_window_summary(
     new_events,
     entity: str = "user_id",
     max_window: int = 30,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the per-entity window rollup —
     call AFTER :func:`update_daily_summary` has merged the same batch
-    (the day-roll path re-reads the merged daily summary).
+    (the day-roll path re-reads the merged daily summary; the two
+    compose under replay because each fold keeps its own batch
+    ledger — a replayed ``batch_id`` skips whichever folds already
+    hold it).
 
     Two regimes, keyed on whether the as-of DATE advances:
 
@@ -711,6 +767,8 @@ def update_window_summary(
     from nerd_spark.plans import derivations as D
     from nerd_spark.sources import fsutil
 
+    if _fold_ledger_skip(spark, window_path, batch_id, marker=WINDOW_GATE):
+        return
     bd = D.daily_rollup(new_events, entity).select("entity", "d", "cat", "n")
     batch_max_d = bd.agg(F.max("d")).first()[0]
     if batch_max_d is None:
@@ -932,6 +990,7 @@ def update_window_summary(
     # sidecar as-of anchor BEFORE restoring the reader gate: a tear
     # between the two leaves no gate and the next update rebuilds
     asof_df.write.mode("overwrite").parquet(_window_meta_path(window_path))
+    _fold_ledger_record(spark, window_path, batch_id)
     fsutil.touch(spark, success)
 
 
@@ -940,6 +999,7 @@ def update_merged_summary(
     summary_path: str,
     new_events,
     entity: str = "user_id",
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the §2.4 merged snapshot: fold the
     batch's snapshot state into the table with the op algebra
@@ -952,6 +1012,8 @@ def update_merged_summary(
     from nerd_spark.operators.merge import merge_snapshots, snapshot_events
     from nerd_spark.sources import fsutil
 
+    if _fold_ledger_skip(spark, summary_path, batch_id):
+        return
     bs = snapshot_events(new_events, entity).withColumn(
         "wb", _wbucket(entity)
     )
@@ -975,6 +1037,7 @@ def update_merged_summary(
     merged.repartition("wb").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("wb").parquet(summary_path)
+    _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
 
 
@@ -1004,6 +1067,78 @@ def read_summary_meta(spark: SparkSession, dirpath: str) -> dict | None:
         return json.loads(txt)
     except ValueError:
         return None
+
+
+# Per-fold batch ledger: the summary folds are additive (NOT
+# idempotent), and the streaming layer's epoch marker only records a
+# FULLY-applied batch — a crash mid-update_event_summaries (one fold
+# committed, a sibling torn) would re-run every fold on replay and
+# double-count the committed ones (r11 verdict #7). Each fold records
+# applied batch ids in its own directory, inside its commit window
+# (after the data write, before the gate touch), so a replayed batch
+# skips folds that already hold it and re-runs only the torn ones.
+# Crash between ledger write and gate touch: the data write had
+# completed, so the skip path re-touches the gate. The residual
+# exposure is a crash DURING a dynamic-overwrite job commit (staged
+# files swap in non-atomically across partitions) — there the gate
+# stays dropped and readers fall back to raw; the crash-safe
+# production variant is the staging-rename pattern of
+# streaming/ingest.py::merge_facts.
+SUMMARY_LEDGER_NAME = "_nerd_batches.json"
+_LEDGER_KEEP = 256
+
+
+def _ledger_ids(spark: SparkSession, dirpath: str) -> list[str]:
+    import json
+
+    from nerd_spark.sources import fsutil
+
+    txt = fsutil.read_text(spark, os.path.join(dirpath, SUMMARY_LEDGER_NAME))
+    if txt is None:
+        return []
+    try:
+        ids = json.loads(txt)
+    except ValueError:
+        return []
+    return ids if isinstance(ids, list) else []
+
+
+def _fold_ledger_skip(
+    spark: SparkSession,
+    dirpath: str,
+    batch_id: str | None,
+    marker: str = "_SUCCESS",
+) -> bool:
+    """True iff this batch is already folded into the table at
+    ``dirpath`` (skip the fold). Re-touches a gate the previous run
+    dropped between ledger write and touch — the data write had
+    already completed by ledger time."""
+    from nerd_spark.sources import fsutil
+
+    if batch_id is None or batch_id not in _ledger_ids(spark, dirpath):
+        return False
+    gate = os.path.join(dirpath, marker)
+    if not fsutil.exists(spark, gate):
+        fsutil.touch(spark, gate)
+    return True
+
+
+def _fold_ledger_record(
+    spark: SparkSession, dirpath: str, batch_id: str | None
+) -> None:
+    import json
+
+    from nerd_spark.sources import fsutil
+
+    if batch_id is None:
+        return
+    ids = [i for i in _ledger_ids(spark, dirpath) if i != batch_id]
+    ids.append(batch_id)
+    fsutil.write_text(
+        spark,
+        os.path.join(dirpath, SUMMARY_LEDGER_NAME),
+        json.dumps(ids[-_LEDGER_KEEP:]),
+    )
 
 
 def _write_funnel_result(
@@ -1048,6 +1183,7 @@ def update_keycount_summaries(
     new_events,
     entity: str = "user_id",
     type_col: str = "event_type",
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the (type, entity) count table and
     its entity-total projection — the serve tables behind the hh /
@@ -1056,10 +1192,26 @@ def update_keycount_summaries(
     entity buckets; null types/entities are KEPT in the table (true
     grain counts) and each serve path applies its own null contract.
     The totals table re-derives from the committed pair table (one
-    O(pairs) pass), so the two can never disagree."""
+    O(pairs) pass), so the two can never disagree. On a ledger skip
+    (replayed batch) the totals still re-derive when their commit
+    predates the pair table's — healing a tear between the two
+    writes."""
     from nerd_spark.sources import fsutil
 
     pair_path = os.path.join(data_dir, SUMMARY_TYPE_USER_DIRNAME)
+    tot_path = os.path.join(data_dir, SUMMARY_USER_COUNTS_DIRNAME)
+    if _fold_ledger_skip(spark, pair_path, batch_id):
+        tot_success = os.path.join(tot_path, "_SUCCESS")
+        try:
+            stale_tot = not fsutil.exists(spark, tot_success) or (
+                fsutil.mtime(spark, tot_success)
+                < fsutil.mtime(spark, os.path.join(pair_path, "_SUCCESS"))
+            )
+        except Exception:
+            stale_tot = True
+        if stale_tot:
+            _rederive_keycount_totals(spark, pair_path, tot_path)
+        return
     bs = (
         new_events.groupBy(
             F.col(type_col).alias("et"), F.col(entity).alias("u")
@@ -1090,8 +1242,16 @@ def update_keycount_summaries(
     merged.repartition("wb").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("wb").parquet(pair_path)
+    _fold_ledger_record(spark, pair_path, batch_id)
     fsutil.touch(spark, success)
-    tot_path = os.path.join(data_dir, SUMMARY_USER_COUNTS_DIRNAME)
+    _rederive_keycount_totals(spark, pair_path, tot_path)
+
+
+def _rederive_keycount_totals(
+    spark: SparkSession, pair_path: str, tot_path: str
+) -> None:
+    from nerd_spark.sources import fsutil
+
     tot = (
         spark.read.parquet(pair_path)
         .groupBy("u")
@@ -1100,6 +1260,139 @@ def update_keycount_summaries(
     )
     tot.write.mode("overwrite").parquet(tot_path)
     fsutil.touch(spark, os.path.join(tot_path, "_SUCCESS"))
+
+
+def _value_hist_batch(new_events, type_col: str, value_col: str):
+    return (
+        new_events.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("et"), F.col(value_col).alias("v")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("wb", _wbucket("v"))
+    )
+
+
+def _rederive_value_counts(
+    spark: SparkSession, hist_path: str, counts_path: str
+) -> None:
+    from nerd_spark.sources import fsutil
+
+    vc = (
+        spark.read.parquet(hist_path)
+        .groupBy("v")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    vc.write.mode("overwrite").parquet(counts_path)
+    fsutil.touch(spark, os.path.join(counts_path, "_SUCCESS"))
+
+
+def seed_value_hist(
+    spark: SparkSession,
+    data_dir: str,
+    events=None,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """One-shot build of the (event_type, value) histogram + global
+    value-counts serve tables from ``events`` (default: the dir's
+    events table). No bounded-domain gate here — callers certify
+    (optimize_layout checks the colstats sidecar; tests and the
+    serve-path demo query seed knowingly-bounded frames)."""
+    from nerd_spark.sources import fsutil
+
+    if events is None:
+        from nerd_spark.session import read_table
+
+        events = read_table(spark, data_dir, "events")
+    vhpath = os.path.join(data_dir, SUMMARY_VALUE_HIST_DIRNAME)
+    (
+        _value_hist_batch(events, type_col, value_col)
+        .repartition("wb")
+        .write.mode("overwrite")
+        .partitionBy("wb")
+        .parquet(vhpath)
+    )
+    fsutil.touch(spark, os.path.join(vhpath, "_SUCCESS"))
+    _rederive_value_counts(
+        spark, vhpath, os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
+    )
+
+
+def update_value_hist_summary(
+    spark: SparkSession,
+    data_dir: str,
+    new_events,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    batch_id: str | None = None,
+    max_rows: int = VALUE_HIST_MAX_ROWS,
+) -> None:
+    """Incremental maintenance of the (event_type, value) histogram
+    and its global (value) projection — the quantile family's serve
+    tables (exact quantiles = cumulative-sum lookups over distinct
+    values, operators/sketches.py::_hist_quantiles). Counts are
+    ADDITIVE, so the fold is the keycount discipline verbatim: union
+    + sum within touched value buckets, global projection re-derived
+    from the committed pair table.
+
+    The table exists only where optimize_layout's bounded-domain
+    certificate allowed the seed; a dir without one is a no-op (the
+    queries keep the GK bracket path). A fold that pushes the
+    histogram past ``max_rows`` DELETES both tables — on a drifting-
+    to-continuous domain the histogram stops earning its keep, and
+    the queries' probe falls back to bracket exactly as if the seed
+    had never been certified. Null event_type rows are KEPT (the
+    per-group quantile contract groups nulls); null values are
+    excluded (quantiles are over non-null values)."""
+    from nerd_spark.sources import fsutil
+
+    hist_path = os.path.join(data_dir, SUMMARY_VALUE_HIST_DIRNAME)
+    counts_path = os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
+    if not any(
+        f.startswith("wb=") for f in fsutil.list_names(spark, hist_path)
+    ):
+        return  # never seeded (no bounded-domain certificate)
+    if _fold_ledger_skip(spark, hist_path, batch_id):
+        c_success = os.path.join(counts_path, "_SUCCESS")
+        try:
+            stale = not fsutil.exists(spark, c_success) or (
+                fsutil.mtime(spark, c_success)
+                < fsutil.mtime(spark, os.path.join(hist_path, "_SUCCESS"))
+            )
+        except Exception:
+            stale = True
+        if stale:
+            _rederive_value_counts(spark, hist_path, counts_path)
+        return
+    bs = _value_hist_batch(new_events, type_col, value_col)
+    touched = [r.wb for r in bs.select("wb").distinct().collect()]
+    old = (
+        spark.read.parquet(hist_path)
+        .filter(F.col("wb").isin(touched))  # partition-pruned scan
+        .drop("wb")
+    )
+    merged = (
+        old.unionByName(bs.drop("wb"))
+        .groupBy("et", "v")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("wb", _wbucket("v"))
+    )
+    merged = merged.localCheckpoint()
+    success = os.path.join(hist_path, "_SUCCESS")
+    fsutil.delete(spark, success)
+    merged.repartition("wb").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("wb").parquet(hist_path)
+    # growth guard: parquet count(*) is footer-only — cheap
+    if spark.read.parquet(hist_path).count() > max_rows:
+        fsutil.delete(spark, hist_path, recursive=True)
+        fsutil.delete(spark, counts_path, recursive=True)
+        return
+    _fold_ledger_record(spark, hist_path, batch_id)
+    fsutil.touch(spark, success)
+    _rederive_value_counts(spark, hist_path, counts_path)
 
 
 def _topk_value(df, k: int):
@@ -1115,24 +1408,38 @@ def _topk_value(df, k: int):
 
 
 def update_topk_summary(
-    spark: SparkSession, data_dir: str, new_events, k: int = TOPK_VALUE_K
+    spark: SparkSession,
+    data_dir: str,
+    new_events,
+    k: int = TOPK_VALUE_K,
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the global top-k-by-value rows (the
     w1 serve table): top-k is an exactly mergeable sketch for
     APPEND-ONLY data — topk(S ∪ B) == topk(topk(S) ∪ topk(B)) — so
-    the fold unions two k-row frames. Deletions/retention rewrites
-    bump the events dir mtime past the commit and the gate falls back
-    to the raw TakeOrderedAndProject (exact, just a corpus scan)."""
+    the fold unions two k-row frames. The union dedupes on event_id
+    (unique in the fact table) BEFORE re-limiting: a replayed batch or
+    an optimize_layout re-run over an existing dir re-presents rows
+    the state already holds, and without the dedupe each duplicate
+    displaces a legitimate event from the served k rows (r11 advisor).
+    Deletions/retention rewrites bump the events dir mtime past the
+    commit and the gate falls back to the raw TakeOrderedAndProject
+    (exact, just a corpus scan)."""
     from nerd_spark.sources import fsutil
 
     out = os.path.join(data_dir, SUMMARY_TOPK_VALUE_DIRNAME)
+    if _fold_ledger_skip(spark, out, batch_id):
+        return
     bt = _topk_value(new_events, k)
     if fsutil.exists(spark, os.path.join(out, "_SUCCESS")):
         old = spark.read.parquet(out).select("event_id", "value")
-        bt = _topk_value(old.unionByName(bt), k)
+        bt = _topk_value(
+            old.unionByName(bt).dropDuplicates(["event_id"]), k
+        )
     bt = bt.localCheckpoint()
     bt.coalesce(1).write.mode("overwrite").parquet(out)
     write_summary_meta(spark, out, {"k": k, "order": "value_desc"})
+    _fold_ledger_record(spark, out, batch_id)
     fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
 
 
@@ -1142,6 +1449,7 @@ def update_funnel_summary(
     new_events,
     stages: list[str] | None = None,
     entity: str = "user_id",
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the funnel per-user state + result
     cache: fold the batch's distinct (ts, stage) sets into the state
@@ -1150,7 +1458,15 @@ def update_funnel_summary(
     t_i states cannot fold; operators/funnels.py::funnel_user_state)
     and rewrite ONLY touched entity buckets. Resolved t1..tk columns
     are recomputed row-locally on the rewritten buckets. Commit
-    discipline: update_merged_summary's drop/touch _SUCCESS gate."""
+    discipline: update_merged_summary's drop/touch _SUCCESS gate.
+
+    The existing state's meta sidecar BINDS the stage list: the state
+    only retains (ts, stage) pairs for its recorded stage types, so
+    folding a differently-staged batch state into it would produce a
+    gate-passing table missing historical events for the new stages
+    (r11 advisor). A stage mismatch against existing state raises —
+    rebuild the state from the full events table (optimize_layout or
+    a fresh dir) instead of folding across bindings."""
     from nerd_spark.operators.funnels import (
         funnel_user_state,
         merge_funnel_state,
@@ -1160,12 +1476,45 @@ def update_funnel_summary(
 
     stages = list(stages or FUNNEL_STAGES_DEFAULT)
     summary_path = os.path.join(data_dir, SUMMARY_FUNNEL_DIRNAME)
+    if _fold_ledger_skip(spark, summary_path, batch_id):
+        # heal the dependent result cache if a previous run tore
+        # between the state commit and the result write (the state's
+        # meta binding is intact on the skip path by construction)
+        res_success = os.path.join(
+            data_dir, SUMMARY_FUNNEL_RESULT_DIRNAME, "_SUCCESS"
+        )
+        try:
+            stale_res = not fsutil.exists(spark, res_success) or (
+                fsutil.mtime(spark, res_success)
+                < fsutil.mtime(spark, os.path.join(summary_path, "_SUCCESS"))
+            )
+        except Exception:
+            stale_res = True
+        if stale_res:
+            prev = read_summary_meta(spark, summary_path) or {}
+            _write_funnel_result(
+                spark,
+                data_dir,
+                spark.read.parquet(summary_path),
+                list(prev.get("stages") or stages),
+            )
+        return
     bs = funnel_user_state(new_events, stages, user_col=entity).withColumn(
         "wb", _wbucket("u")
     )
     if any(
         f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
     ):
+        prev = read_summary_meta(spark, summary_path)
+        if prev is None or list(prev.get("stages") or []) != stages:
+            raise ValueError(
+                "update_funnel_summary: existing state at "
+                f"{summary_path} is bound to stages="
+                f"{(prev or {}).get('stages')!r}, cannot fold a batch "
+                f"filtered to stages={stages!r} into it — the state "
+                "never retained events of the new stage types; "
+                "rebuild from raw events instead"
+            )
         touched = [r.wb for r in bs.select("wb").distinct().collect()]
         old = (
             spark.read.parquet(summary_path)
@@ -1185,6 +1534,7 @@ def update_funnel_summary(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("wb").parquet(summary_path)
     write_summary_meta(spark, summary_path, {"stages": stages})
+    _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
     _write_funnel_result(
         spark,
@@ -1199,6 +1549,7 @@ def update_cohort_summary(
     data_dir: str,
     new_events,
     entity: str = "user_id",
+    batch_id: str | None = None,
 ) -> None:
     """Incremental maintenance of the cohort per-user state + result
     cache: day-set union / per-type first-day min per user (both
@@ -1211,6 +1562,22 @@ def update_cohort_summary(
     from nerd_spark.sources import fsutil
 
     summary_path = os.path.join(data_dir, SUMMARY_COHORT_DIRNAME)
+    if _fold_ledger_skip(spark, summary_path, batch_id):
+        res_success = os.path.join(
+            data_dir, SUMMARY_COHORT_RESULT_DIRNAME, "_SUCCESS"
+        )
+        try:
+            stale_res = not fsutil.exists(spark, res_success) or (
+                fsutil.mtime(spark, res_success)
+                < fsutil.mtime(spark, os.path.join(summary_path, "_SUCCESS"))
+            )
+        except Exception:
+            stale_res = True
+        if stale_res:
+            _write_cohort_result(
+                spark, data_dir, spark.read.parquet(summary_path)
+            )
+        return
     bs = cohort_user_state(new_events, user_col=entity).withColumn(
         "wb", _wbucket("u")
     )
@@ -1234,18 +1601,27 @@ def update_cohort_summary(
     merged.repartition("wb").write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("wb").parquet(summary_path)
+    _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
     _write_cohort_result(spark, data_dir, spark.read.parquet(summary_path))
 
 
 def update_event_summaries(
-    spark: SparkSession, data_dir: str, new_events, entity: str = "user_id"
+    spark: SparkSession,
+    data_dir: str,
+    new_events,
+    entity: str = "user_id",
+    batch_id: str | None = None,
 ) -> None:
     """One-call per-micro-batch maintenance of every derived event
     table (daily, as-of anchor, per-entity window rollup, §2.4 merged
     snapshot, funnel/cohort per-user state + result caches, hh/top-k
     count tables, w1 top-k answer) — what the ingest job runs so the
     A-family and event-analytics queries serve precomputed state.
+    Call AFTER the batch has been merged into the dir's fact table:
+    the serve gates compare against the events dir mtime, so the
+    append-first ordering is what parks readers on raw while the
+    derived state catches up.
 
     The folds after daily/as-of are mutually independent (each owns
     its directory and reads only new_events + its own prior state),
@@ -1253,14 +1629,24 @@ def update_event_summaries(
     is the slowest fold, not the sum; the scheduler interleaves their
     small jobs across cores (the optimize_layout rewrite discipline).
     The window rollup reads the just-committed daily summary, so it
-    joins the parallel phase only after daily+as-of land."""
+    joins the parallel phase only after daily+as-of land.
+
+    ``batch_id`` (pass the stream's epoch id) makes the whole batch
+    replay-safe at FOLD granularity: each fold keeps a batch ledger
+    in its own directory, so a re-run after a mid-pool crash (one
+    fold committed, a sibling torn — r11 verdict #7) skips the
+    committed folds and re-runs only the torn ones, converging to
+    the same state as a clean run (pinned by
+    tests/test_summary_incremental.py::test_pool_crash_replay)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from nerd_spark.sources import fsutil
 
     daily_p = os.path.join(data_dir, SUMMARY_DAILY_DIRNAME)
     asof_p = os.path.join(data_dir, SUMMARY_ASOF_DIRNAME)
-    update_daily_summary(spark, daily_p, new_events, entity=entity)
+    update_daily_summary(
+        spark, daily_p, new_events, entity=entity, batch_id=batch_id
+    )
     b_asof = new_events.agg(F.max("ts").alias("as_of"))
     if fsutil.exists(spark, os.path.join(asof_p, "_SUCCESS")):
         b_asof = (
@@ -1277,23 +1663,30 @@ def update_event_summaries(
             daily_p,
             new_events,
             entity=entity,
+            batch_id=batch_id,
         ),
         lambda: update_merged_summary(
             spark,
             os.path.join(data_dir, SUMMARY_MERGED_DIRNAME),
             new_events,
             entity=entity,
+            batch_id=batch_id,
         ),
         lambda: update_funnel_summary(
-            spark, data_dir, new_events, entity=entity
+            spark, data_dir, new_events, entity=entity, batch_id=batch_id
         ),
         lambda: update_cohort_summary(
-            spark, data_dir, new_events, entity=entity
+            spark, data_dir, new_events, entity=entity, batch_id=batch_id
         ),
         lambda: update_keycount_summaries(
-            spark, data_dir, new_events, entity=entity
+            spark, data_dir, new_events, entity=entity, batch_id=batch_id
         ),
-        lambda: update_topk_summary(spark, data_dir, new_events),
+        lambda: update_topk_summary(
+            spark, data_dir, new_events, batch_id=batch_id
+        ),
+        lambda: update_value_hist_summary(
+            spark, data_dir, new_events, batch_id=batch_id
+        ),
     ]
     with ThreadPoolExecutor(max_workers=4) as pool:
         # list() drains the iterator so any fold's exception raises
@@ -1423,17 +1816,22 @@ def write_events_bucketed(
     then plans with NO Exchange — HashPartitioning(user_id) satisfies
     the window's required distribution — and the in-partition sort
     runs over pre-sorted buckets. At 100 TB this is the entity-
-    clustered event layout the PLANS.md deployment map prescribes."""
+    clustered event layout the PLANS.md deployment map prescribes.
+
+    The bucket count is part of the FILE layout, so it is recorded in
+    the dir's meta sidecar and the cross-session DDL re-registration
+    (bucketed_events) reads it back — registering a count the files
+    don't satisfy would let Spark elide exchanges the data doesn't
+    earn and silently corrupt every window result (r11 advisor)."""
     from nerd_spark.session import read_table
     from nerd_spark.sources import fsutil
 
     tbl = bucketed_events_name(data_dir)
+    loc = os.path.join(data_dir, f"{tbl}.bucketed")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     # cold-start self-heal: clear an orphaned LOCATION a killed
     # session stranded (same as write_join_pair)
-    fsutil.delete(
-        spark, os.path.join(data_dir, f"{tbl}.bucketed"), recursive=True
-    )
+    fsutil.delete(spark, loc, recursive=True)
     (
         # one file per bucket (repartition on the bucket key first) so
         # the reader trusts sortBy — see write_join_pair
@@ -1442,10 +1840,17 @@ def write_events_bucketed(
         .write.mode("overwrite")
         .bucketBy(n_buckets, "user_id")
         .sortBy("user_id", "ts")
-        .option("path", os.path.join(data_dir, f"{tbl}.bucketed"))
+        .option("path", loc)
         .format("parquet")
         .saveAsTable(tbl)
     )
+    # commit ordering: a reader that sees the gate must also see the
+    # recorded bucket spec, so re-drop the marker saveAsTable created,
+    # write the sidecar, then re-touch (the write_summary_meta rule)
+    success = os.path.join(loc, "_SUCCESS")
+    fsutil.delete(spark, success)
+    write_summary_meta(spark, loc, {"n_buckets": int(n_buckets)})
+    fsutil.touch(spark, success)
     return tbl
 
 
@@ -1455,10 +1860,11 @@ def bucketed_events(spark: SparkSession, data_dir: str):
 
     Bucket METADATA lives in the session catalog and dies with the
     JVM while the files survive — a later session re-registers the
-    DDL over the existing location (CLUSTERED/SORTED BY must match
-    the writer's spec in write_events_bucketed, which always writes
-    32 buckets sorted (user_id, ts); the _SUCCESS + freshness gate
-    covers staleness, and only that writer produces this dirname)."""
+    DDL over the existing location. The bucket COUNT comes from the
+    writer's meta sidecar (write_events_bucketed records it; a count
+    the files don't satisfy would elide exchanges the data doesn't
+    earn), defaulting to 32 for pre-sidecar dirs — the only count any
+    writer ever produced before the sidecar existed."""
     from nerd_spark.sources import fsutil
 
     tbl = bucketed_events_name(data_dir)
@@ -1466,6 +1872,8 @@ def bucketed_events(spark: SparkSession, data_dir: str):
     if not spark.catalog.tableExists(tbl):
         if not fsutil.exists(spark, os.path.join(loc, "_SUCCESS")):
             return None
+        meta = read_summary_meta(spark, loc)
+        n_buckets = int((meta or {}).get("n_buckets", 32))
         try:
             df = spark.read.parquet(loc)
             cols = ", ".join(
@@ -1475,7 +1883,7 @@ def bucketed_events(spark: SparkSession, data_dir: str):
             spark.sql(
                 f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
                 f"CLUSTERED BY (user_id) SORTED BY (user_id, ts) "
-                f"INTO 32 BUCKETS LOCATION '{os.path.abspath(loc)}'"
+                f"INTO {n_buckets} BUCKETS LOCATION '{os.path.abspath(loc)}'"
             )
         except Exception:
             return None

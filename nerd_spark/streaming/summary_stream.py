@@ -43,16 +43,18 @@ def _replay_guard(spark, marker_dir: str, apply_fn):
     """At-least-once -> effectively-once for the summary merges: a
     replayed epoch whose marker exists is SKIPPED (the merge is NOT
     idempotent — re-merging a batch double-counts it). The marker
-    lands only after the full apply, so the remaining exposure is a
-    crash mid-apply — there the torn-write _SUCCESS discipline parks
-    readers on the raw-scan fallback, and the crash-safe production
-    variant is the staging-rename pattern of streaming/ingest.py::
-    merge_facts (documented there)."""
+    lands only after the full apply; the crash-mid-apply window is
+    closed at FOLD granularity by the per-fold batch ledger
+    (sources/layout.py::SUMMARY_LEDGER_NAME): apply_fn receives the
+    epoch id as the fold batch_id, so a re-run of a half-applied
+    epoch skips the folds that already committed it and re-runs only
+    the torn ones. The torn-write _SUCCESS discipline still parks
+    readers on the raw-scan fallback inside that window."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= _last_applied(spark, marker_dir):
             return
-        apply_fn(batch_df)
+        apply_fn(batch_df, epoch_id)
         _mark_applied(spark, marker_dir, epoch_id)
 
     return handle
@@ -71,7 +73,9 @@ def stream_summary(
     handle = _replay_guard(
         spark,
         summary_path + ".applied",
-        lambda b: update_daily_summary(spark, summary_path, b, entity=entity),
+        lambda b, eid: update_daily_summary(
+            spark, summary_path, b, entity=entity, batch_id=f"epoch={eid}"
+        ),
     )
     return events_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -95,7 +99,9 @@ def stream_all_summaries(
     handle = _replay_guard(
         spark,
         os.path.join(data_dir, "summaries.applied"),
-        lambda b: update_event_summaries(spark, data_dir, b, entity=entity),
+        lambda b, eid: update_event_summaries(
+            spark, data_dir, b, entity=entity, batch_id=f"epoch={eid}"
+        ),
     )
     return events_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -196,3 +196,33 @@ def test_summary_fresh_schema_cache_invalidates(spark, tmp_path):
     )
     fsutil.touch(spark, os.path.join(d, "derived.parquet", "_SUCCESS"))
     assert not summary_fresh(*args, **kw)
+
+
+def test_topk_fold_replay_and_relayout_idempotent(spark, tmp_path):
+    """The top-k fold dedupes on event_id before re-limiting: an
+    at-least-once replay of a batch, or an optimize_layout re-run
+    seeding over an existing dir (both re-present rows the state
+    already holds), must not displace legitimate events from the
+    served answer (r11 advisor)."""
+    from nerd_spark.queries.relational import w1_topk
+    from nerd_spark.sources.layout import update_topk_summary
+
+    d = _data_dir(spark, tmp_path)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    update_topk_summary(spark, d, a)
+    update_topk_summary(spark, d, b)
+    update_topk_summary(spark, d, b)  # at-least-once replay
+    update_topk_summary(spark, d, ev)  # optimize_layout re-run seed
+    raw = [
+        (r.event_id, r.value)
+        for r in ev.orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+        .select("event_id", F.round("value", 2).alias("value"))
+        .collect()
+    ]
+    assert [
+        (r.event_id, r.value)
+        for r in w1_topk(spark, d).select("event_id", "value").collect()
+    ] == raw

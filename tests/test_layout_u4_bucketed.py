@@ -297,3 +297,73 @@ def test_bucketed_events_serves_j5_exchange_free(spark, sf_dir, tmp_path):
         stale._jdf.queryExecution().executedPlan().toString()
     )
     assert rows(stale) == raw
+
+
+def test_bucketed_events_reregisters_writer_bucket_count(
+    spark, sf_dir, tmp_path
+):
+    """The cross-session DDL re-registration reads the bucket count
+    from the writer's meta sidecar instead of assuming 32: metadata
+    claiming a count the files don't satisfy would let Spark elide
+    exchanges the data doesn't earn (r11 advisor)."""
+    import os
+
+    from nerd_spark.queries.relational import j5_asof_join
+    from nerd_spark.sources.layout import (
+        bucketed_events,
+        bucketed_events_name,
+        write_events_bucketed,
+    )
+
+    d = str(tmp_path / "data")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    write_events_bucketed(spark, d, n_buckets=8)
+    raw = sorted(
+        map(repr, (tuple(r) for r in j5_asof_join(spark, sf_dir).collect()))
+    )
+    tbl = bucketed_events_name(d)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # simulate a new session
+    assert bucketed_events(spark, d) is not None
+    desc = spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+    got = {r.col_name: r.data_type for r in desc}
+    assert got.get("Num Buckets") == "8"
+    srv = j5_asof_join(spark, d)
+    plan = srv._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert sorted(map(repr, (tuple(r) for r in srv.collect()))) == raw
+
+
+def test_quantile_and_card_serve_on_layout_dir(spark, sf_dir, layout_dir):
+    """A layout dir carries the value histogram (events) and the
+    token-count histogram (documents) when the colstats certificate
+    allows — the quantile family and the corpus card then serve from
+    distinct-value file reads, values identical to the raw dir."""
+    from nerd_spark.queries.dataprep import (
+        corpus_stats_card,
+        quantile_by_event_type,
+        quantile_event_values,
+    )
+    from nerd_spark.sources.layout import (
+        SUMMARY_DOC_TOKEN_HIST_DIRNAME,
+        SUMMARY_VALUE_COUNTS_DIRNAME,
+        SUMMARY_VALUE_HIST_DIRNAME,
+    )
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    assert os.path.exists(
+        os.path.join(layout_dir, SUMMARY_VALUE_HIST_DIRNAME, "_SUCCESS")
+    ), "bounded-domain certificate should hold on the test corpus"
+    g = quantile_event_values(spark, layout_dir)
+    assert any(SUMMARY_VALUE_COUNTS_DIRNAME in f for f in g.inputFiles())
+    assert rows(g) == rows(quantile_event_values(spark, sf_dir))
+    by = quantile_by_event_type(spark, layout_dir)
+    assert any(SUMMARY_VALUE_HIST_DIRNAME in f for f in by.inputFiles())
+    assert rows(by) == rows(quantile_by_event_type(spark, sf_dir))
+    card = corpus_stats_card(spark, layout_dir)
+    assert any(
+        SUMMARY_DOC_TOKEN_HIST_DIRNAME in f for f in card.inputFiles()
+    )
+    assert rows(card) == rows(corpus_stats_card(spark, sf_dir))

@@ -263,3 +263,35 @@ def test_bucket_bounded_rewrite(spark, tmp_path):
         )
     )
     assert meta == COHORT_DEFAULTS
+
+
+def test_funnel_stage_rebinding_refuses_fold(spark, tmp_path):
+    """The funnel state's meta sidecar BINDS the stage list: folding a
+    differently-staged batch into existing state would stamp the new
+    binding over history that never retained those stage types (r11
+    advisor) — the updater must raise, and a fresh dir at the new
+    binding must build cleanly."""
+    import pytest
+
+    d = str(tmp_path / "data")
+    ev = _mk_events(spark)
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    update_funnel_summary(spark, d, ev)
+    with pytest.raises(ValueError, match="bound to stages"):
+        update_funnel_summary(
+            spark, d, ev, stages=["signup", "view", "purchase"]
+        )
+    # the default-binding state is untouched and still serves
+    meta_path = os.path.join(d, SUMMARY_FUNNEL_DIRNAME)
+    from nerd_spark.sources.layout import read_summary_meta
+
+    assert read_summary_meta(spark, meta_path)["stages"] == STAGES
+    # a fresh dir at the new binding builds from empty state
+    d2 = str(tmp_path / "data2")
+    ev.write.mode("overwrite").parquet(os.path.join(d2, "events.parquet"))
+    update_funnel_summary(
+        spark, d2, ev, stages=["signup", "view", "purchase"]
+    )
+    assert read_summary_meta(
+        spark, os.path.join(d2, SUMMARY_FUNNEL_DIRNAME)
+    )["stages"] == ["signup", "view", "purchase"]

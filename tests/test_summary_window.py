@@ -263,7 +263,9 @@ def test_summary_stream_replay_idempotent(spark, sf_dir, tmp_path):
     handle = _replay_guard(
         spark,
         state + "/summaries.applied",
-        lambda b: update_event_summaries(spark, state, b),
+        lambda b, eid: update_event_summaries(
+            spark, state, b, batch_id=f"epoch={eid}"
+        ),
     )
     handle(b1, 0)
     handle(b1, 0)  # replayed epoch: must be skipped
