@@ -32,86 +32,79 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 
 # The inventory exceeds the driver's 50-entry correctness window, so
 # the window front is hand-prioritized each round.
-# Round-11 rotation (implements the r10 verdict's binding schedule):
-# 1. the 4 queries registered mid-round-10 AFTER the r10 window was
-#    set — funnel_stages, cohort_retention, dedup_containment,
-#    streaming_cohort — have never had a driver CORRECTNESS row and
-#    MUST head the window;
-# 2. the 25 r8-latest queries sit at the ≤2-round staleness bound and
-#    rotate next (the exact list the r10 verdict pinned);
-# 3. r9-latest queries whose code paths changed in round 10
-#    (top_frequent_users, quantile_event_values, quantile_by_event_type,
-#    corpus_stats_card, text_token_stats — the sketches probe-routing +
-#    colstats-sidecar rewiring);
-# 4. queries whose code paths changed THIS round (round 11):
-#    q1_pricing_summary (serve-constant adjudication),
-#    corpus_curation_v3 (shared shingle scan), hh_by_event_type /
-#    hh_event_users / top_frequent_users (count-table serves),
-#    j5_asof_join (user-bucketed exchange-free window), w1_topk
-#    (mergeable top-k answer table), PLUS the two
-#    queries ADDED this round — corpus_curation_v4 (containment
-#    curation stage) and streaming_funnel (watermark-bounded exact) —
-#    registered INSIDE the window, not past it (the r10 never-checked
-#    gap came from registering past a set window);
-# 5. fill to 50 with r9-latest rows (headline + infra-adjacent first).
-# After r11: zero never-checked queries; no query's latest driver row
-# older than r9. The remaining 33 r9-latest rows rotate in r12.
+# Round-12 rotation (implements the r11 verdict's binding schedule):
+# 1. the 35 r9-latest rows at the staleness bound MUST head the window
+#    (the r11 verdict corrected the earlier note's count of 33 -- the
+#    CORRECTNESS union says 35, listed verbatim below);
+# 2. queries ADDED this round, registered INSIDE the window:
+#    funnel_stages_served and quantile_values_served -- the serve-tier
+#    certification queries (r11 verdict #3): each materializes its
+#    ingest-maintained state into a scratch dir inside the query body
+#    and serves from it, so the driver's hash gate pins
+#    fold+serve == oracle every round;
+# 3. queries whose code paths changed THIS round (round 12):
+#    quantile_event_values / quantile_by_event_type / corpus_stats_card
+#    (value/token-histogram serve tiers), funnel_stages (fold meta
+#    binding + ledger), w1_topk (fold dedupe), j5_asof_join (bucket
+#    spec sidecar in the DDL re-registration);
+# 4. fill to 50 with the oldest (r10-latest) rows.
+# After r12: no query's latest driver row older than r10; the
+# remaining 38 r10-latest rows rotate across r13-r14.
 _WINDOW_PRIORITY = [
-    # 1 — never driver-checked (added mid-round-10; binding, r10 verdict)
-    "funnel_stages",
-    "cohort_retention",
-    "dedup_containment",
-    "streaming_cohort",
-    # 2 — r8-latest (staleness bound; binding, r10 verdict)
-    "a2_window_totals_approx",
-    "a6_rep_blacklists",
-    "a6_rep_dshield",
-    "ann_ivf_trained",
-    "ann_ivfpq_indexed",
-    "ann_pq_topk",
-    "dedup_simhash_pairs",
-    "fmp_score_gbt",
-    "j2_enrichment_chain",
-    "j6_bulk_lookup",
-    "j8_group_stats_join_back",
-    "mixture_temperature_free",
-    "p10_validity_filter",
-    "p15_as_class",
-    "p16_reserved_ip",
-    "p17_asn_rank",
-    "p18_bgp_rank",
-    "p19_shodan",
-    "p1_projection",
-    "p2_range_predicate",
-    "p5_multi_value_and_or",
-    "p6_elem_match",
-    "p8_semijoin",
-    "sessionize_stats",
-    "weighted_sample_topk",
-    # 3 — r9-latest, code path changed in round 10
-    "top_frequent_users",
+    # 1 -- r9-latest (staleness bound; binding, r11 verdict #1)
+    "a10_prefix_summary",
+    "a11_distinct_pair_counts",
+    "a12_refcount_rebuild",
+    "a13_intervals",
+    "a14_feed_rollup",
+    "a16_rollup_revenue",
+    "a3_ewma",
+    "a6_source_reputation",
+    "a7_total_reputation",
+    "a8_threat_summary",
+    "corpus_curation_v2",
+    "corpus_drift_psi",
+    "corpus_novelty",
+    "dedup_best_of_cluster",
+    "dedup_incremental",
+    "dedup_semantic",
+    "f_ip_codec",
+    "j9_semi_anti",
+    "lm_bigram_logprob",
+    "mixture_temperature",
+    "nru_due_selection",
+    "p20_passive_dns",
+    "p3_list_or_range",
+    "p4_suffix_predicate",
+    "p7_json_exists",
+    "quality_gopher_rules",
+    "s10_export_blocklist",
+    "s5_point_read",
+    "s6_filtered_find",
+    "shard_assign",
+    "streaming_hh_terms",
+    "streaming_quantiles",
+    "tags_rules",
+    "text_span_dedup",
+    "w5_pivot",
+    # 2 -- NEW this round (serve-tier certification, r11 verdict #3)
+    "funnel_stages_served",
+    "quantile_values_served",
+    # 3 -- code path changed this round (r12)
     "quantile_event_values",
     "quantile_by_event_type",
     "corpus_stats_card",
-    "text_token_stats",
-    # 4 — code path changes this round (r11)
-    "q1_pricing_summary",
-    "corpus_curation_v3",
-    "corpus_curation_v4",
-    "streaming_funnel",
-    "hh_by_event_type",
-    "hh_event_users",
-    "j5_asof_join",
+    "funnel_stages",
     "w1_topk",
-    "w4_last_n_per_key",
-    # 5 — r9-latest fill to 50 (headline + infra-adjacent)
-    "a1_daily_rollup",
-    "a2_window_totals",
-    "dedup_minhash_lsh",
-    "j4_range_join",
-    "op_array_upsert_rebuild",
-    "fmp_score",
-    "streaming_daily_counts",
+    "j5_asof_join",
+    # 4 -- oldest (r10-latest) fill to 50
+    "op_merge_snapshot",
+    "a5_type_profile",
+    "j1_equi_join",
+    "p9_warden_filter_dsl",
+    "dedup_exact",
+    "corpus_curation",
+    "multimodal_bytes",
 ]
 
 

@@ -687,16 +687,18 @@ def top_frequent_users(spark, sf_dir):
     return SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005)
 
 
-@query(
-    "quantile_event_values",
-    """
+# Shared by quantile_event_values (raw/serve-gated) and
+# quantile_values_served (in-query fold+serve): one oracle text.
+_QUANTILE_VALUES_SQL = """
     WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
     SELECT CAST(0.25 AS DOUBLE) AS p, quantile_disc(value, 0.25) AS value FROM v
     UNION ALL SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM v
     UNION ALL SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM v
     UNION ALL SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM v
-    """,
-)
+    """
+
+
+@query("quantile_event_values", _QUANTILE_VALUES_SQL)
 def quantile_event_values(spark, sf_dir):
     # Exact order-statistic quantiles (operators/sketches.py::
     # exact_quantiles): a measured cardinality probe picks the value-
@@ -718,6 +720,42 @@ def quantile_event_values(spark, sf_dir):
         return SK.quantiles_from_counts(vc, [0.25, 0.5, 0.9, 0.99])
     ev = t(spark, sf_dir, "events")
     return SK.exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
+
+
+@query("quantile_values_served", _QUANTILE_VALUES_SQL)
+def quantile_values_served(spark, sf_dir):
+    # Serve-tier certification under the DRIVER's hash gate (r11
+    # verdict #3, applied to the new quantile serve): seed + fold the
+    # (event_type, value) histogram into a scratch dir inside the
+    # query body — exercising update_value_hist_summary's additive
+    # merge — and answer from the global value-counts projection,
+    # sharing quantile_event_values' oracle text.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.operators import sketches as SK
+    from nerd_spark.sources.layout import (
+        SUMMARY_VALUE_COUNTS_DIRNAME,
+        seed_value_hist,
+        update_value_hist_summary,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_vh_served_")
+    try:
+        seed_value_hist(spark, d, ev.filter(F.col("event_id") % 2 == 0))
+        update_value_hist_summary(
+            spark, d, ev.filter(F.col("event_id") % 2 == 1), batch_id="b"
+        )
+        vc = spark.read.parquet(
+            os.path.join(d, SUMMARY_VALUE_COUNTS_DIRNAME)
+        )
+        return SK.quantiles_from_counts(
+            vc, [0.25, 0.5, 0.9, 0.99]
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @query(
