@@ -88,6 +88,76 @@ def _canary_burn(n: int) -> int:
     return x
 
 
+def _cpu_canary() -> float:
+    """Seconds for a fixed single-thread workload (hash spin + numpy
+    matmul). Guest loadavg cannot see HOST contention on a shared VM —
+    two back-to-back runs of this bench have measured uniformly 2.3x
+    apart at guest-idle — so every record carries this calibration
+    number: compare bench rows only after checking their canaries
+    agree (~±10%). Nominal on a quiet host here: ~0.13 s."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    h = b"x" * 64
+    for _ in range(60_000):
+        h = hashlib.md5(h).digest()
+    a = np.random.default_rng(7).random((384, 384))
+    for _ in range(12):
+        a = a @ a % 1.0
+    return round(time.perf_counter() - t0, 4)
+
+
+def _cpu_canary_par() -> float:
+    """Seconds for a fixed 16-process CPU workload — the PARALLEL
+    throughput calibration the single-thread canary misses: this host
+    has measured a nominal single-thread canary while delivering only
+    ~10 of 32 effective cores to a process pool (and JVM stage times
+    inflated 2-4x in exactly those windows). Multi-thread Spark stages
+    track THIS number, not the single-thread one. Fully-delivered 32
+    cores put it near 16/32 x the per-task time (~0.15 s); ~0.5 s
+    means half the cores are gone. Compare rows only when BOTH
+    canaries agree."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    ctx = mp.get_context("fork")
+    with ctx.Pool(16) as p:
+        p.map(_canary_burn, [6_000_000] * 16)
+    return round(time.perf_counter() - t0, 4)
+
+
+def _canary_gate() -> tuple[str, float, float]:
+    """Refuse to time on degraded silicon (r11 verdict #4: the
+    committed r11 row came from a ~5.7x-degraded window and poisoned
+    the round-over-round diff). Waits until BOTH canaries land within
+    tolerance of their nominals, else proceeds with a loud DEGRADED
+    verdict a comparator script can read from run_meta.canary_gate —
+    cross-window ratios from such a row are not comparable."""
+    nom_s = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_NOM_S", "0.13"))
+    nom_p = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_NOM_P", "0.15"))
+    tol = float(os.environ.get("SPARK_GRAFT_BENCH_CANARY_TOL", "0.25"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_CANARYWAIT", "600"))
+    waited = 0.0
+    while True:
+        s, p = _cpu_canary(), _cpu_canary_par()
+        ok = s <= nom_s * (1 + tol) and p <= nom_p * (1 + tol)
+        if ok or waited >= budget:
+            verdict = (
+                "ok"
+                if ok
+                else (
+                    f"DEGRADED: single={s:.3f} (nominal {nom_s}) "
+                    f"par={p:.3f} (nominal {nom_p}) after {int(waited)}s "
+                    "wait; cross-window ratios not comparable"
+                )
+            )
+            return verdict, s, p
+        time.sleep(15)
+        waited += 15
+
+
 def main() -> None:
     import tempfile
 
@@ -114,6 +184,7 @@ def main() -> None:
         if load_start[0] <= max_load
         else f"FAILED: started at loadavg {load_start[0]:.2f} after {int(waited)}s wait"
     )
+    canary_gate, canary_pre_s, canary_pre_p = _canary_gate()
 
     spark = get_spark(app_name="nerd_spark_bench")
     # warm the JVM/session so timings aren't charged for codegen bring-up
@@ -182,46 +253,6 @@ def main() -> None:
     curation_stages = corpus_curation_v2_stages(spark, data_dir)
     curation_v3_stages = corpus_curation_v3_stages(spark, data_dir)
 
-    def _cpu_canary() -> float:
-        """Seconds for a fixed single-thread workload (hash spin +
-        numpy matmul). Guest loadavg cannot see HOST contention on a
-        shared VM — two back-to-back runs of this bench have measured
-        uniformly 2.3x apart at guest-idle — so every record carries
-        this calibration number: compare bench rows only after
-        checking their canaries agree (~±10%). Nominal on a quiet
-        host here: ~0.13 s."""
-        import hashlib
-
-        import numpy as np
-
-        t0 = time.perf_counter()
-        h = b"x" * 64
-        for _ in range(60_000):
-            h = hashlib.md5(h).digest()
-        a = np.random.default_rng(7).random((384, 384))
-        for _ in range(12):
-            a = a @ a % 1.0
-        return round(time.perf_counter() - t0, 4)
-
-    def _cpu_canary_par() -> float:
-        """Seconds for a fixed 16-process CPU workload — the PARALLEL
-        throughput calibration the single-thread canary misses: this
-        host has measured a nominal single-thread canary while
-        delivering only ~10 of 32 effective cores to a process pool
-        (and JVM stage times inflated 2-4x in exactly those windows —
-        the r10 session's 320x sketch spots vs the r9 session's).
-        Multi-thread Spark stages track THIS number, not the
-        single-thread one. Fully-delivered 32 cores put it near
-        16/32 x the per-task time (~0.15 s); ~0.5 s means half the
-        cores are gone. Compare rows only when BOTH canaries agree."""
-        import multiprocessing as mp
-
-        t0 = time.perf_counter()
-        ctx = mp.get_context("fork")
-        with ctx.Pool(16) as p:
-            p.map(_canary_burn, [6_000_000] * 16)
-        return round(time.perf_counter() - t0, 4)
-
     def _testdata_fingerprint() -> str:
         """Stable hash of the input dir's (name, size) listing — a
         bench row is only comparable to rows with the same data."""
@@ -252,10 +283,13 @@ def main() -> None:
         "curation_v3_stages": curation_v3_stages,
         "run_meta": {
             "load_gate": load_gate,
+            "canary_gate": canary_gate,
             "loadavg_1m": round(load_start[0], 2),
             "loadavg_5m": round(load_start[1], 2),
             "loadavg_1m_end": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
+            "cpu_canary_pre_sec": canary_pre_s,
+            "cpu_canary_par_pre_sec": canary_pre_p,
             "cpu_canary_sec": _cpu_canary(),
             "cpu_canary_par_sec": _cpu_canary_par(),
             "testdata_fingerprint": _testdata_fingerprint(),

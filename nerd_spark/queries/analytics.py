@@ -54,10 +54,14 @@ def _summary_fresh(spark, sf_dir, dirname):
     if not fsutil.exists(spark, success):
         return False
     events = os.path.join(sf_dir, "events.parquet")
+    # returns the marker mtime (truthy) rather than True: the serve
+    # gate uses it as a self-invalidating memo key (any rewrite bumps
+    # the marker) without paying a second mtime probe
     try:
-        return fsutil.mtime(spark, events) <= fsutil.mtime(spark, success)
+        smtime = fsutil.mtime(spark, success)
+        return smtime if fsutil.mtime(spark, events) <= smtime else False
     except Exception:  # events table absent (pure derived-state dir)
-        return True
+        return fsutil.mtime(spark, success)
 
 
 def _daily(spark, sf_dir):
@@ -928,32 +932,57 @@ def sessionize_stats(spark, sf_dir):
     return session_stats(ev, "user_id", order_tiebreak="event_id", gap_minutes=30)
 
 
+_SERVE_TABLE_CACHE: dict = {}
+
+
 def _event_serve_table(spark, sf_dir, dirname, meta_want, expect_cols):
     """Shared serve gate for the ingest-maintained event-analytics
     tables: committed + no older than events (_summary_fresh), meta
     sidecar matches the requested parameter binding, schema carries
     the expected columns. Returns the DataFrame or None (fall back to
-    the raw operator — exact, just slower)."""
+    the raw operator — exact, just slower).
+
+    The meta read and the parquet schema probe (~0.1 s of footer I/O —
+    the dominant repeat-gate cost, r11 verdict #6) are memoized by the
+    (commit marker, meta sidecar) mtime pair: any rewrite goes through
+    the drop/touch gate discipline and bumps the marker, and a bare
+    meta edit (manual surgery) bumps the sidecar — either way the key
+    self-invalidates and a repeat query pays exactly the freshness
+    probes plus its one job."""
     import os
 
-    from nerd_spark.sources.layout import read_summary_meta
+    from nerd_spark.sources import fsutil
+    from nerd_spark.sources.layout import SUMMARY_META_NAME, read_summary_meta
 
-    if not _summary_fresh(spark, sf_dir, dirname):
+    smtime = _summary_fresh(spark, sf_dir, dirname)
+    if not smtime:
         return None
     path = os.path.join(sf_dir, dirname)
-    if meta_want:  # parameter-bound table: sidecar must match
+    try:
+        mmtime = fsutil.mtime(spark, os.path.join(path, SUMMARY_META_NAME))
+    except Exception:  # meta-less table (plain count projections)
+        mmtime = 0.0
+    key = (path, smtime, mmtime)
+    cached = _SERVE_TABLE_CACHE.get(key)
+    if cached is None:
         meta = read_summary_meta(spark, path)
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:
+            return None
+        if len(_SERVE_TABLE_CACHE) > 256:  # bound the session cache
+            _SERVE_TABLE_CACHE.clear()
+        _SERVE_TABLE_CACHE[key] = (meta, schema)
+    else:
+        meta, schema = cached
+    if meta_want:  # parameter-bound table: sidecar must match
         if meta is None or any(
             meta.get(k) != v for k, v in meta_want.items()
         ):
             return None
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
+    if not set(expect_cols) <= {f.name for f in schema.fields}:
         return None
-    if not set(expect_cols) <= set(df.columns):
-        return None
-    return df
+    return spark.read.schema(schema).parquet(path)
 
 
 
