@@ -247,14 +247,22 @@ def _pair_jaccard(
     )
 
 
-def _rare_shingle_candidates(docs, id_col, text_col, k, max_df):
+def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
     """ONE shingle scan shared by every rare-shingle similarity
     verify (jaccard_dedup, containment_dedup, and the combined
     jaccard_containment_pairs): shingle the corpus, df-cap to kill the
     hot-shingle blowup, self-join the rare rows into candidate pairs.
     Returns (sarr CACHED, rare CACHED, cand, sets) — callers must tie
-    the two cached frames to their result (cacheutil.tie_unpersist)."""
-    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    the two cached frames to their result (cacheutil.tie_unpersist).
+
+    ``sarr`` (optional): a precomputed (id, sarr) shingle frame — a
+    pipeline that already shingled a superset corpus (corpus_curation
+    v4's LSH stage) passes its cached frame filtered to ``docs`` and
+    the tokenize/transform pass is not paid again. The CALLER owns
+    that cache; this function only creates (and the operator only
+    ties) what it built itself."""
+    if sarr is None:
+        sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
     sh = sarr.select("id", F.explode("sarr").alias("s"))
     df_ok = (
         sh.groupBy("s")
@@ -365,6 +373,7 @@ def containment_dedup(
     k=3,
     threshold=0.9,
     max_df=20,
+    sarr=None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle containment
     |A ∩ B| / min(|A|, |B|) >= threshold — the measure that catches a
@@ -381,13 +390,18 @@ def containment_dedup(
     only the verify denominator differs, so containment(a, b) >=
     jaccard(a, b) row-for-row and every Jaccard pair at a threshold
     is also a containment pair at that threshold (property-tested).
+
+    ``sarr``: optional precomputed shingle frame (caller-owned cache;
+    see :func:`_rare_shingle_candidates`).
     """
+    own = sarr is None
     sarr, rare, cand, sets = _rare_shingle_candidates(
-        docs, id_col, text_col, k, max_df
+        docs, id_col, text_col, k, max_df, sarr=sarr
     )
     pc = _pair_containment(cand, sets)
+    ties = [pc, rare] + ([sarr] if own else [])
     return tie_unpersist(
-        pc.filter(F.col("containment") >= threshold), pc, sarr, rare
+        pc.filter(F.col("containment") >= threshold), *ties
     )
 
 
@@ -429,6 +443,7 @@ def minhash_lsh_dedup(
     n_bands=4,
     rows_per_band=3,
     threshold=0.5,
+    sarr=None,
 ) -> DataFrame:
     """Banded MinHash LSH near-dup pairs, verified by exact Jaccard.
 
@@ -454,8 +469,13 @@ def minhash_lsh_dedup(
     smaller than exploded rows), reused map-side for Jaccard verify.
     This is the 100 TB dedup path: one corpus shuffle for signatures,
     one band-bucket equi-join, never all-pairs.
+
+    ``sarr``: optional precomputed shingle frame (caller-owned cache;
+    see :func:`_rare_shingle_candidates`).
     """
-    sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
+    own = sarr is None
+    if sarr is None:
+        sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
     mh = minhash_band_table(sarr, n_bands, rows_per_band)
     mh = mh.cache()  # tiny (docs x bands); self-join below would recompute it
     cand = (
@@ -469,9 +489,8 @@ def minhash_lsh_dedup(
     pj = _pair_jaccard(cand, sets)
     # re-tie: the filter below is a new handle; without this the
     # intermediate dies at return and drops the candidate pin early
-    return tie_unpersist(
-        pj.filter(F.col("jaccard") >= threshold), pj, sarr, mh
-    )
+    ties = [pj, mh] + ([sarr] if own else [])
+    return tie_unpersist(pj.filter(F.col("jaccard") >= threshold), *ties)
 
 
 def minhash_band_table(

@@ -282,6 +282,10 @@ def top_frequent_from_counts(
         .orderBy(F.col("cnt").desc(), F.col(key_col))
         .limit(k)
     )
+    # unpartitioned rank window — BOUNDED by construction (input is
+    # post-limit(k), <= k rows); Spark's "No Partition Defined"
+    # warning for this line is expected and harmless, unlike a
+    # genuine global window over data rows
     w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
     return topk.withColumn("rank", F.row_number().over(w)).select(
         key_col, "cnt", "share", "rank"
@@ -1079,7 +1083,13 @@ def quantiles_from_counts(counts: DataFrame, probs: list[float]) -> DataFrame:
     (sources/layout.py::update_value_hist_summary): one in-plan
     cumulative-sum lookup over distinct values, no corpus scan, no
     sketch. Output contract matches :func:`exact_quantiles`:
-    (p double, value <v type>), quantile_disc semantics."""
+    (p double, value <v type>), quantile_disc semantics.
+
+    The constant group makes the cum-sum window effectively
+    unpartitioned — Spark logs "No Partition Defined", which is
+    expected here: the input is the DISTINCT-VALUE table, bounded by
+    the layout seed's domain certificate (VALUE_HIST_MAX_ROWS), never
+    data rows."""
     hist = counts.select(F.lit(0).alias("g"), "v", "cnt")
     return _hist_quantiles(hist, probs).select("p", "value")
 

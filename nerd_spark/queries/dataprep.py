@@ -708,18 +708,35 @@ def quantile_event_values(spark, sf_dir):
     # sort either way. The result is an actual data element
     # (quantile_disc semantics), so the compare is exact.
     #
-    # Serve path (the keycount discipline): ingest maintains the
+    # Serve tiers (the funnel discipline — result cache, then state,
+    # then raw): ingest maintains (a) a |probs|-row resolved result
+    # cache meta-bound to this binding (a file read) and (b) the
     # global (value, cnt) projection of the (event_type, value)
-    # histogram — quantiles become one cumulative-sum lookup over a
-    # distinct-values file read, no corpus pass at all. served==raw
-    # pinned by tests/test_quantile_serve.py; oracles stay on raw.
+    # histogram — quantiles from it are one cumulative-sum lookup
+    # over distinct values, exact for ANY probs. served==raw pinned
+    # by tests/test_quantile_serve.py; oracles stay on raw.
     from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        QUANTILE_PROBS_DEFAULT,
+        SUMMARY_QUANTILE_RESULT_DIRNAME,
+    )
 
+    probs = list(QUANTILE_PROBS_DEFAULT)
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_QUANTILE_RESULT_DIRNAME,
+        {"probs": probs},
+        ("p", "value"),
+    )
+    if res is not None:
+        return res.select("p", "value")
     vc = _value_counts(spark, sf_dir)
     if vc is not None:
-        return SK.quantiles_from_counts(vc, [0.25, 0.5, 0.9, 0.99])
+        return SK.quantiles_from_counts(vc, probs)
     ev = t(spark, sf_dir, "events")
-    return SK.exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
+    return SK.exact_quantiles(ev, "value", probs)
 
 
 @query("quantile_values_served", _QUANTILE_VALUES_SQL)
@@ -777,17 +794,34 @@ def quantile_by_event_type(spark, sf_dir):
     # shuffle + conditional-agg verify + window refine over bracket
     # rows only). Never a per-group sort of the data.
     #
-    # Serve path: the ingest-maintained (event_type, value) histogram
-    # (sources/layout.py::update_value_hist_summary) — the corpus pass
-    # happened at ingest; the query is a cumulative-sum lookup over
-    # distinct (type, value) pairs.
+    # Serve tiers (the funnel discipline): the meta-bound resolved
+    # result cache first (a |groups|x|probs|-row file read), then the
+    # ingest-maintained (event_type, value) histogram
+    # (sources/layout.py::update_value_hist_summary) — a cumulative-
+    # sum lookup over distinct (type, value) pairs, exact for ANY
+    # probs — then the raw exact operator.
     from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        QUANTILE_BY_PROBS_DEFAULT,
+        SUMMARY_QUANTILE_BY_RESULT_DIRNAME,
+    )
 
+    probs = list(QUANTILE_BY_PROBS_DEFAULT)
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_QUANTILE_BY_RESULT_DIRNAME,
+        {"probs": probs},
+        ("event_type", "p", "value"),
+    )
+    if res is not None:
+        return res.select("event_type", "p", "value")
     vh = _value_hist(spark, sf_dir)
     if vh is not None:
-        return SK.quantiles_by_from_counts(vh, "event_type", [0.5, 0.95])
+        return SK.quantiles_by_from_counts(vh, "event_type", probs)
     ev = t(spark, sf_dir, "events")
-    return SK.exact_quantiles_by(ev, "event_type", "value", [0.5, 0.95])
+    return SK.exact_quantiles_by(ev, "event_type", "value", probs)
 
 
 @query(
@@ -815,14 +849,35 @@ def corpus_stats_card(spark, sf_dir):
     from nerd_spark.functions.text import tokens
     from nerd_spark.operators import sketches as SK
     from nerd_spark.sources.layout import (
+        DOC_CARD_PROBS,
+        SUMMARY_DOC_CARD_RESULT_DIRNAME,
         SUMMARY_DOC_TOKEN_HIST_DIRNAME,
+        read_summary_meta,
         summary_fresh,
     )
 
-    # Serve tier: the layout-built per-(source, token-count) histogram
-    # — volumes AND exact quantiles derive from it, so a fresh layout
-    # dir answers the card from a distinct-pairs file read instead of
-    # a corpus scan. Gated on documents freshness + schema.
+    import os as _os
+
+    # Serve tiers: the |sources|-row resolved card first (meta-bound
+    # to the prob list — a file read), then the layout-built
+    # per-(source, token-count) histogram — volumes AND exact
+    # quantiles derive from it, so a fresh layout dir answers the
+    # card without a corpus scan. Both gated on documents freshness
+    # + schema.
+    if summary_fresh(
+        spark,
+        sf_dir,
+        SUMMARY_DOC_CARD_RESULT_DIRNAME,
+        ("documents.parquet",),
+        ("source", "n_docs", "total_tokens", "p50_tokens", "p95_tokens"),
+    ):
+        cpath = _os.path.join(sf_dir, SUMMARY_DOC_CARD_RESULT_DIRNAME)
+        meta = read_summary_meta(spark, cpath)
+        if meta is not None and meta.get("probs") == list(DOC_CARD_PROBS):
+            return spark.read.parquet(cpath).select(
+                "source", "n_docs", "total_tokens",
+                "p50_tokens", "p95_tokens",
+            )
     if summary_fresh(
         spark,
         sf_dir,
@@ -830,8 +885,6 @@ def corpus_stats_card(spark, sf_dir):
         ("documents.parquet",),
         ("src", "ntok", "cnt"),
     ):
-        import os as _os
-
         h = spark.read.parquet(
             _os.path.join(sf_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
         )
@@ -2284,8 +2337,16 @@ def corpus_curation_v4(spark, sf_dir):
         .distinct()
     )
     d2 = tr.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    # ONE shingle scan for the whole dedup tail (r11 verdict #5): the
+    # LSH stage and the containment stage both shingle at k=3, and
+    # d3 ⊂ d2, so the containment candidates derive from the SAME
+    # cached per-doc shingle arrays filtered to the survivors —
+    # without this the tokenize/transform pass over the post-gate
+    # corpus runs twice. The cache is owned here and tied to the
+    # returned frame below.
+    sarr2 = DD.shingle_arrays(DD._spread(d2), "doc_id", "text", 3).cache()
     pairs = DD.minhash_lsh_dedup(
-        spark, d2, n_bands=4, rows_per_band=3, threshold=0.5
+        spark, d2, n_bands=4, rows_per_band=3, threshold=0.5, sarr=sarr2
     )
     losers = (
         CCOMP.dedup_clusters(pairs)
@@ -2293,9 +2354,13 @@ def corpus_curation_v4(spark, sf_dir):
         .select("doc_id")
     )
     # third funnel waist: the containment stage consumes d3 twice
-    # (shingle scan + the length lookup) and the mixture consumes d4
+    # (candidate generation + the length lookup) and the mixture
+    # consumes d4
     d3 = d2.join(losers, "doc_id", "left_anti").localCheckpoint()
-    cpairs = DD.containment_dedup(d3, k=3, threshold=0.9, max_df=20)
+    sarr3 = sarr2.join(d3.select(F.col("doc_id").alias("id")), "id")
+    cpairs = DD.containment_dedup(
+        d3, k=3, threshold=0.9, max_df=20, sarr=sarr3
+    )
     dlen = d3.select("doc_id", F.length("text").alias("len"))
     la = dlen.select(F.col("doc_id").alias("a_id"), F.col("len").alias("la"))
     lb = dlen.select(F.col("doc_id").alias("b_id"), F.col("len").alias("lb"))
@@ -2323,8 +2388,20 @@ def corpus_curation_v4(spark, sf_dir):
     shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
         "doc_id", "shard"
     )
-    return split.join(shards, "doc_id").select(
-        "doc_id", "source", "n_copies", "split", "shard"
+    from nerd_spark.operators.cacheutil import tie_unpersist
+
+    # tie the dedup-tail caches (shared shingle arrays + cpairs'
+    # candidate pin) to the RESULT: the containment pairs are consumed
+    # lazily through `closers` at final materialization, and without
+    # the transfer the pins die when cpairs' handle leaves this scope
+    # and the candidate self-join recomputes uncached
+    return tie_unpersist(
+        split.join(shards, "doc_id").select(
+            "doc_id", "source", "n_copies", "split", "shard"
+        ),
+        cpairs,
+        pairs,
+        sarr2,
     )
 
 

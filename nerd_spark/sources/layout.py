@@ -83,6 +83,17 @@ VALUE_HIST_MAX_ROWS = 8_000_000
 # stats card's serve table (volumes AND exact token quantiles derive
 # from it); seeded at layout time from the n_tokens_pre column
 SUMMARY_DOC_TOKEN_HIST_DIRNAME = "summary_doc_token_hist.parquet"
+# Resolved result caches for the registered quantile bindings (the
+# funnel-result discipline): |probs| rows / |groups|x|probs| rows /
+# |sources| rows, meta-bound to their prob lists — the queries become
+# a tiny file read; non-default bindings fall through to the
+# histogram tier, which is exact for ANY probs.
+SUMMARY_QUANTILE_RESULT_DIRNAME = "summary_quantile_result.parquet"
+SUMMARY_QUANTILE_BY_RESULT_DIRNAME = "summary_quantile_by_result.parquet"
+SUMMARY_DOC_CARD_RESULT_DIRNAME = "summary_doc_card_result.parquet"
+QUANTILE_PROBS_DEFAULT = (0.25, 0.5, 0.9, 0.99)
+QUANTILE_BY_PROBS_DEFAULT = (0.5, 0.95)
+DOC_CARD_PROBS = (0.5, 0.95)
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -478,6 +489,41 @@ def optimize_layout(
             dhpath = os.path.join(out_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
             dh.coalesce(1).write.mode("overwrite").parquet(dhpath)
             fsutil.touch(spark, os.path.join(dhpath, "_SUCCESS"))
+            # resolved card rows (|sources|): volumes + exact token
+            # quantiles from the committed histogram — the registered
+            # corpus_stats_card becomes a file read (meta-bound to the
+            # prob list; other bindings fall to the histogram tier)
+            from nerd_spark.operators import sketches as SK
+
+            h = spark.read.parquet(dhpath)
+            vols = h.groupBy(F.col("src").alias("source")).agg(
+                F.sum("cnt").alias("n_docs"),
+                F.sum(F.col("ntok") * F.col("cnt")).alias("total_tokens"),
+            )
+            qby = SK.quantiles_by_from_counts(
+                h.select(
+                    F.col("src").alias("et"),
+                    F.col("ntok").alias("v"),
+                    "cnt",
+                ),
+                "source",
+                list(DOC_CARD_PROBS),
+            )
+            wide = qby.groupBy("source").agg(
+                F.max(
+                    F.when(F.col("p") == DOC_CARD_PROBS[0], F.col("value"))
+                ).alias("p50_tokens"),
+                F.max(
+                    F.when(F.col("p") == DOC_CARD_PROBS[1], F.col("value"))
+                ).alias("p95_tokens"),
+            )
+            cpath = os.path.join(out_dir, SUMMARY_DOC_CARD_RESULT_DIRNAME)
+            card = vols.join(wide, "source").localCheckpoint()
+            card.coalesce(1).write.mode("overwrite").parquet(cpath)
+            write_summary_meta(
+                spark, cpath, {"probs": list(DOC_CARD_PROBS)}
+            )
+            fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
         (
             minhash_band_table(shingle_arrays(_spread(dd), "doc_id", "text", 3))
             .coalesce(max(1, min(scale, 16)))
@@ -1288,6 +1334,42 @@ def _rederive_value_counts(
     fsutil.touch(spark, os.path.join(counts_path, "_SUCCESS"))
 
 
+def _write_quantile_results(spark: SparkSession, data_dir: str) -> None:
+    """Resolve the registered quantile bindings from the committed
+    histogram tables into meta-bound result caches (|probs| rows and
+    |groups|x|probs| rows) — the funnel-result discipline: even the
+    histogram window's one small job moves to ingest and the queries
+    read files. Non-default probs fall through to the histogram tier,
+    which resolves ANY binding exactly."""
+    from nerd_spark.operators import sketches as SK
+    from nerd_spark.sources import fsutil
+
+    counts = spark.read.parquet(
+        os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
+    )
+    out_g = os.path.join(data_dir, SUMMARY_QUANTILE_RESULT_DIRNAME)
+    res_g = SK.quantiles_from_counts(
+        counts, list(QUANTILE_PROBS_DEFAULT)
+    ).localCheckpoint()
+    res_g.coalesce(1).write.mode("overwrite").parquet(out_g)
+    write_summary_meta(
+        spark, out_g, {"probs": list(QUANTILE_PROBS_DEFAULT)}
+    )
+    fsutil.touch(spark, os.path.join(out_g, "_SUCCESS"))
+    hist = spark.read.parquet(
+        os.path.join(data_dir, SUMMARY_VALUE_HIST_DIRNAME)
+    )
+    out_by = os.path.join(data_dir, SUMMARY_QUANTILE_BY_RESULT_DIRNAME)
+    res_by = SK.quantiles_by_from_counts(
+        hist, "event_type", list(QUANTILE_BY_PROBS_DEFAULT)
+    ).localCheckpoint()
+    res_by.coalesce(1).write.mode("overwrite").parquet(out_by)
+    write_summary_meta(
+        spark, out_by, {"probs": list(QUANTILE_BY_PROBS_DEFAULT)}
+    )
+    fsutil.touch(spark, os.path.join(out_by, "_SUCCESS"))
+
+
 def seed_value_hist(
     spark: SparkSession,
     data_dir: str,
@@ -1318,6 +1400,7 @@ def seed_value_hist(
     _rederive_value_counts(
         spark, vhpath, os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
     )
+    _write_quantile_results(spark, data_dir)
 
 
 def update_value_hist_summary(
@@ -1365,6 +1448,7 @@ def update_value_hist_summary(
             stale = True
         if stale:
             _rederive_value_counts(spark, hist_path, counts_path)
+            _write_quantile_results(spark, data_dir)
         return
     bs = _value_hist_batch(new_events, type_col, value_col)
     touched = [r.wb for r in bs.select("wb").distinct().collect()]
@@ -1389,10 +1473,18 @@ def update_value_hist_summary(
     if spark.read.parquet(hist_path).count() > max_rows:
         fsutil.delete(spark, hist_path, recursive=True)
         fsutil.delete(spark, counts_path, recursive=True)
+        for rd in (
+            SUMMARY_QUANTILE_RESULT_DIRNAME,
+            SUMMARY_QUANTILE_BY_RESULT_DIRNAME,
+        ):
+            fsutil.delete(
+                spark, os.path.join(data_dir, rd), recursive=True
+            )
         return
     _fold_ledger_record(spark, hist_path, batch_id)
     fsutil.touch(spark, success)
     _rederive_value_counts(spark, hist_path, counts_path)
+    _write_quantile_results(spark, data_dir)
 
 
 def _topk_value(df, k: int):

@@ -345,8 +345,9 @@ def test_quantile_and_card_serve_on_layout_dir(spark, sf_dir, layout_dir):
         quantile_event_values,
     )
     from nerd_spark.sources.layout import (
-        SUMMARY_DOC_TOKEN_HIST_DIRNAME,
-        SUMMARY_VALUE_COUNTS_DIRNAME,
+        SUMMARY_DOC_CARD_RESULT_DIRNAME,
+        SUMMARY_QUANTILE_BY_RESULT_DIRNAME,
+        SUMMARY_QUANTILE_RESULT_DIRNAME,
         SUMMARY_VALUE_HIST_DIRNAME,
     )
 
@@ -357,13 +358,15 @@ def test_quantile_and_card_serve_on_layout_dir(spark, sf_dir, layout_dir):
         os.path.join(layout_dir, SUMMARY_VALUE_HIST_DIRNAME, "_SUCCESS")
     ), "bounded-domain certificate should hold on the test corpus"
     g = quantile_event_values(spark, layout_dir)
-    assert any(SUMMARY_VALUE_COUNTS_DIRNAME in f for f in g.inputFiles())
+    assert any(SUMMARY_QUANTILE_RESULT_DIRNAME in f for f in g.inputFiles())
     assert rows(g) == rows(quantile_event_values(spark, sf_dir))
     by = quantile_by_event_type(spark, layout_dir)
-    assert any(SUMMARY_VALUE_HIST_DIRNAME in f for f in by.inputFiles())
+    assert any(
+        SUMMARY_QUANTILE_BY_RESULT_DIRNAME in f for f in by.inputFiles()
+    )
     assert rows(by) == rows(quantile_by_event_type(spark, sf_dir))
     card = corpus_stats_card(spark, layout_dir)
     assert any(
-        SUMMARY_DOC_TOKEN_HIST_DIRNAME in f for f in card.inputFiles()
+        SUMMARY_DOC_CARD_RESULT_DIRNAME in f for f in card.inputFiles()
     )
     assert rows(card) == rows(corpus_stats_card(spark, sf_dir))

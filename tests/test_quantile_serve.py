@@ -16,11 +16,14 @@ import os
 from pyspark.sql import functions as F
 
 from nerd_spark.operators import sketches as SK
+from nerd_spark.sources import fsutil
 from nerd_spark.queries.dataprep import (
     quantile_by_event_type,
     quantile_event_values,
 )
 from nerd_spark.sources.layout import (
+    SUMMARY_QUANTILE_BY_RESULT_DIRNAME,
+    SUMMARY_QUANTILE_RESULT_DIRNAME,
     SUMMARY_VALUE_COUNTS_DIRNAME,
     SUMMARY_VALUE_HIST_DIRNAME,
     seed_value_hist,
@@ -88,15 +91,30 @@ def test_fold_equals_one_shot_and_serves(spark, tmp_path):
     # global projection == pair table collapsed
     vc = spark.read.parquet(os.path.join(d, SUMMARY_VALUE_COUNTS_DIRNAME))
     assert _rows(vc) == _rows(folded.groupBy("v").agg(F.sum("cnt").alias("cnt")))
-    # queries serve values identical to the raw exact operators
+    # tier 1: the meta-bound resolved result caches (file reads)
+    raw_g = _rows(SK.exact_quantiles(ev, "value", PROBS_G))
+    raw_by = _rows(SK.exact_quantiles_by(ev, "event_type", "value", PROBS_BY))
     g = quantile_event_values(spark, d)
-    assert any(SUMMARY_VALUE_COUNTS_DIRNAME in f for f in g.inputFiles())
-    assert _rows(g) == _rows(SK.exact_quantiles(ev, "value", PROBS_G))
+    assert any(SUMMARY_QUANTILE_RESULT_DIRNAME in f for f in g.inputFiles())
+    assert _rows(g) == raw_g
     by = quantile_by_event_type(spark, d)
-    assert any(SUMMARY_VALUE_HIST_DIRNAME in f for f in by.inputFiles())
-    assert _rows(by) == _rows(
-        SK.exact_quantiles_by(ev, "event_type", "value", PROBS_BY)
+    assert any(
+        SUMMARY_QUANTILE_BY_RESULT_DIRNAME in f for f in by.inputFiles()
     )
+    assert _rows(by) == raw_by
+    # tier 2: result caches unusable -> the histogram tier resolves
+    # the same values in-plan
+    for rd in (
+        SUMMARY_QUANTILE_RESULT_DIRNAME,
+        SUMMARY_QUANTILE_BY_RESULT_DIRNAME,
+    ):
+        fsutil.delete(spark, os.path.join(d, rd, "_SUCCESS"))
+    g2 = quantile_event_values(spark, d)
+    assert any(SUMMARY_VALUE_COUNTS_DIRNAME in f for f in g2.inputFiles())
+    assert _rows(g2) == raw_g
+    by2 = quantile_by_event_type(spark, d)
+    assert any(SUMMARY_VALUE_HIST_DIRNAME in f for f in by2.inputFiles())
+    assert _rows(by2) == raw_by
 
 
 def test_replay_does_not_double_count(spark, tmp_path):
