@@ -538,19 +538,37 @@ def hh_event_users(spark, sf_dir):
     # operators/sketches.py. The security-native use is scanner IPs
     # hitting every sensor; the oracle is the naive full groupBy.
     #
-    # Serve path: the ingest-maintained per-entity count table
-    # (sources/layout.py::update_keycount_summaries) — counts are
-    # additive, so the fold is exact and the query is one O(keys)
-    # scan; raw dirs (every oracle) recompute from events.
+    # Serve tiers (the funnel discipline): the meta-bound resolved
+    # answer first (a |hh|-row file read), then the ingest-maintained
+    # per-entity count table (sources/layout.py::
+    # update_keycount_summaries) — counts are additive, so the fold is
+    # exact and the query is one O(keys) scan; raw dirs (every oracle)
+    # recompute from events.
     from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        HH_USERS_MIN_FRAC,
+        SUMMARY_HH_USERS_RESULT_DIRNAME,
+    )
 
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_HH_USERS_RESULT_DIRNAME,
+        {"entity": "user_id", "min_frac": HH_USERS_MIN_FRAC},
+        ("user_id", "cnt", "share"),
+    )
+    if res is not None:
+        return res.select("user_id", "cnt", "share")
     cnts = _user_counts(spark, sf_dir)
     if cnts is not None:
         return SK.heavy_hitters_from_counts(
-            cnts.withColumnRenamed("u", "user_id"), "user_id", 0.005
+            cnts.withColumnRenamed("u", "user_id"),
+            "user_id",
+            HH_USERS_MIN_FRAC,
         )
     ev = t(spark, sf_dir, "events")
-    return SK.heavy_hitters(ev, "user_id", min_frac=0.005)
+    return SK.heavy_hitters(ev, "user_id", min_frac=HH_USERS_MIN_FRAC)
 
 
 def _user_counts(spark, sf_dir):
@@ -637,7 +655,25 @@ def hh_by_event_type(spark, sf_dir):
     # aggregation's grain, so the query is an O(pairs) scan + the
     # per-group totals join.
     from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        HH_BY_TYPE_MIN_FRAC,
+        SUMMARY_HH_BY_TYPE_RESULT_DIRNAME,
+    )
 
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_HH_BY_TYPE_RESULT_DIRNAME,
+        {
+            "group": "event_type",
+            "entity": "user_id",
+            "min_frac": HH_BY_TYPE_MIN_FRAC,
+        },
+        ("event_type", "user_id", "cnt", "share"),
+    )
+    if res is not None:
+        return res.select("event_type", "user_id", "cnt", "share")
     cnts = _type_user_counts(spark, sf_dir)
     if cnts is not None:
         return SK.heavy_hitters_by_from_counts(
@@ -646,10 +682,12 @@ def hh_by_event_type(spark, sf_dir):
             ),
             "event_type",
             "user_id",
-            0.008,
+            HH_BY_TYPE_MIN_FRAC,
         )
     ev = t(spark, sf_dir, "events")
-    return SK.heavy_hitters_by(ev, "event_type", "user_id", 0.008)
+    return SK.heavy_hitters_by(
+        ev, "event_type", "user_id", HH_BY_TYPE_MIN_FRAC
+    )
 
 
 @query(
@@ -677,14 +715,31 @@ def top_frequent_users(spark, sf_dir):
     # per-entity count table — one O(keys) scan +
     # TakeOrderedAndProject, no corpus pass, no screen.
     from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        HH_USERS_MIN_FRAC,
+        SUMMARY_TOPFREQ_RESULT_DIRNAME,
+        TOPFREQ_K,
+    )
 
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_TOPFREQ_RESULT_DIRNAME,
+        {"entity": "user_id", "k": TOPFREQ_K},
+        ("user_id", "cnt", "share", "rank"),
+    )
+    if res is not None:
+        return res.select("user_id", "cnt", "share", "rank")
     cnts = _user_counts(spark, sf_dir)
     if cnts is not None:
         return SK.top_frequent_from_counts(
-            cnts.withColumnRenamed("u", "user_id"), "user_id", k=10
+            cnts.withColumnRenamed("u", "user_id"), "user_id", k=TOPFREQ_K
         )
     ev = t(spark, sf_dir, "events")
-    return SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005)
+    return SK.top_frequent(
+        ev, "user_id", k=TOPFREQ_K, initial_frac=HH_USERS_MIN_FRAC
+    )
 
 
 # Shared by quantile_event_values (raw/serve-gated) and

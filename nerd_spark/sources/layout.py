@@ -94,6 +94,15 @@ SUMMARY_DOC_CARD_RESULT_DIRNAME = "summary_doc_card_result.parquet"
 QUANTILE_PROBS_DEFAULT = (0.25, 0.5, 0.9, 0.99)
 QUANTILE_BY_PROBS_DEFAULT = (0.5, 0.95)
 DOC_CARD_PROBS = (0.5, 0.95)
+# Resolved heavy-hitter / top-k answers for the registered bindings —
+# derived from the committed count tables at fold time, meta-bound to
+# their parameters; other bindings fall to the count-table tier.
+SUMMARY_HH_USERS_RESULT_DIRNAME = "summary_hh_users_result.parquet"
+SUMMARY_HH_BY_TYPE_RESULT_DIRNAME = "summary_hh_by_type_result.parquet"
+SUMMARY_TOPFREQ_RESULT_DIRNAME = "summary_topfreq_result.parquet"
+HH_USERS_MIN_FRAC = 0.005
+HH_BY_TYPE_MIN_FRAC = 0.008
+TOPFREQ_K = 10
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -663,6 +672,9 @@ def optimize_layout(
             .parquet(tpath)
         )
         fsutil.touch(spark, os.path.join(tpath, "_SUCCESS"))
+        # resolved hh/top-k answers for the registered bindings (the
+        # funnel-result discipline over the count tables just written)
+        _write_keycount_results(spark, out_dir)
         # (event_type, value) histogram + global value counts — the
         # quantile family's serve tables — seeded ONLY under a
         # bounded-domain certificate from the colstats sidecar written
@@ -1257,6 +1269,9 @@ def update_keycount_summaries(
             stale_tot = True
         if stale_tot:
             _rederive_keycount_totals(spark, pair_path, tot_path)
+            _write_keycount_results(
+                spark, data_dir, entity=entity, type_col=type_col
+            )
         return
     bs = (
         new_events.groupBy(
@@ -1291,6 +1306,7 @@ def update_keycount_summaries(
     _fold_ledger_record(spark, pair_path, batch_id)
     fsutil.touch(spark, success)
     _rederive_keycount_totals(spark, pair_path, tot_path)
+    _write_keycount_results(spark, data_dir, entity=entity, type_col=type_col)
 
 
 def _rederive_keycount_totals(
@@ -1306,6 +1322,65 @@ def _rederive_keycount_totals(
     )
     tot.write.mode("overwrite").parquet(tot_path)
     fsutil.touch(spark, os.path.join(tot_path, "_SUCCESS"))
+
+
+def _write_keycount_results(
+    spark: SparkSession,
+    data_dir: str,
+    entity: str = "user_id",
+    type_col: str = "event_type",
+) -> None:
+    """Resolve the registered heavy-hitter/top-k bindings from the
+    COMMITTED count tables into meta-bound result caches (the
+    funnel-result discipline): hh answers are tiny (keys over a
+    corpus-share threshold / top k rows), so even the count-table
+    scan + totals join moves to ingest and the queries read files.
+    Meta records the grain columns AND the threshold — a fold run at
+    a different entity/type binding, or a query at different
+    parameters, falls through to the count-table tier (exact for any
+    binding)."""
+    from nerd_spark.operators import sketches as SK
+    from nerd_spark.sources import fsutil
+
+    tot = spark.read.parquet(
+        os.path.join(data_dir, SUMMARY_USER_COUNTS_DIRNAME)
+    ).withColumnRenamed("u", entity)
+    hh = SK.heavy_hitters_from_counts(
+        tot, entity, HH_USERS_MIN_FRAC
+    ).localCheckpoint()
+    out = os.path.join(data_dir, SUMMARY_HH_USERS_RESULT_DIRNAME)
+    hh.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(
+        spark, out, {"entity": entity, "min_frac": HH_USERS_MIN_FRAC}
+    )
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+    tf = SK.top_frequent_from_counts(tot, entity, k=TOPFREQ_K).localCheckpoint()
+    out = os.path.join(data_dir, SUMMARY_TOPFREQ_RESULT_DIRNAME)
+    tf.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(spark, out, {"entity": entity, "k": TOPFREQ_K})
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+    pair = (
+        spark.read.parquet(
+            os.path.join(data_dir, SUMMARY_TYPE_USER_DIRNAME)
+        )
+        .withColumnRenamed("et", type_col)
+        .withColumnRenamed("u", entity)
+    )
+    hb = SK.heavy_hitters_by_from_counts(
+        pair, type_col, entity, HH_BY_TYPE_MIN_FRAC
+    ).localCheckpoint()
+    out = os.path.join(data_dir, SUMMARY_HH_BY_TYPE_RESULT_DIRNAME)
+    hb.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(
+        spark,
+        out,
+        {
+            "group": type_col,
+            "entity": entity,
+            "min_frac": HH_BY_TYPE_MIN_FRAC,
+        },
+    )
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
 
 
 def _value_hist_batch(new_events, type_col: str, value_col: str):
@@ -1729,7 +1804,7 @@ def update_event_summaries(
     fold committed, a sibling torn — r11 verdict #7) skips the
     committed folds and re-runs only the torn ones, converging to
     the same state as a clean run (pinned by
-    tests/test_summary_incremental.py::test_pool_crash_replay)."""
+    tests/test_summary_incremental.py::test_pool_crash_replay_converges)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from nerd_spark.sources import fsutil

@@ -226,3 +226,43 @@ def test_topk_fold_replay_and_relayout_idempotent(spark, tmp_path):
         (r.event_id, r.value)
         for r in w1_topk(spark, d).select("event_id", "value").collect()
     ] == raw
+
+
+def test_hh_result_cache_tiers(spark, tmp_path):
+    """The resolved hh/top-k answers serve first (meta-bound file
+    reads); deleting their gates falls to the count-table tier with
+    identical values (the funnel three-tier discipline)."""
+    from nerd_spark.sources.layout import (
+        SUMMARY_HH_BY_TYPE_RESULT_DIRNAME,
+        SUMMARY_HH_USERS_RESULT_DIRNAME,
+        SUMMARY_TOPFREQ_RESULT_DIRNAME,
+    )
+
+    d = _data_dir(spark, tmp_path)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    update_keycount_summaries(spark, d, ev)
+    raw_hh = _rows(SK.heavy_hitters(ev, "user_id", min_frac=0.005))
+    raw_hb = _rows(SK.heavy_hitters_by(ev, "event_type", "user_id", 0.008))
+    raw_tf = _rows(SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005))
+    # tier 1: resolved answers
+    hh = hh_event_users(spark, d)
+    assert any(SUMMARY_HH_USERS_RESULT_DIRNAME in f for f in hh.inputFiles())
+    assert _rows(hh) == raw_hh
+    hb = hh_by_event_type(spark, d)
+    assert any(
+        SUMMARY_HH_BY_TYPE_RESULT_DIRNAME in f for f in hb.inputFiles()
+    )
+    assert _rows(hb) == raw_hb
+    tf = top_frequent_users(spark, d)
+    assert any(SUMMARY_TOPFREQ_RESULT_DIRNAME in f for f in tf.inputFiles())
+    assert _rows(tf) == raw_tf
+    # tier 2: result gates dropped -> count-table serves, same values
+    for rd in (
+        SUMMARY_HH_USERS_RESULT_DIRNAME,
+        SUMMARY_HH_BY_TYPE_RESULT_DIRNAME,
+        SUMMARY_TOPFREQ_RESULT_DIRNAME,
+    ):
+        fsutil.delete(spark, os.path.join(d, rd, "_SUCCESS"))
+    assert _rows(hh_event_users(spark, d)) == raw_hh
+    assert _rows(hh_by_event_type(spark, d)) == raw_hb
+    assert _rows(top_frequent_users(spark, d)) == raw_tf
