@@ -131,6 +131,8 @@ def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
     from nerd_spark.queries.dataprep import (
         hh_by_event_type,
         hh_event_users,
+        quantile_by_event_type,
+        quantile_event_values,
         top_frequent_users,
     )
     from nerd_spark.queries.relational import w1_topk
@@ -142,8 +144,10 @@ def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
         SUMMARY_MERGED_DIRNAME,
         SUMMARY_TOPK_VALUE_DIRNAME,
         SUMMARY_TYPE_USER_DIRNAME,
+        SUMMARY_VALUE_HIST_DIRNAME,
         SUMMARY_WINDOW_DIRNAME,
         WINDOW_GATE,
+        seed_value_hist,
         update_event_summaries,
     )
 
@@ -156,6 +160,10 @@ def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
     # its folds run (serve gates compare against the events dir mtime)
     b1.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     update_event_summaries(spark, d, b1, batch_id="b1")
+    # seed the value histogram from the dir's events (== b1; the b1
+    # fold above no-oped on the unseeded dir) so the quantile fold
+    # participates in the crashed pool below
+    seed_value_hist(spark, d)
     b2.write.mode("append").parquet(os.path.join(d, "events.parquet"))
     ev.write.mode("overwrite").parquet(os.path.join(raw, "events.parquet"))
 
@@ -176,6 +184,7 @@ def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
         SUMMARY_FUNNEL_DIRNAME: "_SUCCESS",
         SUMMARY_TYPE_USER_DIRNAME: "_SUCCESS",
         SUMMARY_TOPK_VALUE_DIRNAME: "_SUCCESS",
+        SUMMARY_VALUE_HIST_DIRNAME: "_SUCCESS",
     }
     before = {
         dn: os.path.getmtime(os.path.join(d, dn, m))
@@ -208,5 +217,7 @@ def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
         hh_by_event_type,
         top_frequent_users,
         w1_topk,
+        quantile_event_values,
+        quantile_by_event_type,
     ):
         assert rows(q(spark, d)) == rows(q(spark, raw)), q.__name__
