@@ -702,10 +702,20 @@ def _hist_quantiles(hist: DataFrame, probs: list[float]) -> DataFrame:
     8M-row bound, where a forced broadcast is the r9-advice defect
     class. AQE broadcasts it at runtime exactly when it is small
     (plan-audited: quantile_by_event_type still finalizes to a
-    BroadcastHashJoin at the design point)."""
-    ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    BroadcastHashJoin at the design point).
+
+    The totals join is NULL-SAFE: a null group is a real group under
+    the oracle's GROUP BY semantics (groupBy keeps it, but a plain
+    equi-join would silently drop it — hypothesis-caught)."""
+    ng = hist.groupBy("g").agg(F.sum("cnt").alias("n")).withColumnRenamed(
+        "g", "_ng_g"
+    )
     w = Window.partitionBy("g").orderBy("v")
-    h = hist.withColumn("cum", F.sum("cnt").over(w)).join(ng, "g")
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .join(ng, F.col("g").eqNullSafe(F.col("_ng_g")))
+        .drop("_ng_g")
+    )
     picks = []
     for p in probs:
         # IEEE p*n then ceil: bit-for-bit the pinned rank formula
@@ -908,7 +918,10 @@ def exact_quantiles_by(
 
     Returns (key_col, p double, value <col type>): for each group, the
     element at rank max(1, ceil(p*n_group)) of its non-null values
-    (quantile_disc semantics, same as :func:`exact_quantiles`).
+    (quantile_disc semantics, same as :func:`exact_quantiles`). A NULL
+    group key is a real group (oracle GROUP BY parity — every group
+    join in both strategies is null-safe); null VALUES are excluded
+    everywhere.
 
     Strategy selection mirrors the global variant (see
     :func:`_hist_or_none`): when a MEASURED probe certifies the
@@ -1008,7 +1021,17 @@ def exact_quantiles_by(
         ],
     )
     hint = F.broadcast if broadcast_bounds else (lambda d: d)
-    joined = vals.join(hint(bounds), "g")
+
+    def _nsjoin(left, right):
+        # null-safe group join: a null group is a real group under the
+        # oracle's GROUP BY semantics; a plain equi-join on "g" would
+        # silently drop it (hypothesis-caught)
+        r = right.withColumnRenamed("g", "_g_r")
+        return left.join(
+            hint(r), F.col("g").eqNullSafe(F.col("_g_r"))
+        ).drop("_g_r")
+
+    joined = _nsjoin(vals, bounds)
     verify = joined.groupBy("g").agg(
         *[
             F.sum((F.col("v") < F.col(f"lo{i}")).cast("long")).alias(f"clo{i}")
@@ -1023,7 +1046,7 @@ def exact_quantiles_by(
     )
     # widen failed brackets in-plan: lo -> gmin (c_lo becomes 0 by
     # definition), hi -> gmax, rank unchanged
-    checked = bounds.join(hint(verify), "g").select(
+    checked = _nsjoin(bounds, verify).select(
         "g",
         *functools.reduce(
             operator.add,
@@ -1044,7 +1067,7 @@ def exact_quantiles_by(
     )
     probs_lit = F.array(*[F.lit(float(p)) for p in probs])
     tagged = (
-        vals.join(hint(checked), "g")
+        _nsjoin(vals, checked)
         .select(
             "g",
             "v",

@@ -1464,13 +1464,22 @@ def seed_value_hist(
 
         events = read_table(spark, data_dir, "events")
     vhpath = os.path.join(data_dir, SUMMARY_VALUE_HIST_DIRNAME)
-    (
-        _value_hist_batch(events, type_col, value_col)
-        .repartition("wb")
-        .write.mode("overwrite")
-        .partitionBy("wb")
-        .parquet(vhpath)
-    )
+    bs = _value_hist_batch(events, type_col, value_col).localCheckpoint()
+    if bs.limit(1).count() == 0:
+        # degenerate all-null-value corpus: a partitioned write of an
+        # empty frame leaves an unreadable dir (no partition files to
+        # infer from — hypothesis-caught). Write the schema'd empty
+        # frame unpartitioned: projections/results derive to empty
+        # (matching the reference: no values, no quantiles) and the
+        # fold treats the dir as unseeded until a real re-seed.
+        bs.write.mode("overwrite").parquet(vhpath)
+    else:
+        (
+            bs.repartition("wb")
+            .write.mode("overwrite")
+            .partitionBy("wb")
+            .parquet(vhpath)
+        )
     fsutil.touch(spark, os.path.join(vhpath, "_SUCCESS"))
     _rederive_value_counts(
         spark, vhpath, os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
@@ -1527,6 +1536,9 @@ def update_value_hist_summary(
         return
     bs = _value_hist_batch(new_events, type_col, value_col)
     touched = [r.wb for r in bs.select("wb").distinct().collect()]
+    if not touched:  # batch carries no non-null values: state already exact
+        _fold_ledger_record(spark, hist_path, batch_id)
+        return
     old = (
         spark.read.parquet(hist_path)
         .filter(F.col("wb").isin(touched))  # partition-pruned scan
