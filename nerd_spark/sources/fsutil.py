@@ -60,6 +60,14 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def mkdirs(spark: SparkSession, path: str) -> bool:
+    """FileSystem.mkdirs — create a directory (and parents). Needed
+    before a partition-dir rename: Hadoop's rename fails (returns
+    false) when the destination's parent does not exist."""
+    fs, p = _fs(spark, path)
+    return bool(fs.mkdirs(p))
+
+
 def touch(spark: SparkSession, path: str) -> None:
     """Create (or truncate) a zero-byte marker file — the _SUCCESS
     commit-marker pattern."""

@@ -714,6 +714,7 @@ def update_daily_summary(
     """
     from nerd_spark.plans import derivations as D
 
+    _staged_swap_recover(spark, summary_path, "d")
     if _fold_ledger_skip(spark, summary_path, batch_id):
         return
     batch = D.daily_rollup(new_events, entity)
@@ -747,32 +748,23 @@ def update_daily_summary(
         # (sum widens decimal precision; values stay exact)
         F.sum("val_dec").cast("decimal(28,4)").alias("val_dec"),
     )
-    # MATERIALIZE before overwriting: the merge plan reads the very
-    # partitions the write replaces; without cutting that lineage the
-    # overwrite races its own input (observed: batches whose dates
-    # fully overlap the existing summary lose rows). localCheckpoint
-    # is eager and O(touched rows). The staging-rename pattern of
-    # merge_facts is the crash-safe production variant.
-    merged = merged.localCheckpoint()
-    # Crash-atomicity: the dynamic-partition overwrite below is NOT
-    # atomic across partitions — a failure mid-commit can leave some
-    # touched date dirs new and some old. Readers gate on the root
-    # _SUCCESS marker, so drop it BEFORE the overwrite and re-create
-    # it only after the commit succeeds: a torn write leaves no
-    # marker and readers fall back to the raw-events scan instead of
-    # serving corrupt partitions.
+    # Staging-rename commit (_staged_partition_commit): the merge plan
+    # reads the very partitions the commit replaces, so the merged
+    # rows are fully materialized into a staging dir BEFORE any live
+    # partition moves (the former in-place dynamic overwrite needed an
+    # eager localCheckpoint to not race its own input, and left the
+    # reader gate down for the whole write job). Readers gate on the
+    # root _SUCCESS marker: it is dropped only around the per-date
+    # directory swap, and a tear at any point leaves no marker —
+    # queries fall back to the raw-events scan, never serve corrupt
+    # partitions — with the staging copy intact.
     success = os.path.join(summary_path, "_SUCCESS")
-    fsutil.delete(spark, success)
-    # per-write option, NOT the session conf: session-wide dynamic
-    # mode suppresses the root _SUCCESS marker on every later
-    # partitioned overwrite, breaking the summary-presence checks.
-    # repartition by day keeps one file per touched partition.
-    merged.repartition("d").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("d").parquet(summary_path)
+    _staged_partition_commit(
+        spark, merged, summary_path, "d", batch_id=batch_id
+    )
     _fold_ledger_record(spark, summary_path, batch_id)
-    # restore the root marker the dynamic commit omits, so readers
-    # (queries/analytics._daily) recognize a stream-maintained summary
+    # restore the root marker so readers (queries/analytics._daily)
+    # recognize a stream-maintained summary
     fsutil.touch(spark, success)
 
 
@@ -825,6 +817,11 @@ def update_window_summary(
     from nerd_spark.plans import derivations as D
     from nerd_spark.sources import fsutil
 
+    # discard-only: the window's gate-down recovery is a full rebuild
+    # that never reads the (possibly mixed) live state
+    _staged_swap_recover(
+        spark, window_path, "wb", gate_name=WINDOW_GATE, resume=False
+    )
     if _fold_ledger_skip(spark, window_path, batch_id, marker=WINDOW_GATE):
         return
     bd = D.daily_rollup(new_events, entity).select("entity", "d", "cat", "n")
@@ -1029,22 +1026,26 @@ def update_window_summary(
             )
         )
 
-    # same lineage-cut + marker discipline as update_daily_summary:
-    # the merge reads the table the write replaces. The reader gate
-    # (WINDOW_GATE — see its comment for why not _SUCCESS) is dropped
-    # before the commit and restored only after the sidecar anchor is
-    # written, so a tear at ANY point leaves no gate and readers fall
-    # back to the raw recompute instead of serving mixed or
-    # stale-anchor state.
-    merged = _with_rep_columns(merged).withColumn("wb", _wbucket()).localCheckpoint()
+    # same staging-rename commit discipline as update_daily_summary
+    # (_staged_partition_commit — no lineage cut needed; the gate-down
+    # window is the swap, not the write job). The reader gate
+    # (WINDOW_GATE — see its comment for why not _SUCCESS) stays down
+    # until the sidecar anchor is written, so a tear at ANY point
+    # leaves no gate and readers fall back to the raw recompute
+    # instead of serving mixed or stale-anchor state. touched=None is
+    # the day-roll whole-table rewrite: full=True also removes live
+    # buckets absent from the new state; otherwise only touched
+    # bucket dirs swap and untouched bucket files are not rewritten.
+    merged = _with_rep_columns(merged).withColumn("wb", _wbucket())
     success = os.path.join(window_path, WINDOW_GATE)
-    fsutil.delete(spark, success)
-    writer = merged.repartition("wb").write.mode("overwrite")
-    if touched is not None:
-        # bucket-scoped dynamic overwrite: only touched bucket dirs
-        # are replaced; untouched bucket files are not rewritten
-        writer = writer.option("partitionOverwriteMode", "dynamic")
-    writer.partitionBy("wb").parquet(window_path)
+    _staged_partition_commit(
+        spark,
+        merged,
+        window_path,
+        "wb",
+        gate_name=WINDOW_GATE,
+        full=touched is None,
+    )
     # sidecar as-of anchor BEFORE restoring the reader gate: a tear
     # between the two leaves no gate and the next update rebuilds
     asof_df.write.mode("overwrite").parquet(_window_meta_path(window_path))
@@ -1063,13 +1064,15 @@ def update_merged_summary(
     batch's snapshot state into the table with the op algebra
     (operators/merge.py::merge_snapshots) and rewrite ONLY the entity
     buckets the batch touches — cost O(batch + touched-bucket rows),
-    never O(entities). Same commit discipline as the daily summary:
-    lineage cut before the dynamic overwrite, readers gate on a root
-    _SUCCESS that is dropped before and re-touched after the commit
-    (torn write -> no gate -> raw-recompute fallback)."""
+    never O(entities). Same commit discipline as the daily summary
+    (staging-rename via _staged_partition_commit): readers gate on a
+    root _SUCCESS that is down only for the partition swap and
+    re-touched after the ledger write (torn swap -> no gate ->
+    raw-recompute fallback, staging copy intact)."""
     from nerd_spark.operators.merge import merge_snapshots, snapshot_events
     from nerd_spark.sources import fsutil
 
+    _staged_swap_recover(spark, summary_path, "wb")
     if _fold_ledger_skip(spark, summary_path, batch_id):
         return
     bs = snapshot_events(new_events, entity).withColumn(
@@ -1089,12 +1092,10 @@ def update_merged_summary(
         )
     else:
         merged = bs
-    merged = merged.localCheckpoint()  # cut lineage: write reads inputs
     success = os.path.join(summary_path, "_SUCCESS")
-    fsutil.delete(spark, success)
-    merged.repartition("wb").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("wb").parquet(summary_path)
+    _staged_partition_commit(
+        spark, merged, summary_path, "wb", batch_id=batch_id
+    )
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
 
@@ -1136,12 +1137,12 @@ def read_summary_meta(spark: SparkSession, dirpath: str) -> dict | None:
 # (after the data write, before the gate touch), so a replayed batch
 # skips folds that already hold it and re-runs only the torn ones.
 # Crash between ledger write and gate touch: the data write had
-# completed, so the skip path re-touches the gate. The residual
-# exposure is a crash DURING a dynamic-overwrite job commit (staged
-# files swap in non-atomically across partitions) — there the gate
-# stays dropped and readers fall back to raw; the crash-safe
-# production variant is the staging-rename pattern of
-# streaming/ingest.py::merge_facts.
+# completed, so the skip path re-touches the gate. The data write
+# itself goes through _staged_partition_commit (merge_facts'
+# staging-rename pattern): a crash during the write job leaves the
+# live table untouched and gated; a crash during the swap leaves the
+# gate dropped (readers fall back to raw) plus an intact staging
+# copy, and the replay re-runs just that fold.
 SUMMARY_LEDGER_NAME = "_nerd_batches.json"
 _LEDGER_KEEP = 256
 
@@ -1197,6 +1198,182 @@ def _fold_ledger_record(
         os.path.join(dirpath, SUMMARY_LEDGER_NAME),
         json.dumps(ids[-_LEDGER_KEEP:]),
     )
+
+
+# Written into the staging dir AFTER its write job completes and
+# BEFORE anything destructive happens to the live table: its presence
+# is the commit point of a staged partition swap. A staging dir
+# without it is an unfinished write (live untouched — discard); with
+# it and the reader gate down, the swap was torn and the staged
+# partitions are the ONLY complete copy of the batch's touched state —
+# _staged_swap_recover completes the swap before the next fold reads
+# the (mixed) live table, closing the last mid-commit corruption
+# window (a replayed or subsequent batch would otherwise merge into
+# partitions that had already absorbed the torn batch and
+# double-count them once the gate came back).
+_STAGING_MANIFEST = "_nerd_staged_commit.json"
+
+
+def _staged_swap_recover(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str,
+    gate_name: str = "_SUCCESS",
+    resume: bool = True,
+) -> None:
+    """Heal a staging dir left by a crashed _staged_partition_commit.
+    MUST run at fold start, BEFORE the caller reads the live table —
+    after a torn swap the live table mixes old and new partitions and
+    is not a valid merge input.
+
+    - no manifest, or the reader gate is back up (the table committed
+      since: a seed/rebuild, a prune cycle, or the ledger-skip path
+      re-touching after a tear between ledger and gate), or
+      ``resume=False``: the staging copy is garbage — discard it;
+    - manifest + gate down: complete the swap (the renamed-away
+      partitions are exactly the ones no longer in staging, so the
+      remaining staged dirs are the not-yet-applied tail), record the
+      manifest's batch id in the fold ledger (the data state now fully
+      holds that batch; the additive fold must never re-apply it), and
+      leave the gate DOWN — post-commit sidecars/projections for the
+      torn batch may be missing, and the ledger-skip heal paths
+      re-touch the gate and rebuild dependents on the next call.
+
+    ``resume=False`` is for tables whose gate-down recovery is a full
+    rebuild that never reads the live state (the window summary):
+    completing the swap buys nothing, and skipping the resume keeps
+    their designed no-gate -> rebuild path authoritative. Resume also
+    assumes touched-partition commits (``full=False``) — the only
+    ``full`` caller is the window summary, which discards."""
+    import json
+
+    from nerd_spark.sources import fsutil
+
+    staging = table_path.rstrip("/") + ".staging"
+    if not fsutil.exists(spark, staging):
+        return
+    txt = fsutil.read_text(spark, os.path.join(staging, _STAGING_MANIFEST))
+    gate_up = fsutil.exists(spark, os.path.join(table_path, gate_name))
+    if txt is None or gate_up or not resume:
+        fsutil.delete(spark, staging, recursive=True)
+        return
+    prefix = part_col + "="
+    for name in fsutil.list_names(spark, staging):
+        if not name.startswith(prefix):
+            continue
+        dest = os.path.join(table_path, name)
+        if fsutil.exists(spark, dest) and not fsutil.delete(
+            spark, dest, recursive=True
+        ):
+            raise IOError(
+                f"_staged_swap_recover: failed to remove old partition: {dest}"
+            )
+        if not fsutil.rename(spark, os.path.join(staging, name), dest):
+            raise IOError(
+                f"_staged_swap_recover: failed to swap in partition: {dest}"
+            )
+    try:
+        bid = json.loads(txt).get("batch_id")
+    except (ValueError, AttributeError):
+        bid = None
+    if bid is not None:
+        _fold_ledger_record(spark, table_path, bid)
+    fsutil.delete(spark, staging, recursive=True)
+
+
+def _staged_partition_commit(
+    spark: SparkSession,
+    merged,
+    table_path: str,
+    part_col: str,
+    gate_name: str = "_SUCCESS",
+    full: bool = False,
+    batch_id: str | None = None,
+) -> None:
+    """Commit ``merged`` — the rewritten rows of its touched
+    ``part_col`` partitions (the WHOLE table when ``full``) — into the
+    partitioned summary at ``table_path`` with the staging-rename
+    pattern of streaming/ingest.py::merge_facts, replacing the former
+    in-place dynamic-partition overwrite. Two things the in-place
+    overwrite could not give:
+
+    - the merge plan reads the very live partitions it replaces, but
+      the staging job writes ELSEWHERE — no self-overwrite race, so
+      callers no longer pay the eager ``localCheckpoint`` lineage cut
+      that previously guarded against it;
+    - the reader gate is dropped around a handful of directory renames
+      (each atomic on HDFS/posix) instead of around a whole Spark
+      write job: the serve tier's gate-down window shrinks from the
+      job's seconds to the swap's milliseconds. A tear during the
+      write job leaves the live table untouched AND still gated; a
+      tear mid-swap leaves no gate (readers fall back to raw) plus an
+      intact staging copy for recovery, and the fold's batch ledger
+      re-runs exactly that fold on replay.
+
+    Only ``part_col=`` children are swapped: ledger files, meta
+    sidecars and the gate at the table root are never touched by the
+    swap. ``full`` additionally deletes live partitions absent from
+    staging (the whole-table-rewrite case). The caller re-touches the
+    gate after its sidecar/ledger writes, exactly as before. Object
+    stores without atomic rename (raw S3) want an ACID table format
+    (Delta/Iceberg) here instead — same note as merge_facts."""
+    from nerd_spark.sources import fsutil
+
+    def must(ok: bool, what: str, path: str) -> None:
+        # Hadoop rename/delete report failures by returning false —
+        # unchecked, a false here silently drops a live partition
+        if not ok:
+            raise IOError(
+                f"_staged_partition_commit: failed to {what}: {path}"
+            )
+
+    import json
+
+    staging = table_path.rstrip("/") + ".staging"
+    fsutil.delete(spark, staging, recursive=True)
+    # one file per touched partition, as the dynamic overwrite kept it
+    merged.repartition(part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(staging)
+    prefix = part_col + "="
+    staged = [
+        n for n in fsutil.list_names(spark, staging) if n.startswith(prefix)
+    ]
+    # commit point: manifest AFTER the write job, BEFORE anything
+    # destructive — from here _staged_swap_recover can finish the job
+    fsutil.write_text(
+        spark,
+        os.path.join(staging, _STAGING_MANIFEST),
+        json.dumps({"batch_id": batch_id, "part_col": part_col}),
+    )
+    fsutil.mkdirs(spark, table_path)
+    # nothing destructive has happened yet; drop the reader gate only
+    # now, for the duration of the swap
+    fsutil.delete(spark, os.path.join(table_path, gate_name))
+    if full:
+        for name in fsutil.list_names(spark, table_path):
+            if name.startswith(prefix) and name not in staged:
+                must(
+                    fsutil.delete(
+                        spark, os.path.join(table_path, name), recursive=True
+                    ),
+                    "remove stale partition",
+                    os.path.join(table_path, name),
+                )
+    for name in staged:
+        dest = os.path.join(table_path, name)
+        if fsutil.exists(spark, dest):
+            must(
+                fsutil.delete(spark, dest, recursive=True),
+                "remove old partition",
+                dest,
+            )
+        must(
+            fsutil.rename(spark, os.path.join(staging, name), dest),
+            "swap in partition",
+            dest,
+        )
+    fsutil.delete(spark, staging, recursive=True)
 
 
 def _write_funnel_result(
@@ -1258,6 +1435,7 @@ def update_keycount_summaries(
 
     pair_path = os.path.join(data_dir, SUMMARY_TYPE_USER_DIRNAME)
     tot_path = os.path.join(data_dir, SUMMARY_USER_COUNTS_DIRNAME)
+    _staged_swap_recover(spark, pair_path, "wb")
     if _fold_ledger_skip(spark, pair_path, batch_id):
         tot_success = os.path.join(tot_path, "_SUCCESS")
         try:
@@ -1297,12 +1475,10 @@ def update_keycount_summaries(
         )
     else:
         merged = bs
-    merged = merged.localCheckpoint()
     success = os.path.join(pair_path, "_SUCCESS")
-    fsutil.delete(spark, success)
-    merged.repartition("wb").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("wb").parquet(pair_path)
+    _staged_partition_commit(
+        spark, merged, pair_path, "wb", batch_id=batch_id
+    )
     _fold_ledger_record(spark, pair_path, batch_id)
     fsutil.touch(spark, success)
     _rederive_keycount_totals(spark, pair_path, tot_path)
@@ -1517,6 +1693,7 @@ def update_value_hist_summary(
 
     hist_path = os.path.join(data_dir, SUMMARY_VALUE_HIST_DIRNAME)
     counts_path = os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
+    _staged_swap_recover(spark, hist_path, "wb")
     if not any(
         f.startswith("wb=") for f in fsutil.list_names(spark, hist_path)
     ):
@@ -1550,12 +1727,10 @@ def update_value_hist_summary(
         .agg(F.sum("cnt").alias("cnt"))
         .withColumn("wb", _wbucket("v"))
     )
-    merged = merged.localCheckpoint()
     success = os.path.join(hist_path, "_SUCCESS")
-    fsutil.delete(spark, success)
-    merged.repartition("wb").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("wb").parquet(hist_path)
+    _staged_partition_commit(
+        spark, merged, hist_path, "wb", batch_id=batch_id
+    )
     # growth guard: parquet count(*) is footer-only — cheap
     if spark.read.parquet(hist_path).count() > max_rows:
         fsutil.delete(spark, hist_path, recursive=True)
@@ -1655,6 +1830,7 @@ def update_funnel_summary(
 
     stages = list(stages or FUNNEL_STAGES_DEFAULT)
     summary_path = os.path.join(data_dir, SUMMARY_FUNNEL_DIRNAME)
+    _staged_swap_recover(spark, summary_path, "wb")
     if _fold_ledger_skip(spark, summary_path, batch_id):
         # heal the dependent result cache if a previous run tore
         # between the state commit and the result write (the state's
@@ -1706,12 +1882,10 @@ def update_funnel_summary(
     else:
         merged = bs
     merged = resolve_funnel_times(merged, stages)
-    merged = merged.localCheckpoint()  # cut lineage: write reads inputs
     success = os.path.join(summary_path, "_SUCCESS")
-    fsutil.delete(spark, success)
-    merged.repartition("wb").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("wb").parquet(summary_path)
+    _staged_partition_commit(
+        spark, merged, summary_path, "wb", batch_id=batch_id
+    )
     write_summary_meta(spark, summary_path, {"stages": stages})
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
@@ -1741,6 +1915,7 @@ def update_cohort_summary(
     from nerd_spark.sources import fsutil
 
     summary_path = os.path.join(data_dir, SUMMARY_COHORT_DIRNAME)
+    _staged_swap_recover(spark, summary_path, "wb")
     if _fold_ledger_skip(spark, summary_path, batch_id):
         res_success = os.path.join(
             data_dir, SUMMARY_COHORT_RESULT_DIRNAME, "_SUCCESS"
@@ -1774,12 +1949,10 @@ def update_cohort_summary(
         )
     else:
         merged = bs
-    merged = merged.localCheckpoint()
     success = os.path.join(summary_path, "_SUCCESS")
-    fsutil.delete(spark, success)
-    merged.repartition("wb").write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("wb").parquet(summary_path)
+    _staged_partition_commit(
+        spark, merged, summary_path, "wb", batch_id=batch_id
+    )
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
     _write_cohort_result(spark, data_dir, spark.read.parquet(summary_path))

@@ -221,3 +221,100 @@ def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
         quantile_by_event_type,
     ):
         assert rows(q(spark, d)) == rows(q(spark, raw)), q.__name__
+
+
+def test_torn_swap_recovery_converges(spark, sf_dir, tmp_path, monkeypatch):
+    """Crash INSIDE the partition swap of a staged fold commit (one
+    date dir renamed in, the rest still in staging): readers fall back
+    to raw while the gate is down, and the next fold's
+    _staged_swap_recover completes the swap from the staging copy
+    BEFORE reading the live table — so a replayed batch is
+    ledger-skipped (no double-count) and the summary equals a one-shot
+    rebuild afterwards."""
+    import pytest
+
+    from nerd_spark.queries.analytics import a1_daily_rollup
+    from nerd_spark.sources import fsutil as fsu
+    from nerd_spark.sources.layout import (
+        SUMMARY_DAILY_DIRNAME,
+        _STAGING_MANIFEST,
+        _ledger_ids,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    d = str(tmp_path / "data")
+    raw = str(tmp_path / "raw")
+    dsum = os.path.join(d, SUMMARY_DAILY_DIRNAME)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    b1.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    update_daily_summary(spark, dsum, b1, batch_id="b1")
+    b2.write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    ev.write.mode("overwrite").parquet(os.path.join(raw, "events.parquet"))
+
+    real_rename = fsu.rename
+    calls = {"n": 0}
+
+    def torn_rename(spark_, src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated mid-swap crash")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsu, "rename", torn_rename)
+    with pytest.raises(RuntimeError, match="simulated"):
+        update_daily_summary(spark, dsum, b2, batch_id="b2")
+    monkeypatch.setattr(fsu, "rename", real_rename)
+
+    # torn state: gate down, staging copy + manifest intact, ledger
+    # does NOT hold the torn batch — and the query serves the raw path
+    staging = dsum.rstrip("/") + ".staging"
+    assert not os.path.exists(os.path.join(dsum, "_SUCCESS"))
+    assert os.path.exists(os.path.join(staging, _STAGING_MANIFEST))
+    assert "b2" not in _ledger_ids(spark, dsum)
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    assert rows(a1_daily_rollup(spark, d)) == rows(a1_daily_rollup(spark, raw))
+
+    # replay the same batch: recovery completes the swap and records
+    # the ledger, then the fold skips (no re-merge, no double-count)
+    update_daily_summary(spark, dsum, b2, batch_id="b2")
+    assert os.path.exists(os.path.join(dsum, "_SUCCESS"))
+    assert not os.path.exists(staging)
+    assert "b2" in _ledger_ids(spark, dsum)
+
+    oneshot = os.path.join(str(tmp_path), "oneshot_summary")
+    update_daily_summary(spark, oneshot, ev)
+    assert _rows(spark.read.parquet(dsum)) == _rows(
+        spark.read.parquet(oneshot)
+    )
+    assert rows(a1_daily_rollup(spark, d)) == rows(a1_daily_rollup(spark, raw))
+
+
+def test_unfinished_staging_write_discarded(spark, sf_dir, tmp_path):
+    """A staging dir WITHOUT the commit manifest is an unfinished
+    write job (the live table was never touched and stays gated):
+    the next fold discards it and proceeds normally."""
+    from nerd_spark.sources.layout import SUMMARY_DAILY_DIRNAME
+
+    ev = read_table(spark, sf_dir, "events")
+    dsum = os.path.join(str(tmp_path), SUMMARY_DAILY_DIRNAME)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    update_daily_summary(spark, dsum, ev.filter(F.col("ts") <= mid))
+    assert os.path.exists(os.path.join(dsum, "_SUCCESS"))
+
+    staging = dsum.rstrip("/") + ".staging"
+    os.makedirs(os.path.join(staging, "d=1970-01-01"))
+    with open(os.path.join(staging, "d=1970-01-01", "junk.parquet"), "w") as f:
+        f.write("not a commit")
+
+    update_daily_summary(spark, dsum, ev.filter(F.col("ts") > mid))
+    assert not os.path.exists(staging)
+    oneshot = os.path.join(str(tmp_path), "oneshot_summary")
+    update_daily_summary(spark, oneshot, ev)
+    assert _rows(spark.read.parquet(dsum)) == _rows(
+        spark.read.parquet(oneshot)
+    )
