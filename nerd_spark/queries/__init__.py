@@ -46,7 +46,10 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    quantile_event_values / quantile_by_event_type / corpus_stats_card
 #    (value/token-histogram serve tiers), funnel_stages (fold meta
 #    binding + ledger), w1_topk (fold dedupe), j5_asof_join (bucket
-#    spec sidecar in the DDL re-registration);
+#    spec sidecar in the DDL re-registration). The late-r12 staged
+#    fold commit (_staged_partition_commit) is exercised under the
+#    driver hash gate by the two _served certification queries, which
+#    fold state inside their query bodies;
 # 4. fill to 50 with the oldest (r10-latest) rows.
 # After r12: no query's latest driver row older than r10; the
 # remaining 38 r10-latest rows rotate across r13-r14.
