@@ -258,8 +258,16 @@ def cohort_user_state(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("ds")))
         ).alias("days"),
+        # null-typed events contribute activity days above but can
+        # never be an anchor (null et matches no requested
+        # anchor_type, exactly as on the raw path) — and a null map
+        # key would throw. collect_list skips the null struct.
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("et", "md")))
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("et").isNotNull(), F.struct("et", "md"))
+                )
+            )
         ).alias("anchors"),
     )
 

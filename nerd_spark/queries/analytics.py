@@ -325,6 +325,8 @@ def a5_type_profile(spark, sf_dir):
         n_tot = F.aggregate(
             F.map_values("cat_counts30"), zero, lambda acc, x: acc + x
         )
+        from nerd_spark.sources.layout import NULL_CAT_SENTINEL
+
         exploded = wt.select(
             F.col("entity").alias("user_id"),
             n_tot.alias("n_tot"),
@@ -335,7 +337,13 @@ def a5_type_profile(spark, sf_dir):
             & (F.col("n_cat") / F.col("n_tot") >= 0.05)
         ).select(
             "user_id",
-            "event_type",
+            # decode the fold's reserved null-category key (maps cannot
+            # hold null keys; the raw path groups nulls natively)
+            F.when(
+                F.col("event_type") == NULL_CAT_SENTINEL, F.lit(None)
+            )
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
             F.round(F.col("n_cat") / F.col("n_tot"), 6).alias("share"),
         )
     # fallback: type_profile filters age<=30 before grouping

@@ -129,6 +129,13 @@ def _window_meta_path(window_path: str) -> str:
     return window_path + ".meta"
 
 
+# Reserved map key standing in for a NULL category in cat_counts30
+# (maps cannot hold null keys; a NUL byte cannot appear in a real
+# category string). Encoded in window_rollup's per-category map build,
+# decoded back to null by the A5 serve path.
+NULL_CAT_SENTINEL = "\x00"
+
+
 def _EMPTY_MAP():
     return F.map_from_entries(
         F.array().cast("array<struct<cat:string,n30:bigint>>")
@@ -226,7 +233,22 @@ def window_rollup(daily, as_of_d_df):
     )
     cat_maps = per_cat.groupBy("entity").agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("cat", "n30")))
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        # null categories are legal rollup groups (the
+                        # raw A5 path emits them) but illegal map keys:
+                        # store them under the reserved sentinel; the
+                        # A5 serve decodes it back to null. Both build
+                        # paths (full + incremental batch) come through
+                        # here, so the sentinel merges with itself.
+                        F.coalesce(
+                            "cat", F.lit(NULL_CAT_SENTINEL)
+                        ).alias("cat"),
+                        "n30",
+                    )
+                )
+            )
         ).alias("cat_counts30")
     )
     empty_map = F.map_from_entries(
@@ -1790,6 +1812,20 @@ def update_topk_summary(
         bt = _topk_value(
             old.unionByName(bt).dropDuplicates(["event_id"]), k
         )
+    elif fsutil.exists(spark, out):
+        # state lost: the dir exists without its gate — a crash inside
+        # the previous overwrite destroyed the k-row answer AND the
+        # in-dir ledger, and unlike the partitioned folds this state
+        # is NOT recoverable from what survives. Without this branch
+        # the fold would commit topk(batch) as the global answer under
+        # a fresh gate (served wrong). The exact answer IS recoverable
+        # from the fact table (append-first contract: events holds
+        # every folded batch), so rebuild from it; a later replay of
+        # an old batch re-merges harmlessly — the event_id dedupe
+        # makes the top-k fold idempotent.
+        from nerd_spark.session import read_table
+
+        bt = _topk_value(read_table(spark, data_dir, "events"), k)
     bt = bt.localCheckpoint()
     bt.coalesce(1).write.mode("overwrite").parquet(out)
     write_summary_meta(spark, out, {"k": k, "order": "value_desc"})
@@ -2005,6 +2041,19 @@ def update_event_summaries(
             spark.read.parquet(asof_p)
             .unionByName(b_asof)
             .agg(F.max("as_of").alias("as_of"))
+        )
+    elif fsutil.exists(spark, asof_p):
+        # anchor lost: dir exists without its gate (crash inside the
+        # previous overwrite). Re-seeding from the batch alone can
+        # REGRESS the anchor on an out-of-order batch (its max ts can
+        # trail history's) and the A-family would then serve window
+        # ages against the stale anchor under a fresh gate — recompute
+        # from the dir's full fact table instead (append-first
+        # contract: events already holds every folded batch).
+        from nerd_spark.session import read_table
+
+        b_asof = read_table(spark, data_dir, "events").agg(
+            F.max("ts").alias("as_of")
         )
     b_asof = b_asof.localCheckpoint()
     b_asof.write.mode("overwrite").parquet(asof_p)

@@ -266,3 +266,72 @@ def test_hh_result_cache_tiers(spark, tmp_path):
     assert _rows(hh_event_users(spark, d)) == raw_hh
     assert _rows(hh_by_event_type(spark, d)) == raw_hb
     assert _rows(top_frequent_users(spark, d)) == raw_tf
+
+
+def test_topk_state_loss_rebuilds_from_events(spark, tmp_path):
+    """A crash inside the top-k overwrite destroys the k-row answer
+    AND the in-dir ledger (the dir survives, gateless). The next fold
+    must NOT commit topk(batch) as the global answer under a fresh
+    gate — it rebuilds from the fact table, which holds every folded
+    batch (append-first contract)."""
+    from pyspark.sql import functions as F2
+
+    from nerd_spark.queries.relational import w1_topk
+    from nerd_spark.sources.layout import (
+        SUMMARY_TOPK_VALUE_DIRNAME,
+        update_topk_summary,
+    )
+
+    d = _data_dir(spark, tmp_path)
+    ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+    update_topk_summary(spark, d, ev.filter(F.col("event_id") % 2 == 0))
+
+    # simulate the mid-overwrite crash: answer + ledger gone, junk +
+    # no gate left behind
+    out = os.path.join(d, SUMMARY_TOPK_VALUE_DIRNAME)
+    for f in os.listdir(out):
+        os.remove(os.path.join(out, f))
+    with open(os.path.join(out, "part-junk.parquet"), "w") as fh:
+        fh.write("torn")
+
+    update_topk_summary(spark, d, ev.filter(F.col("event_id") % 2 == 1))
+    raw = [
+        (r.event_id, r.value)
+        for r in ev.orderBy(F2.col("value").desc(), "event_id")
+        .limit(100)
+        .select("event_id", F2.round("value", 2).alias("value"))
+        .collect()
+    ]
+    served = w1_topk(spark, d)
+    assert any(SUMMARY_TOPK_VALUE_DIRNAME in f for f in served.inputFiles())
+    assert [(r.event_id, r.value) for r in served.collect()] == raw
+
+
+def test_asof_anchor_loss_recomputes_from_events(spark, tmp_path):
+    """Same state-loss class for the as-of anchor: after a crashed
+    overwrite, re-seeding from an out-of-order batch alone would
+    REGRESS the anchor under a fresh gate; the fold must recompute it
+    from the full fact table."""
+    from nerd_spark.sources.layout import (
+        SUMMARY_ASOF_DIRNAME,
+        update_event_summaries,
+    )
+
+    ev = _mk_events(spark)
+    d = str(tmp_path / "data")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    late = ev.filter(F.col("ts") > F.lit(cut))
+    early = ev.filter(F.col("ts") <= F.lit(cut))
+    late.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    update_event_summaries(spark, d, late, batch_id="late")
+
+    asof_p = os.path.join(d, SUMMARY_ASOF_DIRNAME)
+    for f in os.listdir(asof_p):
+        os.remove(os.path.join(asof_p, f))
+
+    # out-of-order second batch: its max ts trails history's
+    early.write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    update_event_summaries(spark, d, early, batch_id="early")
+    anchor = spark.read.parquet(asof_p).first()[0]
+    true_max = ev.agg(F.max("ts")).first()[0]
+    assert anchor == true_max, f"anchor regressed: {anchor} < {true_max}"

@@ -448,3 +448,50 @@ def test_day_roll_skips_long_idle_buckets(spark):
     want = _win_rows(_full_rollup(spark, ev))
     assert got == want
     assert _win_meta_asof(spark, wpath) == (base + _dt.timedelta(days=41)).date()
+
+
+def test_null_category_corpus_serves_equal_raw(spark, tmp_path):
+    """Null event_type is a legal rollup group on every raw path, but
+    an illegal map key in the fold state (cat_counts30, cohort
+    anchors). The folds must not crash on such a corpus, and the A5 /
+    cohort serves must still equal their raw recomputes (the null
+    category rides the reserved sentinel key; null anchors are simply
+    never anchors)."""
+    from nerd_spark.queries.analytics import (
+        a2_window_totals,
+        a5_type_profile,
+        cohort_retention_q,
+    )
+
+    ev = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(mins=(F.col("id") * 37 % 40_000).cast("int"))
+        ).alias("ts"),
+        F.pmod("id", F.lit(12)).alias("user_id"),
+        # every third event has a null category
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise(
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("id") % 3 + 1).cast("int"),
+            )
+        )
+        .alias("event_type"),
+        (F.col("id") % 53 / 9.0).alias("value"),
+    )
+    d = str(tmp_path / "data")
+    raw = str(tmp_path / "raw")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    ev.write.mode("overwrite").parquet(os.path.join(raw, "events.parquet"))
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    update_event_summaries(spark, d, b1, batch_id="b1")
+    update_event_summaries(spark, d, b2, batch_id="b2")
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    for q in (a5_type_profile, a2_window_totals, cohort_retention_q):
+        assert rows(q(spark, d)) == rows(q(spark, raw)), q.__name__
