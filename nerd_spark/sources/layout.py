@@ -723,8 +723,8 @@ def update_daily_summary(
     rebuild in :func:`optimize_layout`.
 
     The batch rolls up to (entity, d, cat) rows, merges additively
-    with ONLY its touched date partitions, and dynamic-partition-
-    overwrites those partitions: cost is O(batch + touched-partition
+    with ONLY its touched date partitions, and swaps those partitions
+    in via the staged commit: cost is O(batch + touched-partition
     rows), never O(summary history). Same bounded-touch guard as the
     fact-table merge (streaming/ingest.py::merge_facts): a batch
     spanning more dates than the acceptance window allows is a bug
@@ -750,9 +750,10 @@ def update_daily_summary(
     from nerd_spark.sources import fsutil
 
     # presence = any partition directory, NOT the root _SUCCESS marker:
-    # dynamic-partition-overwrite commits never write one (observed:
-    # an _SUCCESS check here made every merge miss the existing rows
-    # and silently drop them on overlapping dates). Listed via the
+    # the gate is down during every commit window (and historically the
+    # dynamic-overwrite commit never wrote one — an _SUCCESS check here
+    # made every merge miss the existing rows and silently drop them on
+    # overlapping dates). Listed via the
     # Hadoop FS API so a non-local summary path (hdfs://, s3a://)
     # merges instead of silently overwriting from empty.
     if any(

@@ -4,7 +4,7 @@ micro-batch" — under actual Structured Streaming.
 
 Each micro-batch flows through sources/layout.py::update_daily_summary:
 roll up the batch, merge additively with its touched date partitions,
-dynamic-partition-overwrite those partitions. State is the summary
+swap those partitions in through the crash-safe staged commit. State is the summary
 table itself (the entity-table pattern), so executor loss costs a task
 retry, not a state-store rebuild, and the A-family queries read the
 same table the stream writes."""
