@@ -1280,21 +1280,7 @@ def _staged_swap_recover(
     if txt is None or gate_up or not resume:
         fsutil.delete(spark, staging, recursive=True)
         return
-    prefix = part_col + "="
-    for name in fsutil.list_names(spark, staging):
-        if not name.startswith(prefix):
-            continue
-        dest = os.path.join(table_path, name)
-        if fsutil.exists(spark, dest) and not fsutil.delete(
-            spark, dest, recursive=True
-        ):
-            raise IOError(
-                f"_staged_swap_recover: failed to remove old partition: {dest}"
-            )
-        if not fsutil.rename(spark, os.path.join(staging, name), dest):
-            raise IOError(
-                f"_staged_swap_recover: failed to swap in partition: {dest}"
-            )
+    fsutil.swap_partition_dirs(spark, staging, table_path, part_col + "=")
     try:
         bid = json.loads(txt).get("batch_id")
     except (ValueError, AttributeError):
@@ -1383,19 +1369,7 @@ def _staged_partition_commit(
                     "remove stale partition",
                     os.path.join(table_path, name),
                 )
-    for name in staged:
-        dest = os.path.join(table_path, name)
-        if fsutil.exists(spark, dest):
-            must(
-                fsutil.delete(spark, dest, recursive=True),
-                "remove old partition",
-                dest,
-            )
-        must(
-            fsutil.rename(spark, os.path.join(staging, name), dest),
-            "swap in partition",
-            dest,
-        )
+    fsutil.swap_partition_dirs(spark, staging, table_path, prefix)
     fsutil.delete(spark, staging, recursive=True)
 
 

@@ -252,19 +252,24 @@ def test_torn_swap_recovery_converges(spark, sf_dir, tmp_path, monkeypatch):
     b2.write.mode("append").parquet(os.path.join(d, "events.parquet"))
     ev.write.mode("overwrite").parquet(os.path.join(raw, "events.parquet"))
 
-    real_rename = fsu.rename
-    calls = {"n": 0}
+    real_swap = fsu.swap_partition_dirs
 
-    def torn_rename(spark_, src, dst):
-        calls["n"] += 1
-        if calls["n"] >= 2:
-            raise RuntimeError("simulated mid-swap crash")
-        return real_rename(spark_, src, dst)
+    def torn_swap(spark_, staging_, table_, prefix_):
+        # move exactly one partition for real, then crash mid-swap
+        names = [
+            n for n in fsu.list_names(spark_, staging_)
+            if n.startswith(prefix_)
+        ]
+        assert len(names) >= 2, "tear needs a multi-partition swap"
+        dest = os.path.join(table_, names[0])
+        fsu.delete(spark_, dest, recursive=True)
+        assert fsu.rename(spark_, os.path.join(staging_, names[0]), dest)
+        raise RuntimeError("simulated mid-swap crash")
 
-    monkeypatch.setattr(fsu, "rename", torn_rename)
+    monkeypatch.setattr(fsu, "swap_partition_dirs", torn_swap)
     with pytest.raises(RuntimeError, match="simulated"):
         update_daily_summary(spark, dsum, b2, batch_id="b2")
-    monkeypatch.setattr(fsu, "rename", real_rename)
+    monkeypatch.setattr(fsu, "swap_partition_dirs", real_swap)
 
     # torn state: gate down, staging copy + manifest intact, ledger
     # does NOT hold the torn batch — and the query serves the raw path
