@@ -789,6 +789,7 @@ def update_daily_summary(
     # restore the root marker so readers (queries/analytics._daily)
     # recognize a stream-maintained summary
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, summary_path)
 
 
 def update_window_summary(
@@ -1074,6 +1075,7 @@ def update_window_summary(
     asof_df.write.mode("overwrite").parquet(_window_meta_path(window_path))
     _fold_ledger_record(spark, window_path, batch_id)
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, window_path)
 
 
 def update_merged_summary(
@@ -1121,6 +1123,7 @@ def update_merged_summary(
     )
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, summary_path)
 
 
 def write_summary_meta(spark: SparkSession, dirpath: str, meta: dict) -> None:
@@ -1370,7 +1373,25 @@ def _staged_partition_commit(
                     os.path.join(table_path, name),
                 )
     fsutil.swap_partition_dirs(spark, staging, table_path, prefix)
-    fsutil.delete(spark, staging, recursive=True)
+    # staging (and its manifest) deliberately SURVIVES the swap: the
+    # caller deletes it via _staged_commit_finalize only after its
+    # sidecar writes, ledger record, and gate touch. A tear anywhere
+    # in between leaves the manifest for _staged_swap_recover, which
+    # records the batch in the fold ledger — without this, a tear
+    # after the swap but before the ledger write would replay into a
+    # state that already holds the batch and double-count it (caught
+    # by the tear-point sweep test at exactly that boundary).
+
+
+def _staged_commit_finalize(spark: SparkSession, table_path: str) -> None:
+    """Drop the staging dir of a fully-committed staged fold — call
+    ONLY after the ledger record and gate touch. From this point the
+    ledger alone carries the batch's applied-ness."""
+    from nerd_spark.sources import fsutil
+
+    fsutil.delete(
+        spark, table_path.rstrip("/") + ".staging", recursive=True
+    )
 
 
 def _write_funnel_result(
@@ -1478,6 +1499,7 @@ def update_keycount_summaries(
     )
     _fold_ledger_record(spark, pair_path, batch_id)
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, pair_path)
     _rederive_keycount_totals(spark, pair_path, tot_path)
     _write_keycount_results(spark, data_dir, entity=entity, type_col=type_col)
 
@@ -1730,6 +1752,9 @@ def update_value_hist_summary(
     )
     # growth guard: parquet count(*) is footer-only — cheap
     if spark.read.parquet(hist_path).count() > max_rows:
+        # drop the staging leftovers FIRST: a surviving manifest would
+        # make the next fold's recovery resurrect the deleted tables
+        _staged_commit_finalize(spark, hist_path)
         fsutil.delete(spark, hist_path, recursive=True)
         fsutil.delete(spark, counts_path, recursive=True)
         for rd in (
@@ -1742,6 +1767,7 @@ def update_value_hist_summary(
         return
     _fold_ledger_record(spark, hist_path, batch_id)
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, hist_path)
     _rederive_value_counts(spark, hist_path, counts_path)
     _write_quantile_results(spark, data_dir)
 
@@ -1900,6 +1926,7 @@ def update_funnel_summary(
     write_summary_meta(spark, summary_path, {"stages": stages})
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, summary_path)
     _write_funnel_result(
         spark,
         data_dir,
@@ -1966,6 +1993,7 @@ def update_cohort_summary(
     )
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
+    _staged_commit_finalize(spark, summary_path)
     _write_cohort_result(spark, data_dir, spark.read.parquet(summary_path))
 
 

@@ -323,3 +323,95 @@ def test_unfinished_staging_write_discarded(spark, sf_dir, tmp_path):
     assert _rows(spark.read.parquet(dsum)) == _rows(
         spark.read.parquet(oneshot)
     )
+
+
+def test_staged_commit_tear_sweep(spark, tmp_path, monkeypatch):
+    """Exhaustive tear sweep over the staged fold commit: crash the
+    daily fold at EVERY mutating-FS-op boundary (manifest write, gate
+    drop, each partition delete/rename of the swap, staging cleanup,
+    ledger write, gate touch), then replay the same batch without
+    injection — every terminal state must equal the one-shot rebuild.
+    Single-point tears are pinned above; this closes the gaps between
+    them."""
+    import pytest
+
+    from nerd_spark.sources import fsutil as fsu
+
+    ev = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(hours=(F.col("id") * 7 % 96).cast("int"))
+        ).alias("ts"),
+        F.pmod("id", F.lit(9)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("error")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("id") % 31 / 3.0).alias("value"),
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    class Torn(Exception):
+        pass
+
+    state = {"budget": None, "ops": 0}
+    real = {
+        n: getattr(fsu, n)
+        for n in ("delete", "rename", "touch", "write_text", "mkdirs")
+    }
+
+    def wrap(name):
+        fn = real[name]
+
+        def inner(*a, **kw):
+            if state["budget"] is not None:
+                state["ops"] += 1
+                if state["ops"] > state["budget"]:
+                    raise Torn(f"op {state['ops']} ({name})")
+            return fn(*a, **kw)
+
+        return inner
+
+    for n in real:
+        monkeypatch.setattr(fsu, n, wrap(n))
+
+    def budgeted_swap(spark_, staging_, table_, prefix_):
+        # per-partition tears ride the wrapped delete/rename
+        moved = []
+        for nm in sorted(fsu.list_names(spark_, staging_)):
+            if not nm.startswith(prefix_):
+                continue
+            dest = os.path.join(table_, nm)
+            fsu.delete(spark_, dest, recursive=True)
+            assert fsu.rename(spark_, os.path.join(staging_, nm), dest)
+            moved.append(nm)
+        return moved
+
+    monkeypatch.setattr(fsu, "swap_partition_dirs", budgeted_swap)
+
+    oneshot = os.path.join(str(tmp_path), "oneshot")
+    update_daily_summary(spark, oneshot, b1, batch_id="b1")
+    update_daily_summary(spark, oneshot, b2, batch_id="b2")
+    expected = _rows(spark.read.parquet(oneshot))
+
+    # dry run to count the fold's mutating ops
+    probe = os.path.join(str(tmp_path), "probe")
+    update_daily_summary(spark, probe, b1, batch_id="b1")
+    state.update(budget=10**9, ops=0)
+    update_daily_summary(spark, probe, b2, batch_id="b2")
+    total_ops = state["ops"]
+    state["budget"] = None
+    assert total_ops >= 6, f"sweep found only {total_ops} mutating ops"
+    assert _rows(spark.read.parquet(probe)) == expected
+
+    for k in range(1, total_ops):
+        d = os.path.join(str(tmp_path), f"tear{k}")
+        update_daily_summary(spark, d, b1, batch_id="b1")
+        state.update(budget=k, ops=0)
+        with pytest.raises(Torn):
+            update_daily_summary(spark, d, b2, batch_id="b2")
+        state["budget"] = None
+        update_daily_summary(spark, d, b2, batch_id="b2")  # replay
+        assert _rows(spark.read.parquet(d)) == expected, f"tear at op {k}"
