@@ -415,3 +415,134 @@ def test_staged_commit_tear_sweep(spark, tmp_path, monkeypatch):
         state["budget"] = None
         update_daily_summary(spark, d, b2, batch_id="b2")  # replay
         assert _rows(spark.read.parquet(d)) == expected, f"tear at op {k}"
+
+
+def test_staged_commit_tear_sweep_keycount(spark, tmp_path, monkeypatch):
+    """Same exhaustive tear sweep over the keycount fold — the
+    wb-bucketed shape with DEPENDENT projections (entity totals,
+    hh/top-k result caches) committed after the pair table: tears
+    after the finalize must heal through the ledger-skip staleness
+    rederives, and the hh serve must equal the raw recompute at every
+    terminal state."""
+    import pytest
+
+    from nerd_spark.queries.dataprep import hh_event_users
+    from nerd_spark.sources import fsutil as fsu
+    from nerd_spark.sources.layout import (
+        SUMMARY_TYPE_USER_DIRNAME,
+        SUMMARY_USER_COUNTS_DIRNAME,
+        update_keycount_summaries,
+    )
+
+    ev = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(hours=(F.col("id") * 5 % 72).cast("int"))
+        ).alias("ts"),
+        F.pmod("id", F.lit(5)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click")),
+            (F.col("id") % 2 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("id") % 17 / 3.0).alias("value"),
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    class Torn(Exception):
+        pass
+
+    state = {"budget": None, "ops": 0}
+    real = {
+        n: getattr(fsu, n)
+        for n in ("delete", "rename", "touch", "write_text", "mkdirs")
+    }
+
+    def wrap(name):
+        fn = real[name]
+
+        def inner(*a, **kw):
+            if state["budget"] is not None:
+                state["ops"] += 1
+                if state["ops"] > state["budget"]:
+                    raise Torn(f"op {state['ops']} ({name})")
+            return fn(*a, **kw)
+
+        return inner
+
+    for n in real:
+        monkeypatch.setattr(fsu, n, wrap(n))
+
+    def budgeted_swap(spark_, staging_, table_, prefix_):
+        moved = []
+        for nm in sorted(fsu.list_names(spark_, staging_)):
+            if not nm.startswith(prefix_):
+                continue
+            dest = os.path.join(table_, nm)
+            fsu.delete(spark_, dest, recursive=True)
+            assert fsu.rename(spark_, os.path.join(staging_, nm), dest)
+            moved.append(nm)
+        return moved
+
+    monkeypatch.setattr(fsu, "swap_partition_dirs", budgeted_swap)
+
+    def pair_rows(ddir):
+        return sorted(
+            map(
+                repr,
+                (
+                    tuple(r)
+                    for r in spark.read.parquet(
+                        os.path.join(ddir, SUMMARY_TYPE_USER_DIRNAME)
+                    )
+                    .drop("wb")
+                    .collect()
+                ),
+            )
+        )
+
+    def mk(ddir, events):
+        events.write.mode("overwrite").parquet(
+            os.path.join(ddir, "events.parquet")
+        )
+
+    oneshot = str(tmp_path / "oneshot")
+    mk(oneshot, ev)
+    update_keycount_summaries(spark, oneshot, b1, batch_id="b1")
+    update_keycount_summaries(spark, oneshot, b2, batch_id="b2")
+    expected = pair_rows(oneshot)
+    raw = str(tmp_path / "raw")
+    mk(raw, ev)
+
+    probe = str(tmp_path / "probe")
+    mk(probe, b1)
+    update_keycount_summaries(spark, probe, b1, batch_id="b1")
+    mk(probe, ev)
+    state.update(budget=10**9, ops=0)
+    update_keycount_summaries(spark, probe, b2, batch_id="b2")
+    total_ops = state["ops"]
+    state["budget"] = None
+    assert total_ops >= 8
+    assert pair_rows(probe) == expected
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    raw_hh = rows(hh_event_users(spark, raw))
+    for k in range(1, total_ops):
+        d = str(tmp_path / f"tear{k}")
+        mk(d, b1)
+        update_keycount_summaries(spark, d, b1, batch_id="b1")
+        mk(d, ev)
+        state.update(budget=k, ops=0)
+        with pytest.raises(Torn):
+            update_keycount_summaries(spark, d, b2, batch_id="b2")
+        state["budget"] = None
+        update_keycount_summaries(spark, d, b2, batch_id="b2")  # replay
+        assert pair_rows(d) == expected, f"pair table wrong after op-{k} tear"
+        assert (
+            spark.read.parquet(os.path.join(d, SUMMARY_USER_COUNTS_DIRNAME))
+            .count() == 5
+        ), f"totals wrong after op-{k} tear"
+        assert rows(hh_event_users(spark, d)) == raw_hh, f"hh serve, op {k}"
