@@ -546,3 +546,105 @@ def test_staged_commit_tear_sweep_keycount(spark, tmp_path, monkeypatch):
             .count() == 5
         ), f"totals wrong after op-{k} tear"
         assert rows(hh_event_users(spark, d)) == raw_hh, f"hh serve, op {k}"
+
+
+def test_staged_commit_tear_sweep_funnel(spark, tmp_path, monkeypatch):
+    """Third commit shape under the exhaustive tear sweep: the funnel
+    fold writes its stage-binding meta sidecar between the partition
+    swap and the ledger record, and its result cache after the
+    finalize — tears around the meta must leave a same-stages binding
+    (recovery records the ledger; the previous fold's meta still
+    matches), and result-cache tears must heal through the skip path."""
+    import pytest
+
+    from nerd_spark.queries.analytics import funnel_stages
+    from nerd_spark.sources import fsutil as fsu
+    from nerd_spark.sources.layout import update_funnel_summary
+
+    ev = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-03-01 00:00:00"))
+            + F.make_interval(hours=(F.col("id") * 5 % 72).cast("int"))
+        ).alias("ts"),
+        F.pmod("id", F.lit(6)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("id") % 17 / 3.0).alias("value"),
+    )
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    class Torn(Exception):
+        pass
+
+    state = {"budget": None, "ops": 0}
+    real = {
+        n: getattr(fsu, n)
+        for n in ("delete", "rename", "touch", "write_text", "mkdirs")
+    }
+
+    def wrap(name):
+        fn = real[name]
+
+        def inner(*a, **kw):
+            if state["budget"] is not None:
+                state["ops"] += 1
+                if state["ops"] > state["budget"]:
+                    raise Torn(f"op {state['ops']} ({name})")
+            return fn(*a, **kw)
+
+        return inner
+
+    for n in real:
+        monkeypatch.setattr(fsu, n, wrap(n))
+
+    def budgeted_swap(spark_, staging_, table_, prefix_):
+        moved = []
+        for nm in sorted(fsu.list_names(spark_, staging_)):
+            if not nm.startswith(prefix_):
+                continue
+            dest = os.path.join(table_, nm)
+            fsu.delete(spark_, dest, recursive=True)
+            assert fsu.rename(spark_, os.path.join(staging_, nm), dest)
+            moved.append(nm)
+        return moved
+
+    monkeypatch.setattr(fsu, "swap_partition_dirs", budgeted_swap)
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    def mk(ddir, events):
+        events.write.mode("overwrite").parquet(
+            os.path.join(ddir, "events.parquet")
+        )
+
+    raw = str(tmp_path / "raw")
+    mk(raw, ev)
+    expected = rows(funnel_stages(spark, raw))
+
+    probe = str(tmp_path / "probe")
+    mk(probe, b1)
+    update_funnel_summary(spark, probe, b1, batch_id="b1")
+    mk(probe, ev)
+    state.update(budget=10**9, ops=0)
+    update_funnel_summary(spark, probe, b2, batch_id="b2")
+    total_ops = state["ops"]
+    state["budget"] = None
+    assert total_ops >= 8
+    assert rows(funnel_stages(spark, probe)) == expected
+
+    for k in range(1, total_ops):
+        d = str(tmp_path / f"tear{k}")
+        mk(d, b1)
+        update_funnel_summary(spark, d, b1, batch_id="b1")
+        mk(d, ev)
+        state.update(budget=k, ops=0)
+        with pytest.raises(Torn):
+            update_funnel_summary(spark, d, b2, batch_id="b2")
+        state["budget"] = None
+        update_funnel_summary(spark, d, b2, batch_id="b2")  # replay
+        assert rows(funnel_stages(spark, d)) == expected, f"tear at op {k}"
