@@ -1713,10 +1713,15 @@ def update_value_hist_summary(
     hist_path = os.path.join(data_dir, SUMMARY_VALUE_HIST_DIRNAME)
     counts_path = os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
     _staged_swap_recover(spark, hist_path, "wb")
-    if not any(
-        f.startswith("wb=") for f in fsutil.list_names(spark, hist_path)
-    ):
-        return  # never seeded (no bounded-domain certificate)
+    # never-seeded = dir ABSENT (no bounded-domain certificate, or the
+    # growth guard deleted it). A dir that exists but has no wb=
+    # partitions is the degenerate all-null-value SEED's schema-only
+    # marker — that one IS seeded, and the fold below replaces it with
+    # the first real partitioned build (hypothesis caught the earlier
+    # treat-as-unseeded behavior: the seed's empty result caches kept
+    # serving while folded values were silently dropped).
+    if not fsutil.exists(spark, hist_path):
+        return
     if _fold_ledger_skip(spark, hist_path, batch_id):
         c_success = os.path.join(counts_path, "_SUCCESS")
         try:
@@ -1735,17 +1740,27 @@ def update_value_hist_summary(
     if not touched:  # batch carries no non-null values: state already exact
         _fold_ledger_record(spark, hist_path, batch_id)
         return
-    old = (
-        spark.read.parquet(hist_path)
-        .filter(F.col("wb").isin(touched))  # partition-pruned scan
-        .drop("wb")
-    )
-    merged = (
-        old.unionByName(bs.drop("wb"))
-        .groupBy("et", "v")
-        .agg(F.sum("cnt").alias("cnt"))
-        .withColumn("wb", _wbucket("v"))
-    )
+    if any(
+        f.startswith("wb=") for f in fsutil.list_names(spark, hist_path)
+    ):
+        old = (
+            spark.read.parquet(hist_path)
+            .filter(F.col("wb").isin(touched))  # partition-pruned scan
+            .drop("wb")
+        )
+        merged = (
+            old.unionByName(bs.drop("wb"))
+            .groupBy("et", "v")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("wb", _wbucket("v"))
+        )
+    else:
+        # seeded-empty: replace the schema-only marker with the first
+        # real partitioned build (root-level marker files cannot
+        # coexist with partition dirs for readers; the ledger holds at
+        # most value-less batches, harmless to forget)
+        fsutil.delete(spark, hist_path, recursive=True)
+        merged = bs
     success = os.path.join(hist_path, "_SUCCESS")
     _staged_partition_commit(
         spark, merged, hist_path, "wb", batch_id=batch_id
