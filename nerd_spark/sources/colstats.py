@@ -112,9 +112,24 @@ def write_column_stats(
     }
     final = stats_path(table_dir)
     tmp = final + ".tmp"
+    # the sidecar lives INSIDE the data dir, and creating/renaming it
+    # bumps the dir's mtime — which is the staleness clock every serve
+    # gate compares its commit marker against. A stats refresh changes
+    # no data, so restore the clock afterwards (single-writer
+    # contract, same as the docstring's "data is final" requirement);
+    # a failed restore only costs conservative raw fallbacks.
+    try:
+        dir_mtime = fsutil.mtime(spark, table_dir)
+    except Exception:
+        dir_mtime = None
     fsutil.write_text(spark, tmp, json.dumps(payload))
     fsutil.delete(spark, final)
     fsutil.rename(spark, tmp, final)
+    if dir_mtime is not None:
+        try:
+            fsutil.set_mtime(spark, table_dir, dir_mtime)
+        except Exception:
+            pass
     _CACHE.pop(final, None)
     return payload
 

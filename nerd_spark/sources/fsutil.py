@@ -120,6 +120,18 @@ def mtime(spark: SparkSession, path: str) -> float:
     return fs.getFileStatus(p).getModificationTime() / 1000.0
 
 
+def set_mtime(spark: SparkSession, path: str, mtime_sec: float) -> None:
+    """FileSystem.setTimes — restore a directory's modification time
+    after writing a METADATA sidecar into it. The serve gates compare
+    their commit markers against the data dir's mtime, so a sidecar
+    refresh that bumps it would silently park every serve on the raw
+    fallback until the next fold (colstats.write_column_stats is the
+    one such writer). Only valid under the single-writer contract:
+    restoring over a concurrent DATA write would mask it."""
+    fs, p = _fs(spark, path)
+    fs.setTimes(p, int(mtime_sec * 1000), -1)
+
+
 def estimate_input_bytes(df) -> int | None:
     """Estimated source bytes behind a DataFrame's file scan, from a
     bounded sample of its input files (<= 8 FS stats regardless of

@@ -2012,6 +2012,90 @@ def update_cohort_summary(
     _write_cohort_result(spark, data_dir, spark.read.parquet(summary_path))
 
 
+# (dirname, reader-gate file) for every ingest-maintained serve table
+# an events data dir can carry — the introspection registry behind
+# serve_table_status. Document-side tables (token hist, doc card) are
+# keyed on documents rather than events; status still reports them.
+_SERVE_TABLES: tuple[tuple[str, str], ...] = (
+    (SUMMARY_DAILY_DIRNAME, "_SUCCESS"),
+    (SUMMARY_ASOF_DIRNAME, "_SUCCESS"),
+    (SUMMARY_WINDOW_DIRNAME, WINDOW_GATE),
+    (SUMMARY_MERGED_DIRNAME, "_SUCCESS"),
+    (SUMMARY_FUNNEL_DIRNAME, "_SUCCESS"),
+    (SUMMARY_FUNNEL_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_COHORT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_COHORT_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_TYPE_USER_DIRNAME, "_SUCCESS"),
+    (SUMMARY_USER_COUNTS_DIRNAME, "_SUCCESS"),
+    (SUMMARY_HH_USERS_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_HH_BY_TYPE_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_TOPFREQ_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_TOPK_VALUE_DIRNAME, "_SUCCESS"),
+    (SUMMARY_VALUE_HIST_DIRNAME, "_SUCCESS"),
+    (SUMMARY_VALUE_COUNTS_DIRNAME, "_SUCCESS"),
+    (SUMMARY_QUANTILE_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_QUANTILE_BY_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_DOC_TOKEN_HIST_DIRNAME, "_SUCCESS"),
+    (SUMMARY_DOC_CARD_RESULT_DIRNAME, "_SUCCESS"),
+)
+
+
+def serve_table_status(spark: SparkSession, data_dir: str) -> list[dict]:
+    """Operational introspection of every ingest-maintained serve
+    table under ``data_dir`` — what an on-call runbook polls before
+    trusting or debugging the serve tier. One dict per table:
+
+    - ``present``: the directory exists;
+    - ``gated``: its reader gate file is up (a committed table);
+    - ``fresh``: gate mtime >= the events dir mtime — the exact test
+      every serve gate applies; False means queries are on the raw
+      fallback for this table;
+    - ``ledger_batches``: applied-batch count in the fold ledger
+      (0 for seed-only or lederless tables);
+    - ``staging``: a ``.staging`` sibling exists — either a commit in
+      flight right now or a torn commit awaiting the next fold's
+      recovery (with ``gated`` False, readers are on raw meanwhile).
+
+    Pure driver-side metadata through the Hadoop FS layer (a handful
+    of stats per table, no Spark jobs) — safe to poll from a
+    monitoring loop at any frequency."""
+    from nerd_spark.sources import fsutil
+
+    try:
+        ev_mtime = fsutil.mtime(
+            spark, os.path.join(data_dir, "events.parquet")
+        )
+    except Exception:
+        ev_mtime = None
+    out = []
+    for dirname, gate_name in _SERVE_TABLES:
+        path = os.path.join(data_dir, dirname)
+        gate = os.path.join(path, gate_name)
+        present = fsutil.exists(spark, path)
+        gated = present and fsutil.exists(spark, gate)
+        if not gated:
+            fresh = False
+        elif ev_mtime is None:
+            fresh = True  # pure derived-state dir: nothing to outdate
+        else:
+            fresh = fsutil.mtime(spark, gate) >= ev_mtime
+        out.append(
+            {
+                "table": dirname,
+                "present": present,
+                "gated": gated,
+                "fresh": fresh,
+                "ledger_batches": len(_ledger_ids(spark, path))
+                if present
+                else 0,
+                "staging": fsutil.exists(
+                    spark, path.rstrip("/") + ".staging"
+                ),
+            }
+        )
+    return out
+
+
 def update_event_summaries(
     spark: SparkSession,
     data_dir: str,

@@ -648,3 +648,43 @@ def test_staged_commit_tear_sweep_funnel(spark, tmp_path, monkeypatch):
         state["budget"] = None
         update_funnel_summary(spark, d, b2, batch_id="b2")  # replay
         assert rows(funnel_stages(spark, d)) == expected, f"tear at op {k}"
+
+
+def test_serve_table_status_lifecycle(spark, sf_dir, tmp_path):
+    """serve_table_status reports the states an operator acts on:
+    absent -> committed+fresh after a fold, stale after an events
+    append the folds haven't caught up with, and a torn commit's
+    staging dir awaiting recovery."""
+    from nerd_spark.sources.layout import (
+        SUMMARY_DAILY_DIRNAME,
+        serve_table_status,
+        update_event_summaries,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    d = str(tmp_path / "data")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b1.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    by = {r["table"]: r for r in serve_table_status(spark, d)}
+    assert not by[SUMMARY_DAILY_DIRNAME]["present"]
+
+    update_event_summaries(spark, d, b1, batch_id="b1")
+    by = {r["table"]: r for r in serve_table_status(spark, d)}
+    daily = by[SUMMARY_DAILY_DIRNAME]
+    assert daily["present"] and daily["gated"] and daily["fresh"]
+    assert daily["ledger_batches"] == 1 and not daily["staging"]
+
+    # events moved on without a fold: stale, so queries are on raw
+    ev.limit(0).write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    by = {r["table"]: r for r in serve_table_status(spark, d)}
+    assert by[SUMMARY_DAILY_DIRNAME]["gated"]
+    assert not by[SUMMARY_DAILY_DIRNAME]["fresh"]
+
+    # torn commit: gate down, staging present -> flagged for recovery
+    p = os.path.join(d, SUMMARY_DAILY_DIRNAME)
+    os.remove(os.path.join(p, "_SUCCESS"))
+    os.makedirs(p + ".staging", exist_ok=True)
+    by = {r["table"]: r for r in serve_table_status(spark, d)}
+    daily = by[SUMMARY_DAILY_DIRNAME]
+    assert daily["present"] and not daily["gated"] and daily["staging"]
