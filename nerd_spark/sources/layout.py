@@ -1909,15 +1909,38 @@ def update_funnel_summary(
     bs = funnel_user_state(new_events, stages, user_col=entity).withColumn(
         "wb", _wbucket("u")
     )
-    if any(
+    have_state = any(
         f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
-    ):
+    )
+    if have_state and read_summary_meta(spark, summary_path) is None:
+        # state without its binding sidecar: a crash artifact (tear
+        # between the state commit and the meta write on the FIRST
+        # fold) or manual surgery — the binding is unknowable, so
+        # folding risks a silently wrong funnel. The dir's fact table
+        # is authoritative (append-first contract): rebuild the state
+        # for THIS call's stages from it instead of wedging on a
+        # raise. A real stage MISMATCH below still raises — that one
+        # is a caller error, not a crash artifact.
+        from nerd_spark.session import read_table
+
+        bs = funnel_user_state(
+            read_table(spark, data_dir, "events"), stages, user_col=entity
+        ).withColumn("wb", _wbucket("u"))
+        # drop the unknown state entirely: the swap only replaces
+        # buckets present in the rebuild, and a stale foreign bucket
+        # surviving beside rebuilt ones would mix bindings. Losing the
+        # ledger is safe — the funnel state is a distinct-set union
+        # (idempotent under replay) and the fact table holds every
+        # folded batch.
+        fsutil.delete(spark, summary_path, recursive=True)
+        have_state = False
+    if have_state:
         prev = read_summary_meta(spark, summary_path)
-        if prev is None or list(prev.get("stages") or []) != stages:
+        if list(prev.get("stages") or []) != stages:
             raise ValueError(
                 "update_funnel_summary: existing state at "
                 f"{summary_path} is bound to stages="
-                f"{(prev or {}).get('stages')!r}, cannot fold a batch "
+                f"{prev.get('stages')!r}, cannot fold a batch "
                 f"filtered to stages={stages!r} into it — the state "
                 "never retained events of the new stage types; "
                 "rebuild from raw events instead"

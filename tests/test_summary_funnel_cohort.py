@@ -295,3 +295,37 @@ def test_funnel_stage_rebinding_refuses_fold(spark, tmp_path):
     assert read_summary_meta(
         spark, os.path.join(d2, SUMMARY_FUNNEL_DIRNAME)
     )["stages"] == ["signup", "view", "purchase"]
+
+
+def test_funnel_metaless_state_rebuilds_from_events(spark, tmp_path):
+    """A state dir WITHOUT its binding sidecar is a crash artifact
+    (tear between the first fold's state commit and meta write), not a
+    caller error: the fold must rebuild exactly from the fact table
+    for its own stages instead of wedging on a raise — and the rebuilt
+    dir serves equal to a raw recompute. A real stage MISMATCH (meta
+    present, different list) still raises."""
+    d = str(tmp_path / "data")
+    raw = str(tmp_path / "raw")
+    ev = _mk_events(spark)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    b1.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    update_funnel_summary(spark, d, b1, batch_id="b1")
+    # simulate the tear: binding sidecar gone, state + gate survive
+    os.remove(
+        os.path.join(d, SUMMARY_FUNNEL_DIRNAME, SUMMARY_META_NAME)
+    )
+    b2.write.mode("append").parquet(os.path.join(d, "events.parquet"))
+    update_funnel_summary(spark, d, b2, batch_id="b2")
+
+    ev.write.mode("overwrite").parquet(os.path.join(raw, "events.parquet"))
+
+    def rows(df):
+        return sorted(map(repr, (tuple(r) for r in df.collect())))
+
+    assert rows(funnel_stages(spark, d)) == rows(funnel_stages(spark, raw))
+    from nerd_spark.sources.layout import read_summary_meta
+
+    assert read_summary_meta(
+        spark, os.path.join(d, SUMMARY_FUNNEL_DIRNAME)
+    )["stages"] == STAGES
