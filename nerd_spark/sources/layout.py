@@ -582,6 +582,11 @@ def optimize_layout(
         daily.repartition("d").write.mode("overwrite").partitionBy("d").parquet(
             os.path.join(out_dir, SUMMARY_DAILY_DIRNAME)
         )
+        write_summary_meta(
+            spark,
+            os.path.join(out_dir, SUMMARY_DAILY_DIRNAME),
+            {"entity": "user_id"},
+        )
         as_of = ev.agg(F.max("ts").alias("as_of"))
         as_of.write.mode("overwrite").parquet(
             os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
@@ -604,6 +609,7 @@ def optimize_layout(
             .parquet(wpath)
         )
         asof_d_df.write.mode("overwrite").parquet(_window_meta_path(wpath))
+        write_summary_meta(spark, wpath, {"entity": "user_id"})
         fsutil.touch(spark, os.path.join(wpath, WINDOW_GATE))
         # §2.4 merged snapshot (the op_merge_snapshot answer table):
         # one mergeable row per entity, bucketed like the window
@@ -619,6 +625,11 @@ def optimize_layout(
             .write.mode("overwrite")
             .partitionBy("wb")
             .parquet(os.path.join(out_dir, SUMMARY_MERGED_DIRNAME))
+        )
+        write_summary_meta(
+            spark,
+            os.path.join(out_dir, SUMMARY_MERGED_DIRNAME),
+            {"entity": "user_id"},
         )
         # Funnel / cohort per-user state + resolved result caches (the
         # op_merge discipline applied to event analytics): the state
@@ -645,7 +656,9 @@ def optimize_layout(
             .partitionBy("wb")
             .parquet(fpath)
         )
-        write_summary_meta(spark, fpath, {"stages": fstages})
+        write_summary_meta(
+            spark, fpath, {"stages": fstages, "entity": "user_id"}
+        )
         fsutil.touch(spark, os.path.join(fpath, "_SUCCESS"))
         _write_funnel_result(
             spark, out_dir, spark.read.parquet(fpath), fstages
@@ -659,6 +672,7 @@ def optimize_layout(
             .partitionBy("wb")
             .parquet(cpath)
         )
+        write_summary_meta(spark, cpath, {"entity": "user_id"})
         fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
         _write_cohort_result(spark, out_dir, spark.read.parquet(cpath))
         # (type, entity) count table + entity totals: the hh / top-k
@@ -683,6 +697,9 @@ def optimize_layout(
             .write.mode("overwrite")
             .partitionBy("wb")
             .parquet(kpath)
+        )
+        write_summary_meta(
+            spark, kpath, {"entity": "user_id", "type_col": "event_type"}
         )
         fsutil.touch(spark, os.path.join(kpath, "_SUCCESS"))
         tpath = os.path.join(out_dir, SUMMARY_USER_COUNTS_DIRNAME)
@@ -756,9 +773,17 @@ def update_daily_summary(
     # overlapping dates). Listed via the
     # Hadoop FS API so a non-local summary path (hdfs://, s3a://)
     # merges instead of silently overwriting from empty.
-    if any(
+    has_state = any(
         f.startswith("d=") for f in fsutil.list_names(spark, summary_path)
-    ):
+    )
+    # binding guard: a bare summary path carries no route back to its
+    # fact table, so a meta-less legacy/crash dir is STAMPED with this
+    # call's binding rather than rebuilt; a genuine mismatch raises.
+    _fold_binding(
+        spark, summary_path, {"entity": entity}, has_state,
+        "update_daily_summary",
+    )
+    if has_state:
         existing = (
             spark.read.parquet(summary_path)
             .filter(F.col("d").isin(dates))
@@ -785,6 +810,7 @@ def update_daily_summary(
     _staged_partition_commit(
         spark, merged, summary_path, "d", batch_id=batch_id
     )
+    write_summary_meta(spark, summary_path, {"entity": entity})
     _fold_ledger_record(spark, summary_path, batch_id)
     # restore the root marker so readers (queries/analytics._daily)
     # recognize a stream-maintained summary
@@ -854,6 +880,19 @@ def update_window_summary(
         return  # empty batch
 
     have_old = fsutil.exists(spark, os.path.join(window_path, WINDOW_GATE))
+    if have_old:
+        # entity-binding guard: meta-less (crash/legacy) falls back to
+        # the existing no-gate FULL-REBUILD path, which derives from
+        # the daily summary and never reads the live window rows;
+        # a genuine mismatch raises (_fold_binding)
+        if (
+            _fold_binding(
+                spark, window_path, {"entity": entity}, True,
+                "update_window_summary",
+            )
+            == "rebuild"
+        ):
+            have_old = False
     old = spark.read.parquet(window_path) if have_old else None
     meta_p = _window_meta_path(window_path)
     legacy = old is not None and "as_of_d" in old.columns
@@ -1073,6 +1112,7 @@ def update_window_summary(
     # sidecar as-of anchor BEFORE restoring the reader gate: a tear
     # between the two leaves no gate and the next update rebuilds
     asof_df.write.mode("overwrite").parquet(_window_meta_path(window_path))
+    write_summary_meta(spark, window_path, {"entity": entity})
     _fold_ledger_record(spark, window_path, batch_id)
     fsutil.touch(spark, success)
     _staged_commit_finalize(spark, window_path)
@@ -1103,9 +1143,15 @@ def update_merged_summary(
     bs = snapshot_events(new_events, entity).withColumn(
         "wb", _wbucket(entity)
     )
-    if any(
+    has_state = any(
         f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
-    ):
+    )
+    # stamp-on-missing: no data_dir route back to the fact table here
+    _fold_binding(
+        spark, summary_path, {"entity": entity}, has_state,
+        "update_merged_summary",
+    )
+    if has_state:
         touched = [r.wb for r in bs.select("wb").distinct().collect()]
         old = (
             spark.read.parquet(summary_path)
@@ -1121,6 +1167,7 @@ def update_merged_summary(
     _staged_partition_commit(
         spark, merged, summary_path, "wb", batch_id=batch_id
     )
+    write_summary_meta(spark, summary_path, {"entity": entity})
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
     _staged_commit_finalize(spark, summary_path)
@@ -1383,6 +1430,44 @@ def _staged_partition_commit(
     # by the tear-point sweep test at exactly that boundary).
 
 
+def _fold_binding(
+    spark: SparkSession,
+    state_path: str,
+    binding: dict,
+    has_state: bool,
+    what: str,
+) -> str:
+    """Parameter-binding guard for the additive folds (the funnel
+    stage-binding discipline generalized): each fold stamps its
+    parameters (entity column, type/value columns, k) into the state
+    dir's meta sidecar inside the commit window, and a later fold
+    must present the SAME binding — values from a different source
+    column would merge into the same normalized columns and corrupt
+    the state silently.
+
+    Returns ``"fold"`` (binding matches, or fresh state — the caller
+    stamps it), ``"rebuild"`` (state present but meta missing: a
+    crash artifact or a pre-binding legacy dir — the binding is
+    unknowable, so the caller rebuilds the state from the fact table
+    for ITS binding where the table is reachable, or stamps when it
+    is not), or raises on a genuine mismatch (a caller error, never a
+    crash artifact — crashes lose the meta, they do not rewrite it)."""
+    if not has_state:
+        return "fold"
+    prev = read_summary_meta(spark, state_path)
+    if prev is None:
+        return "rebuild"
+    for k, v in binding.items():
+        if prev.get(k) != v:
+            raise ValueError(
+                f"{what}: existing state at {state_path} is bound to "
+                f"{ {k: prev.get(k) for k in binding} !r}, cannot fold "
+                f"a batch at {binding!r} into it — rebuild from raw "
+                "events instead"
+            )
+    return "fold"
+
+
 def _staged_commit_finalize(spark: SparkSession, table_path: str) -> None:
     """Drop the staging dir of a fully-committed staged fold — call
     ONLY after the ledger record and gate touch. From this point the
@@ -1476,9 +1561,27 @@ def update_keycount_summaries(
         .agg(F.count("*").alias("cnt"))
         .withColumn("wb", _wbucket("u"))
     )
-    if any(
+    has_state = any(
         f.startswith("wb=") for f in fsutil.list_names(spark, pair_path)
-    ):
+    )
+    binding = {"entity": entity, "type_col": type_col}
+    verdict = _fold_binding(
+        spark, pair_path, binding, has_state, "update_keycount_summaries"
+    )
+    if verdict == "rebuild":
+        # meta-less state (crash artifact / pre-binding dir): counts
+        # are exactly recoverable from the fact table — rebuild for
+        # THIS binding instead of merging into unknown semantics
+        from nerd_spark.session import read_table
+
+        merged = (
+            read_table(spark, data_dir, "events")
+            .groupBy(F.col(type_col).alias("et"), F.col(entity).alias("u"))
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("wb", _wbucket("u"))
+        )
+        fsutil.delete(spark, pair_path, recursive=True)
+    elif has_state:
         touched = [r.wb for r in bs.select("wb").distinct().collect()]
         old = (
             spark.read.parquet(pair_path)
@@ -1497,6 +1600,7 @@ def update_keycount_summaries(
     _staged_partition_commit(
         spark, merged, pair_path, "wb", batch_id=batch_id
     )
+    write_summary_meta(spark, pair_path, binding)
     _fold_ledger_record(spark, pair_path, batch_id)
     fsutil.touch(spark, success)
     _staged_commit_finalize(spark, pair_path)
@@ -1675,6 +1779,9 @@ def seed_value_hist(
             .partitionBy("wb")
             .parquet(vhpath)
         )
+    write_summary_meta(
+        spark, vhpath, {"type_col": type_col, "value_col": value_col}
+    )
     fsutil.touch(spark, os.path.join(vhpath, "_SUCCESS"))
     _rederive_value_counts(
         spark, vhpath, os.path.join(data_dir, SUMMARY_VALUE_COUNTS_DIRNAME)
@@ -1740,7 +1847,27 @@ def update_value_hist_summary(
     if not touched:  # batch carries no non-null values: state already exact
         _fold_ledger_record(spark, hist_path, batch_id)
         return
-    if any(
+    binding = {"type_col": type_col, "value_col": value_col}
+    verdict = _fold_binding(
+        spark,
+        hist_path,
+        binding,
+        # the schema-only all-null-seed marker counts as state for the
+        # binding guard too: its meta records what the seed measured
+        True,
+        "update_value_hist_summary",
+    )
+    if verdict == "rebuild":
+        # meta-less state: reseed from the fact table for THIS binding
+        # (the dir's existence is the bounded-domain certificate; the
+        # growth guard below still bounds the result)
+        from nerd_spark.session import read_table
+
+        merged = _value_hist_batch(
+            read_table(spark, data_dir, "events"), type_col, value_col
+        )
+        fsutil.delete(spark, hist_path, recursive=True)
+    elif any(
         f.startswith("wb=") for f in fsutil.list_names(spark, hist_path)
     ):
         old = (
@@ -1765,6 +1892,7 @@ def update_value_hist_summary(
     _staged_partition_commit(
         spark, merged, hist_path, "wb", batch_id=batch_id
     )
+    write_summary_meta(spark, hist_path, binding)
     # growth guard: parquet count(*) is footer-only — cheap
     if spark.read.parquet(hist_path).count() > max_rows:
         # drop the staging leftovers FIRST: a surviving manifest would
@@ -1824,10 +1952,20 @@ def update_topk_summary(
         return
     bt = _topk_value(new_events, k)
     if fsutil.exists(spark, os.path.join(out, "_SUCCESS")):
-        old = spark.read.parquet(out).select("event_id", "value")
-        bt = _topk_value(
-            old.unionByName(bt).dropDuplicates(["event_id"]), k
-        )
+        prev = read_summary_meta(spark, out)
+        if prev is not None and int(prev.get("k") or 0) == int(k):
+            old = spark.read.parquet(out).select("event_id", "value")
+            bt = _topk_value(
+                old.unionByName(bt).dropDuplicates(["event_id"]), k
+            )
+        else:
+            # k is a tuning parameter, not a semantic binding: a
+            # different (or unknowable, meta-less) k rebuilds the
+            # answer exactly from the fact table — merging k-row
+            # states of different k silently truncates
+            from nerd_spark.session import read_table
+
+            bt = _topk_value(read_table(spark, data_dir, "events"), k)
     elif fsutil.exists(spark, out):
         # state lost: the dir exists without its gate — a crash inside
         # the previous overwrite destroyed the k-row answer AND the
@@ -1936,13 +2074,16 @@ def update_funnel_summary(
         have_state = False
     if have_state:
         prev = read_summary_meta(spark, summary_path)
-        if list(prev.get("stages") or []) != stages:
+        if list(prev.get("stages") or []) != stages or (
+            prev.get("entity") or entity
+        ) != entity:
             raise ValueError(
                 "update_funnel_summary: existing state at "
                 f"{summary_path} is bound to stages="
-                f"{prev.get('stages')!r}, cannot fold a batch "
-                f"filtered to stages={stages!r} into it — the state "
-                "never retained events of the new stage types; "
+                f"{prev.get('stages')!r} / entity="
+                f"{prev.get('entity')!r}, cannot fold a batch at "
+                f"stages={stages!r} / entity={entity!r} into it — the "
+                "state never retained events outside its binding; "
                 "rebuild from raw events instead"
             )
         touched = [r.wb for r in bs.select("wb").distinct().collect()]
@@ -1961,7 +2102,9 @@ def update_funnel_summary(
     _staged_partition_commit(
         spark, merged, summary_path, "wb", batch_id=batch_id
     )
-    write_summary_meta(spark, summary_path, {"stages": stages})
+    write_summary_meta(
+        spark, summary_path, {"stages": stages, "entity": entity}
+    )
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
     _staged_commit_finalize(spark, summary_path)
@@ -2011,9 +2154,22 @@ def update_cohort_summary(
     bs = cohort_user_state(new_events, user_col=entity).withColumn(
         "wb", _wbucket("u")
     )
-    if any(
+    has_state = any(
         f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
-    ):
+    )
+    verdict = _fold_binding(
+        spark, summary_path, {"entity": entity}, has_state,
+        "update_cohort_summary",
+    )
+    if verdict == "rebuild":
+        # meta-less state: exactly recoverable from the fact table
+        from nerd_spark.session import read_table
+
+        merged = cohort_user_state(
+            read_table(spark, data_dir, "events"), user_col=entity
+        ).withColumn("wb", _wbucket("u"))
+        fsutil.delete(spark, summary_path, recursive=True)
+    elif has_state:
         touched = [r.wb for r in bs.select("wb").distinct().collect()]
         old = (
             spark.read.parquet(summary_path)
@@ -2029,6 +2185,7 @@ def update_cohort_summary(
     _staged_partition_commit(
         spark, merged, summary_path, "wb", batch_id=batch_id
     )
+    write_summary_meta(spark, summary_path, {"entity": entity})
     _fold_ledger_record(spark, summary_path, batch_id)
     fsutil.touch(spark, success)
     _staged_commit_finalize(spark, summary_path)

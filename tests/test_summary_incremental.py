@@ -688,3 +688,85 @@ def test_serve_table_status_lifecycle(spark, sf_dir, tmp_path):
     by = {r["table"]: r for r in serve_table_status(spark, d)}
     daily = by[SUMMARY_DAILY_DIRNAME]
     assert daily["present"] and not daily["gated"] and daily["staging"]
+
+
+def test_fold_binding_guards(spark, sf_dir, tmp_path):
+    """Every fold stamps its parameter binding (entity / type-and-
+    value columns / k) into the state's meta sidecar and refuses to
+    fold a differently-bound batch — values from another source
+    column would merge into the same normalized columns and corrupt
+    the state silently. Meta-less dirs (crash artifacts / pre-binding
+    layouts) rebuild from the fact table where it is reachable, and
+    are stamped where it is not."""
+    import pytest
+
+    from nerd_spark.sources.layout import (
+        SUMMARY_TYPE_USER_DIRNAME,
+        read_summary_meta,
+        update_cohort_summary,
+        update_event_summaries,
+        update_keycount_summaries,
+        update_merged_summary,
+        update_window_summary,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    d = str(tmp_path / "data")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    update_event_summaries(spark, d, ev, batch_id="b1")
+
+    # mismatched entity raises on the daily / merged / cohort folds
+    dsum = os.path.join(d, "summary_daily.parquet")
+    with pytest.raises(ValueError, match="bound to"):
+        update_daily_summary(spark, dsum, ev, entity="event_type")
+    with pytest.raises(ValueError, match="bound to"):
+        update_merged_summary(
+            spark,
+            os.path.join(d, "summary_merged.parquet"),
+            ev,
+            entity="event_type",
+        )
+    with pytest.raises(ValueError, match="bound to"):
+        update_cohort_summary(spark, d, ev, entity="event_type")
+    with pytest.raises(ValueError, match="bound to"):
+        update_keycount_summaries(spark, d, ev, type_col="user_id")
+    with pytest.raises(ValueError, match="bound to"):
+        update_window_summary(
+            spark,
+            os.path.join(d, "summary_window.parquet"),
+            dsum,
+            ev,
+            entity="event_type",
+        )
+
+    # meta-less keycount pair table rebuilds exactly from the fact
+    # table for the caller's binding
+    pair = os.path.join(d, SUMMARY_TYPE_USER_DIRNAME)
+    os.remove(os.path.join(pair, "_nerd_meta.json"))
+    b2 = ev.limit(0)
+    update_keycount_summaries(spark, d, b2, batch_id="b2")
+    assert read_summary_meta(spark, pair) == {
+        "entity": "user_id",
+        "type_col": "event_type",
+    }
+    got = {
+        (r.et, r.u): r.cnt
+        for r in spark.read.parquet(pair).drop("wb").collect()
+    }
+    want = {
+        (r.et, r.u): r.cnt
+        for r in ev.groupBy(
+            F.col("event_type").alias("et"), F.col("user_id").alias("u")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
+
+    # meta-less daily (no route to the fact table from a bare summary
+    # path): stamped with the caller's binding, state kept
+    os.remove(os.path.join(dsum, "_nerd_meta.json"))
+    before = _rows(spark.read.parquet(dsum))
+    update_daily_summary(spark, dsum, ev.limit(0), batch_id="b3")
+    assert read_summary_meta(spark, dsum) == {"entity": "user_id"}
+    assert _rows(spark.read.parquet(dsum)) == before
