@@ -495,3 +495,126 @@ def test_null_category_corpus_serves_equal_raw(spark, tmp_path):
 
     for q in (a5_type_profile, a2_window_totals, cohort_retention_q):
         assert rows(q(spark, d)) == rows(q(spark, raw)), q.__name__
+
+
+def test_staged_commit_tear_sweep_window_dayroll(spark, tmp_path, monkeypatch):
+    """Tear sweep over the window summary's DAY-ROLL commit — the one
+    full-table rewrite shape (full=True: stale buckets deleted, all
+    buckets swapped) with the discard-only recovery (a torn window
+    commit leaves no gate, and the next fold's rebuild path derives
+    everything from the daily summary without reading the mixed live
+    state). Crash at every mutating-op boundary, replay, and require
+    the window table to equal the one-shot rebuild."""
+    import pytest
+
+    from pyspark.sql import functions as F2
+
+    from nerd_spark.sources import fsutil as fsu
+    from nerd_spark.sources.layout import (
+        SUMMARY_DAILY_DIRNAME,
+        SUMMARY_WINDOW_DIRNAME,
+        update_daily_summary,
+        update_window_summary,
+    )
+
+    def mk_events(days):
+        return spark.range(240).select(
+            F2.col("id").alias("event_id"),
+            (
+                F2.to_timestamp(F2.lit("2024-03-01 00:00:00"))
+                + F2.make_interval(
+                    days=(F2.col("id") % F2.lit(days)).cast("int"),
+                    hours=(F2.col("id") * 3 % 24).cast("int"),
+                )
+            ).alias("ts"),
+            F2.pmod("id", F2.lit(7)).alias("user_id"),
+            F2.element_at(
+                F2.array(F2.lit("view"), F2.lit("click"), F2.lit("error")),
+                (F2.col("id") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (F2.col("id") % 13 / 2.0).alias("value"),
+        )
+
+    ev = mk_events(4)
+    b1 = ev.filter(F2.to_date("ts") <= F2.lit("2024-03-02"))
+    b2 = ev.filter(F2.to_date("ts") > F2.lit("2024-03-02"))  # day-roll
+
+    class Torn(Exception):
+        pass
+
+    state = {"budget": None, "ops": 0}
+    real = {
+        n: getattr(fsu, n)
+        for n in ("delete", "rename", "touch", "write_text", "mkdirs")
+    }
+
+    def wrap(name):
+        fn = real[name]
+
+        def inner(*a, **kw):
+            if state["budget"] is not None:
+                state["ops"] += 1
+                if state["ops"] > state["budget"]:
+                    raise Torn(f"op {state['ops']} ({name})")
+            return fn(*a, **kw)
+
+        return inner
+
+    for n in real:
+        monkeypatch.setattr(fsu, n, wrap(n))
+
+    def budgeted_swap(spark_, staging_, table_, prefix_):
+        moved = []
+        for nm in sorted(fsu.list_names(spark_, staging_)):
+            if not nm.startswith(prefix_):
+                continue
+            dest = os.path.join(table_, nm)
+            fsu.delete(spark_, dest, recursive=True)
+            assert fsu.rename(spark_, os.path.join(staging_, nm), dest)
+            moved.append(nm)
+        return moved
+
+    monkeypatch.setattr(fsu, "swap_partition_dirs", budgeted_swap)
+
+    def build(base, batches):
+        dp = os.path.join(base, SUMMARY_DAILY_DIRNAME)
+        wp = os.path.join(base, SUMMARY_WINDOW_DIRNAME)
+        for i, b in enumerate(batches):
+            update_daily_summary(spark, dp, b, batch_id=f"b{i}")
+            update_window_summary(spark, wp, dp, b, batch_id=f"b{i}")
+        return wp
+
+    oneshot = build(str(tmp_path / "oneshot"), [ev])
+    expected = _win_rows(spark.read.parquet(oneshot))
+
+    # probe: count the day-roll fold's mutating ops
+    probe = str(tmp_path / "probe")
+    pd_, pw = (
+        os.path.join(probe, SUMMARY_DAILY_DIRNAME),
+        os.path.join(probe, SUMMARY_WINDOW_DIRNAME),
+    )
+    update_daily_summary(spark, pd_, b1, batch_id="b1")
+    update_window_summary(spark, pw, pd_, b1, batch_id="b1")
+    update_daily_summary(spark, pd_, b2, batch_id="b2")
+    state.update(budget=10**9, ops=0)
+    update_window_summary(spark, pw, pd_, b2, batch_id="b2")
+    total_ops = state["ops"]
+    state["budget"] = None
+    assert total_ops >= 6
+    assert _win_rows(spark.read.parquet(pw)) == expected
+
+    for k in range(1, total_ops):
+        base = str(tmp_path / f"tear{k}")
+        dp = os.path.join(base, SUMMARY_DAILY_DIRNAME)
+        wp = os.path.join(base, SUMMARY_WINDOW_DIRNAME)
+        update_daily_summary(spark, dp, b1, batch_id="b1")
+        update_window_summary(spark, wp, dp, b1, batch_id="b1")
+        update_daily_summary(spark, dp, b2, batch_id="b2")
+        state.update(budget=k, ops=0)
+        with pytest.raises(Torn):
+            update_window_summary(spark, wp, dp, b2, batch_id="b2")
+        state["budget"] = None
+        update_window_summary(spark, wp, dp, b2, batch_id="b2")  # replay
+        assert _win_rows(spark.read.parquet(wp)) == expected, (
+            f"tear at op {k}"
+        )
