@@ -127,7 +127,23 @@ def write_column_stats(
     fsutil.rename(spark, tmp, final)
     if dir_mtime is not None:
         try:
-            fsutil.set_mtime(spark, table_dir, dir_mtime)
+            # Guard the restore: if a DATA write landed between the
+            # signature capture and here (a single-writer-contract
+            # violation, or an aggregate that outlived a concurrent
+            # batch), restoring the captured mtime would mask that
+            # write's clock bump — and every serve gate
+            # (gate-mtime >= data-dir-mtime) would report stale
+            # summaries as FRESH, serving wrong results instead of
+            # the conservative raw fallback. The discriminator is the
+            # dir signature, not the mtime (our own sidecar ops bump
+            # the mtime too, but hidden `_`/`.` files are excluded
+            # from the signature while any data write changes it):
+            # signature changed -> skip the restore, leaving the data
+            # write's bump visible so the gates park on raw — which
+            # is also correct for THIS sidecar, since it is pinned to
+            # the stale signature and readers will reject it.
+            if fsutil.dir_signature(spark, table_dir) == sig:
+                fsutil.set_mtime(spark, table_dir, dir_mtime)
         except Exception:
             pass
     _CACHE.pop(final, None)

@@ -16,6 +16,8 @@ entry counts (epochs, date partitions), never data-sized.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -172,6 +174,24 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+
+
+def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Atomic variant of :func:`write_text` for COMMIT-POINT sidecars
+    (the staged-fold manifest): the text lands under a temp name and is
+    :func:`rename`\\ d into place, so a reader can only ever observe the
+    file absent or complete — never a torn prefix. A plain write_text
+    commit point would let a crash mid-write leave a partial JSON that
+    a recovery path might mistake for a reached commit. The temp name
+    keeps the sidecar's hidden `_`/`.` prefix so dir_signature and
+    partition discovery never see it."""
+    base = os.path.basename(path)
+    prefixed = base if base[:1] in ("_", ".") else "." + base
+    tmp = os.path.join(os.path.dirname(path), prefixed + ".inprogress")
+    write_text(spark, tmp, text)
+    delete(spark, path)
+    if not rename(spark, tmp, path):
+        raise IOError(f"write_text_atomic: rename failed: {tmp} -> {path}")
 
 
 def read_text(spark: SparkSession, path: str) -> str | None:

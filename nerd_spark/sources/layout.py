@@ -779,10 +779,14 @@ def update_daily_summary(
     # binding guard: a bare summary path carries no route back to its
     # fact table, so a meta-less legacy/crash dir is STAMPED with this
     # call's binding rather than rebuilt; a genuine mismatch raises.
-    _fold_binding(
+    verdict = _fold_binding(
         spark, summary_path, {"entity": entity}, has_state,
         "update_daily_summary",
     )
+    if verdict == "rebuild":
+        _warn_metaless_adoption(
+            "update_daily_summary", summary_path, {"entity": entity}
+        )
     if has_state:
         existing = (
             spark.read.parquet(summary_path)
@@ -1147,10 +1151,14 @@ def update_merged_summary(
         f.startswith("wb=") for f in fsutil.list_names(spark, summary_path)
     )
     # stamp-on-missing: no data_dir route back to the fact table here
-    _fold_binding(
+    verdict = _fold_binding(
         spark, summary_path, {"entity": entity}, has_state,
         "update_merged_summary",
     )
+    if verdict == "rebuild":
+        _warn_metaless_adoption(
+            "update_merged_summary", summary_path, {"entity": entity}
+        )
     if has_state:
         touched = [r.wb for r in bs.select("wb").distinct().collect()]
         old = (
@@ -1299,7 +1307,10 @@ def _staged_swap_recover(
     after a torn swap the live table mixes old and new partitions and
     is not a valid merge input.
 
-    - no manifest, or the reader gate is back up (the table committed
+    - no manifest (or an unparseable one — the atomic manifest write
+      means a torn commit point reads as absent, and anything else
+      unparseable predates the commit decision), or the reader gate is
+      back up (the table committed
       since: a seed/rebuild, a prune cycle, or the ledger-skip path
       re-touching after a tear between ledger and gate), or
       ``resume=False``: the staging copy is garbage — discard it;
@@ -1327,14 +1338,21 @@ def _staged_swap_recover(
         return
     txt = fsutil.read_text(spark, os.path.join(staging, _STAGING_MANIFEST))
     gate_up = fsutil.exists(spark, os.path.join(table_path, gate_name))
+    try:
+        bid = json.loads(txt).get("batch_id") if txt is not None else None
+    except (ValueError, AttributeError):
+        # The manifest is written atomically (temp + rename), so a
+        # readable-but-unparseable manifest means the commit point was
+        # never durably reached (pre-atomic artifact, torn non-atomic
+        # filesystem) — resuming would swap the batch in with no
+        # ledger entry and replay would double-count it. Discard: the
+        # live table is untouched and the fold simply re-runs.
+        txt = None
+        bid = None
     if txt is None or gate_up or not resume:
         fsutil.delete(spark, staging, recursive=True)
         return
     fsutil.swap_partition_dirs(spark, staging, table_path, part_col + "=")
-    try:
-        bid = json.loads(txt).get("batch_id")
-    except (ValueError, AttributeError):
-        bid = None
     if bid is not None:
         _fold_ledger_record(spark, table_path, bid)
     fsutil.delete(spark, staging, recursive=True)
@@ -1399,8 +1417,13 @@ def _staged_partition_commit(
         n for n in fsutil.list_names(spark, staging) if n.startswith(prefix)
     ]
     # commit point: manifest AFTER the write job, BEFORE anything
-    # destructive — from here _staged_swap_recover can finish the job
-    fsutil.write_text(
+    # destructive — from here _staged_swap_recover can finish the job.
+    # Atomic (temp name + rename): the manifest's existence IS the
+    # commit decision, so a crash mid-write must leave it absent, not
+    # torn — a torn manifest would read as "commit reached" while its
+    # batch_id is unrecoverable, and the recovery swap would apply the
+    # batch unledgered (replay would then double-count it).
+    fsutil.write_text_atomic(
         spark,
         os.path.join(staging, _STAGING_MANIFEST),
         json.dumps({"batch_id": batch_id, "part_col": part_col}),
@@ -1466,6 +1489,31 @@ def _fold_binding(
                 "events instead"
             )
     return "fold"
+
+
+def _warn_metaless_adoption(what: str, state_path: str, binding: dict) -> None:
+    """Audit trail for the stamp-on-missing folds (daily/merged
+    summary): those state dirs carry no route back to a fact table, so
+    a meta-less dir (pre-binding legacy layout, or a crash that lost
+    the sidecar) is ADOPTED and stamped with the caller's binding
+    rather than rebuilt. If the dir was genuinely built under a
+    different binding, the adoption merges mismatched semantics with
+    no raised error — exactly what the binding guard exists to
+    prevent — so say it loudly (the window summary's lossy first-build
+    warning is the model): operators can audit legacy dirs instead of
+    discovering corrupted summaries later."""
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: state at %s has data but no binding sidecar (pre-binding "
+        "legacy dir or crash artifact); ADOPTING it under %r. If it "
+        "was built with different parameters this fold merges "
+        "mismatched semantics — verify the dir's provenance or delete "
+        "it to force a clean rebuild",
+        what,
+        state_path,
+        binding,
+    )
 
 
 def _staged_commit_finalize(spark: SparkSession, table_path: str) -> None:

@@ -209,3 +209,52 @@ def test_amortized_refresh_growth_gate(spark, stats_table):
         spark.read.parquet(stats_table), ["user_id"]
     )
     assert nd is not None and 30 <= nd <= 45
+
+
+def test_mtime_restore_skipped_when_data_written(spark, tmp_path, monkeypatch):
+    """The sidecar write restores the table dir's mtime (the serve
+    gates' staleness clock) — but ONLY when no data write landed
+    since the signature capture (ADVICE r12). A data file appearing
+    inside the stats window must leave the dir's mtime bump visible
+    (restoring would mask it and the gates would serve stale
+    summaries as fresh); the signature — which ignores hidden
+    sidecars but sees any data change — is the discriminator."""
+    path = str(tmp_path / "events.parquet")
+    _mk_events(spark, path)
+
+    calls = []
+    real_set = fsutil.set_mtime
+
+    def spy_set(spark_, p_, mt_):
+        calls.append(p_)
+        return real_set(spark_, p_, mt_)
+
+    monkeypatch.setattr(fsutil, "set_mtime", spy_set)
+
+    # control: clean single-writer window -> the restore runs
+    colstats.write_column_stats(spark, path, ["user_id"])
+    assert calls == [path]
+
+    # inject a DATA write between the signature capture and the
+    # restore: ride the sidecar's own tmp write_text
+    calls.clear()
+    real_write = fsutil.write_text
+
+    def write_with_concurrent_data(spark_, p_, text_):
+        if p_.endswith(".tmp"):
+            (
+                spark.range(5)
+                .select(
+                    F.col("id").cast("string").alias("user_id"),
+                    F.lit("x").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(path)
+            )
+        return real_write(spark_, p_, text_)
+
+    monkeypatch.setattr(fsutil, "write_text", write_with_concurrent_data)
+    colstats.write_column_stats(spark, path, ["user_id"])
+    assert calls == []  # restore skipped: the data write's bump stays

@@ -770,3 +770,132 @@ def test_fold_binding_guards(spark, sf_dir, tmp_path):
     update_daily_summary(spark, dsum, ev.limit(0), batch_id="b3")
     assert read_summary_meta(spark, dsum) == {"entity": "user_id"}
     assert _rows(spark.read.parquet(dsum)) == before
+
+
+def test_metaless_adoption_warns(spark, sf_dir, tmp_path, caplog):
+    """The stamp-on-missing folds (daily/merged — no route back to a
+    fact table) ADOPT a meta-less state dir; since a genuinely
+    foreign-bound legacy dir would then merge mismatched semantics
+    with no raised error, the adoption must leave an audit trail
+    (ADVICE r12): a logged warning naming the dir and the stamped
+    binding."""
+    import logging
+
+    from nerd_spark.sources.layout import update_merged_summary
+
+    ev = read_table(spark, sf_dir, "events")
+    dsum = os.path.join(str(tmp_path), "summary_daily.parquet")
+    msum = os.path.join(str(tmp_path), "summary_merged.parquet")
+    update_daily_summary(spark, dsum, ev, batch_id="b1")
+    update_merged_summary(spark, msum, ev, batch_id="b1")
+
+    for p in (dsum, msum):
+        os.remove(os.path.join(p, "_nerd_meta.json"))
+    with caplog.at_level(logging.WARNING, logger="nerd_spark.sources.layout"):
+        update_daily_summary(spark, dsum, ev.limit(0), batch_id="b2")
+        update_merged_summary(spark, msum, ev.limit(0), batch_id="b2")
+    adopt = [r for r in caplog.records if "ADOPTING" in r.getMessage()]
+    assert len(adopt) == 2
+    assert dsum in adopt[0].getMessage() and msum in adopt[1].getMessage()
+
+    # a normal (meta present) fold does not warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="nerd_spark.sources.layout"):
+        update_daily_summary(spark, dsum, ev.limit(0), batch_id="b3")
+    assert not [r for r in caplog.records if "ADOPTING" in r.getMessage()]
+
+
+def test_corrupt_manifest_discarded_not_resumed(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """A staging dir whose manifest is readable but UNPARSEABLE (torn
+    by a pre-atomic writer or a non-atomic filesystem) means the
+    commit point was never durably reached: recovery must DISCARD the
+    staging copy, not swap it in (ADVICE r12). Resuming would apply
+    the batch with bid=None — no ledger entry — and the fold's replay
+    of the same batch would then merge it a second time (double count
+    in every additive fold). Constructed here: crash BEFORE the swap
+    (live table holds only b1, staging holds merged b1+b2), truncate
+    the manifest mid-JSON, replay b2 — the converged state must equal
+    the one-shot rebuild."""
+    import pytest
+
+    from nerd_spark.sources import fsutil as fsu
+    from nerd_spark.sources.layout import _STAGING_MANIFEST, _ledger_ids
+
+    ev = read_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    dsum = os.path.join(str(tmp_path), "summary")
+    update_daily_summary(spark, dsum, b1, batch_id="b1")
+
+    real_swap = fsu.swap_partition_dirs
+
+    def crash_before_swap(*a, **kw):
+        raise RuntimeError("simulated pre-swap crash")
+
+    monkeypatch.setattr(fsu, "swap_partition_dirs", crash_before_swap)
+    with pytest.raises(RuntimeError, match="simulated"):
+        update_daily_summary(spark, dsum, b2, batch_id="b2")
+    monkeypatch.setattr(fsu, "swap_partition_dirs", real_swap)
+
+    # tear the manifest: readable, half its JSON
+    staging = dsum.rstrip("/") + ".staging"
+    mpath = os.path.join(staging, _STAGING_MANIFEST)
+    torn = fsu.read_text(spark, mpath)[: len('{"batch_id": "b') ]
+    fsu.write_text(spark, mpath, torn)
+
+    update_daily_summary(spark, dsum, b2, batch_id="b2")
+    assert not os.path.exists(staging)
+    assert "b2" in _ledger_ids(spark, dsum)
+
+    oneshot = os.path.join(str(tmp_path), "oneshot")
+    update_daily_summary(spark, oneshot, ev)
+    assert _rows(spark.read.parquet(dsum)) == _rows(
+        spark.read.parquet(oneshot)
+    )
+
+
+def test_manifest_mid_write_tear_leaves_no_manifest(spark, sf_dir, tmp_path,
+                                                    monkeypatch):
+    """The commit-point manifest is written atomically (temp name +
+    rename), so a crash MID-WRITE — the case the op-boundary tear
+    sweeps cannot reach (their wrapped write_text raises before or
+    after a complete write) — leaves the manifest path ABSENT, the
+    recovery discards the unfinished staging dir, and the replay
+    converges to the one-shot rebuild."""
+    import pytest
+
+    from nerd_spark.sources import fsutil as fsu
+    from nerd_spark.sources.layout import _STAGING_MANIFEST
+
+    ev = read_table(spark, sf_dir, "events")
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    dsum = os.path.join(str(tmp_path), "summary")
+    update_daily_summary(spark, dsum, b1, batch_id="b1")
+
+    real_write = fsu.write_text
+
+    def torn_write(spark_, path_, text_):
+        if _STAGING_MANIFEST in os.path.basename(path_):
+            real_write(spark_, path_, text_[: len(text_) // 2])
+            raise RuntimeError("simulated mid-write crash")
+        return real_write(spark_, path_, text_)
+
+    monkeypatch.setattr(fsu, "write_text", torn_write)
+    with pytest.raises(RuntimeError, match="simulated"):
+        update_daily_summary(spark, dsum, b2, batch_id="b2")
+    monkeypatch.setattr(fsu, "write_text", real_write)
+
+    staging = dsum.rstrip("/") + ".staging"
+    # the torn bytes live under the temp name only: no manifest, so
+    # this staging dir reads as "commit never reached"
+    assert not os.path.exists(os.path.join(staging, _STAGING_MANIFEST))
+
+    update_daily_summary(spark, dsum, b2, batch_id="b2")
+    assert not os.path.exists(staging)
+    oneshot = os.path.join(str(tmp_path), "oneshot")
+    update_daily_summary(spark, oneshot, ev)
+    assert _rows(spark.read.parquet(dsum)) == _rows(
+        spark.read.parquet(oneshot)
+    )
