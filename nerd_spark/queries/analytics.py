@@ -1110,9 +1110,9 @@ def funnel_stages_served(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@query(
-    "cohort_retention",
-    """
+# Shared by cohort_retention (raw/serve-gated) and
+# cohort_retention_served (in-query fold+serve) — one oracle text.
+_COHORT_SQL = """
     WITH a AS (
       SELECT user_id,
              min(CASE WHEN event_type = 'signup'
@@ -1140,8 +1140,10 @@ def funnel_stages_served(spark, sf_dir):
     SELECT cnt.cohort_date, period, cohort_size, active_users,
            round(active_users * 1.0 / cohort_size, 6) AS retention
     FROM cnt JOIN sizes ON cnt.cohort_date = sizes.cohort_date
-    """,
-)
+    """
+
+
+@query("cohort_retention", _COHORT_SQL)
 def cohort_retention_q(spark, sf_dir):
     # Weekly day-granularity cohort retention anchored on first
     # signup (operators/funnels.py): ONE shuffle on the user key —
@@ -1186,6 +1188,46 @@ def cohort_retention_q(spark, sf_dir):
             COHORT_DEFAULTS["n_periods"],
         )
     return cohort_retention(t(spark, sf_dir, "events"), "signup")
+
+
+@query("cohort_retention_served", _COHORT_SQL)
+def cohort_retention_served(spark, sf_dir):
+    # Serve-tier certification of the COHORT fold under the driver's
+    # hash gate (r12 verdict #2 — the funnel_stages_served recipe
+    # applied to the day-set/anchor-min merge algebra): fold two
+    # batches with distinct batch_ids through update_cohort_summary
+    # into a scratch dir inside the query body, then answer from the
+    # RESULT CACHE it maintains — certifying the monotone-set state
+    # merge AND the result derivation against cohort_retention's
+    # oracle. The result is localCheckpointed before the scratch dir
+    # is removed.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.sources.layout import (
+        SUMMARY_COHORT_RESULT_DIRNAME,
+        update_cohort_summary,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_cohort_served_")
+    try:
+        update_cohort_summary(
+            spark, d, ev.filter(F.col("event_id") % 2 == 0), batch_id="a"
+        )
+        update_cohort_summary(
+            spark, d, ev.filter(F.col("event_id") % 2 == 1), batch_id="b"
+        )
+        res = spark.read.parquet(
+            os.path.join(d, SUMMARY_COHORT_RESULT_DIRNAME)
+        )
+        return res.select(
+            "cohort_date", "period", "cohort_size", "active_users",
+            "retention",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

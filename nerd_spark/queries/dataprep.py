@@ -520,17 +520,19 @@ def tfidf_top_terms(spark, sf_dir):
     return KW.tfidf_top_terms(docs, k=3)
 
 
-@query(
-    "hh_event_users",
-    """
+# Shared by hh_event_users (raw/serve-gated) and hh_users_served
+# (in-query fold+serve) — one oracle text.
+_HH_USERS_SQL = """
     WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
     tot AS (SELECT count(*) AS n FROM src),
     c AS (SELECT user_id, count(*) AS cnt FROM src GROUP BY 1)
     SELECT user_id, cnt,
            round(cnt / (SELECT n FROM tot), 6) AS share
     FROM c WHERE cnt >= 0.005 * (SELECT n FROM tot)
-    """,
-)
+    """
+
+
+@query("hh_event_users", _HH_USERS_SQL)
 def hh_event_users(spark, sf_dir):
     # Exact heavy hitters (top talkers) WITHOUT a full-cardinality
     # shuffle: batch-local candidate screen (guaranteed superset by
@@ -569,6 +571,43 @@ def hh_event_users(spark, sf_dir):
         )
     ev = t(spark, sf_dir, "events")
     return SK.heavy_hitters(ev, "user_id", min_frac=HH_USERS_MIN_FRAC)
+
+
+@query("hh_users_served", _HH_USERS_SQL)
+def hh_users_served(spark, sf_dir):
+    # Serve-tier certification of the KEYCOUNT fold under the
+    # driver's hash gate (r12 verdict #2 — the funnel_stages_served
+    # recipe applied to the additive count algebra): fold two batches
+    # with distinct batch_ids through update_keycount_summaries into
+    # a scratch dir inside the query body, then answer from the
+    # hh RESULT CACHE it maintains — certifying the pair-table fold,
+    # the totals re-derivation, AND the threshold resolution against
+    # hh_event_users' oracle. localCheckpointed before the scratch
+    # dir is removed.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.sources.layout import (
+        SUMMARY_HH_USERS_RESULT_DIRNAME,
+        update_keycount_summaries,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_keycount_served_")
+    try:
+        update_keycount_summaries(
+            spark, d, ev.filter(F.col("event_id") % 2 == 0), batch_id="a"
+        )
+        update_keycount_summaries(
+            spark, d, ev.filter(F.col("event_id") % 2 == 1), batch_id="b"
+        )
+        res = spark.read.parquet(
+            os.path.join(d, SUMMARY_HH_USERS_RESULT_DIRNAME)
+        )
+        return res.select("user_id", "cnt", "share").localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _user_counts(spark, sf_dir):
