@@ -203,11 +203,36 @@ def main() -> None:
     # against the unoptimized files instead.
     data_dir = SF_DIR
     layout_sec = 0.0
+    serve_status: list[dict] = []
     if os.environ.get("SPARK_GRAFT_BENCH_LAYOUT", "optimized") != "raw":
         data_dir = tempfile.mkdtemp(prefix="nerd_spark_layout_")
         t0 = time.perf_counter()
         optimize_layout(spark, SF_DIR, data_dir)
         layout_sec = round(time.perf_counter() - t0, 3)
+        # Serve-status precondition (r12 verdict #4): a regression of
+        # the colstats-staleness-clock class silently parks every
+        # serve on the raw fallback — the bench would then measure raw
+        # paths while reporting serve-tier numbers. Fail LOUDLY
+        # instead: every serve table the layout build created must be
+        # committed (gated), fresh against the events mtime clock, and
+        # not mid-commit (no staging sibling). Absent tables are fine —
+        # raw fallback is the designed degradation for dirs that never
+        # built them.
+        from nerd_spark.sources.layout import serve_table_status
+
+        serve_status = serve_table_status(spark, data_dir)
+        bad = [
+            r["table"]
+            for r in serve_status
+            if r["present"]
+            and not (r["gated"] and r["fresh"] and not r["staging"])
+        ]
+        if bad:
+            raise RuntimeError(
+                "bench precondition failed: serve tables stale/orphaned "
+                f"after layout build: {bad}; every serve-tier timing "
+                "below would silently measure the raw fallback"
+            )
 
     for name in (
         "lineitem orders customer nation region events documents embeddings".split()
@@ -227,18 +252,49 @@ def main() -> None:
     # phantom ~40% "regression" that was pure machine load). The
     # first-pass headline_total stays single-pass for round-over-round
     # comparability; run metadata below lets a reader judge noise.
+    #
+    # The DuckDB comparator runs INTERLEAVED inside the same passes
+    # (r12 verdict #3): committed wall-times from two consecutive
+    # degraded host windows proved non-comparable across rounds, but a
+    # same-window engine/duck ratio cancels the host term — so the
+    # committed row now carries per-query ratios a future round can
+    # diff regardless of host health. Same data dir, same oracle SQL
+    # the correctness gate runs.
     import statistics
 
+    from nerd_spark.queries import ORACLE
+
+    try:
+        from bench_duckdb import duck_connect
+
+        duck_con = duck_connect(data_dir)
+    except Exception:
+        duck_con = None  # comparator optional: never fail the bench
     warm_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    duck_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
             fn = REGISTRY[name]
             t0 = time.perf_counter()
             fn(spark, data_dir).write.format("noop").mode("overwrite").save()
             warm_runs[name].append(time.perf_counter() - t0)
+            if duck_con is not None and name in ORACLE:
+                t0 = time.perf_counter()
+                duck_con.execute(ORACLE[name]).fetchall()
+                duck_runs[name].append(time.perf_counter() - t0)
     warm = {
         name: round(statistics.median(runs), 3)
         for name, runs in warm_runs.items()
+    }
+    comparator = {
+        name: round(statistics.median(runs), 3)
+        for name, runs in duck_runs.items()
+        if runs
+    }
+    queries_ratio = {
+        name: round(warm[name] / comparator[name], 3)
+        for name in comparator
+        if comparator[name] > 0
     }
 
     extended: dict[str, float] = {}
@@ -282,6 +338,22 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "warm_queries": warm,
         "warm_passes": 3,
+        # interleaved same-window comparator: these three fields are
+        # the round-over-round comparable artifact; the wall-times
+        # above are only comparable between same-canary windows
+        "comparator_total": round(sum(comparator.values()), 3),
+        "comparator_queries": comparator,
+        "queries_ratio": queries_ratio,
+        "ratio_overall": round(
+            sum(warm[n] for n in comparator)
+            / max(sum(comparator.values()), 1e-9),
+            3,
+        )
+        if comparator
+        else None,
+        "serve_tables_fresh": sum(
+            1 for r in serve_status if r["present"]
+        ),
         "extended_total": round(sum(extended.values()), 3),
         "extended_queries": extended,
         "curation_stages": curation_stages,
@@ -321,6 +393,10 @@ def main() -> None:
             "warm_total",
             "warm_passes",
             "extended_total",
+            "comparator_total",
+            "queries_ratio",
+            "ratio_overall",
+            "serve_tables_fresh",
             "run_meta",
         )
     }

@@ -2,7 +2,10 @@
 """DuckDB comparator timing for the headline queries: runs each
 query's oracle SQL over the same parquet dir and prints one JSON line
 {"queries": {name: sec}, "value": total}. Used for the PLANS.md
-engine-vs-comparator ratio at each scale point."""
+engine-vs-comparator ratio at each scale point, and imported by
+bench.py for the INTERLEAVED per-query ratios in the committed bench
+row (same-window engine/duck is the only ratio that survives degraded
+host windows — r12 verdict #3)."""
 
 from __future__ import annotations
 
@@ -18,12 +21,10 @@ import duckdb  # noqa: E402
 from bench import HEADLINE  # noqa: E402
 
 
-def main() -> None:
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    from nerd_spark.queries import ORACLE
-
+def duck_connect(data_dir: str) -> "duckdb.DuckDBPyConnection":
+    """A DuckDB connection with every testdata table registered as a
+    view over the SAME parquet files the engine reads — including the
+    layout-optimized-dir shims (nanos-long ts)."""
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem "
@@ -48,6 +49,16 @@ def main() -> None:
                     f"FROM '{path}'"
                 )
         con.execute(f"CREATE VIEW {name} AS {sel}")
+    return con
+
+
+def main() -> None:
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    from nerd_spark.queries import ORACLE
+
+    con = duck_connect(data_dir)
     timings = {}
     for name in HEADLINE:
         if name not in ORACLE:
