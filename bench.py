@@ -54,6 +54,13 @@ EXTENDED = [
     "dedup_containment",
     # round-11: curation funnel + containment subset-copy stage
     "corpus_curation_v4",
+    # round-13: absolute-count heavy keys — the scale-stable hh
+    # bindings whose served answers stay NON-EMPTY at bench scale
+    # (the fractional hh thresholds go empty above sf0.01, so their
+    # rows above time empty answers; these are the load-bearing
+    # serve measurements for the keycount family)
+    "hh_users_min_count",
+    "hh_by_type_min_count",
 ]
 
 # Representative cut across operator families; excludes the

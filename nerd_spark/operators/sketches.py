@@ -125,6 +125,100 @@ def heavy_hitters_from_counts(
     )
 
 
+def heavy_keys_min_count_from_counts(
+    counts: DataFrame, key_col: str, min_count: int
+) -> DataFrame:
+    """:func:`heavy_keys_min_count` served from the maintained
+    per-key count table — same O(keys) two-scan shape (and the same
+    key-grain contract) as :func:`heavy_hitters_from_counts`, with an
+    ABSOLUTE count threshold instead of a corpus fraction."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    src = counts.select(key_col, "cnt").filter(F.col(key_col).isNotNull())
+    tot = src.agg(F.sum("cnt").alias("n"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+def heavy_keys_min_count(
+    df: DataFrame, key_col: str, min_count: int
+) -> DataFrame:
+    """Keys with an ABSOLUTE count >= min_count ("entities with at
+    least N events" — the reference's per-entity event-count triggers,
+    e.g. categorization thresholds counting n events over a window).
+
+    This is the SCALE-STABLE heavy-key binding: a fractional
+    heavy-hitter threshold (min_frac * corpus) goes empty the moment
+    the corpus grows faster than any single key's count — which is
+    exactly what happens when a key's event rate is bounded (an IP
+    emits at line rate, a user clicks at human rate) while ingest
+    retains more history. An absolute threshold keeps the answer
+    meaningful (and its serve measurements load-bearing) at every SF.
+
+    Plain map-side-combined count + filter: partial aggregation
+    shrinks the shuffle to (distinct keys x partitions), which is the
+    floor any exact per-key count pays; no screen applies (an absolute
+    threshold carries no averaging-argument bound relative to corpus
+    size). Returns (key_col, cnt, share); null keys ignored."""
+    counts = (
+        df.select(F.col(key_col)).filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return heavy_keys_min_count_from_counts(counts, key_col, min_count)
+
+
+def heavy_keys_min_count_by_from_counts(
+    counts: DataFrame, group_col: str, key_col: str, min_count: int
+) -> DataFrame:
+    """Per-group variant served from the maintained (group, key)
+    count table — the :func:`heavy_hitters_by_from_counts` shape with
+    an absolute threshold; share stays relative to the group total."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    hist = counts.select(
+        F.col(group_col).alias("g"), F.col(key_col).alias("k"), "cnt"
+    ).filter(F.col("k").isNotNull() & F.col("g").isNotNull())
+    ng = hist.groupBy("g").agg(F.sum("cnt").alias("n"))
+    return (
+        hist.join(ng, "g")
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("k").alias(key_col),
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+def heavy_keys_min_count_by(
+    df: DataFrame, group_col: str, key_col: str, min_count: int
+) -> DataFrame:
+    """(group, key) pairs with an absolute count >= min_count — see
+    :func:`heavy_keys_min_count` for why the absolute binding is the
+    scale-stable one. One map-side-combined pair count; the per-group
+    totals derive from the same aggregate."""
+    counts = (
+        df.select(group_col, key_col)
+        .filter(
+            F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .groupBy(group_col, key_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    return heavy_keys_min_count_by_from_counts(
+        counts, group_col, key_col, min_count
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     key_col: str,

@@ -573,6 +573,110 @@ def hh_event_users(spark, sf_dir):
     return SK.heavy_hitters(ev, "user_id", min_frac=HH_USERS_MIN_FRAC)
 
 
+@query(
+    "hh_users_min_count",
+    """
+    WITH src AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM src),
+    c AS (SELECT user_id, count(*) AS cnt FROM src GROUP BY 1)
+    SELECT user_id, cnt,
+           round(cnt / (SELECT n FROM tot), 6) AS share
+    FROM c WHERE cnt >= 50
+    """,
+)
+def hh_users_min_count(spark, sf_dir):
+    # Absolute-count heavy keys — "users with >= 50 events" (the
+    # reference's per-entity event-count trigger shape, and the
+    # SCALE-STABLE companion to hh_event_users: a fractional
+    # threshold goes empty once the corpus outgrows any single key's
+    # bounded event rate, so above sf0.01 its serve measurements time
+    # empty answers; this binding stays non-empty and selective at
+    # every SF). Serve tiers: the meta-bound resolved answer, then
+    # the ingest-maintained per-entity count table, then one plain
+    # map-side-combined count over raw events.
+    from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        HH_USERS_MIN_COUNT,
+        SUMMARY_HH_MINCOUNT_RESULT_DIRNAME,
+    )
+
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_HH_MINCOUNT_RESULT_DIRNAME,
+        {"entity": "user_id", "min_count": HH_USERS_MIN_COUNT},
+        ("user_id", "cnt", "share"),
+    )
+    if res is not None:
+        return res.select("user_id", "cnt", "share")
+    cnts = _user_counts(spark, sf_dir)
+    if cnts is not None:
+        return SK.heavy_keys_min_count_from_counts(
+            cnts.withColumnRenamed("u", "user_id"),
+            "user_id",
+            HH_USERS_MIN_COUNT,
+        )
+    ev = t(spark, sf_dir, "events")
+    return SK.heavy_keys_min_count(ev, "user_id", HH_USERS_MIN_COUNT)
+
+
+@query(
+    "hh_by_type_min_count",
+    """
+    WITH src AS (
+      SELECT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    tot AS (SELECT event_type, count(*) AS n FROM src GROUP BY 1),
+    c AS (SELECT event_type, user_id, count(*) AS cnt FROM src GROUP BY 1, 2)
+    SELECT c.event_type, c.user_id, c.cnt,
+           round(c.cnt / t.n, 6) AS share
+    FROM c JOIN tot t ON c.event_type = t.event_type
+    WHERE c.cnt >= 15
+    """,
+)
+def hh_by_type_min_count(spark, sf_dir):
+    # Per-group absolute-count heavy keys — "(type, user) pairs with
+    # >= 15 events" (see hh_users_min_count for why the absolute
+    # binding is the scale-stable one). Serve tiers: resolved answer,
+    # then the (type, entity) count table, then one pair count.
+    from nerd_spark.operators import sketches as SK
+    from nerd_spark.queries.analytics import _event_serve_table
+    from nerd_spark.sources.layout import (
+        HH_BY_TYPE_MIN_COUNT,
+        SUMMARY_HH_BY_MINCOUNT_RESULT_DIRNAME,
+    )
+
+    res = _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_HH_BY_MINCOUNT_RESULT_DIRNAME,
+        {
+            "group": "event_type",
+            "entity": "user_id",
+            "min_count": HH_BY_TYPE_MIN_COUNT,
+        },
+        ("event_type", "user_id", "cnt", "share"),
+    )
+    if res is not None:
+        return res.select("event_type", "user_id", "cnt", "share")
+    cnts = _type_user_counts(spark, sf_dir)
+    if cnts is not None:
+        return SK.heavy_keys_min_count_by_from_counts(
+            cnts.withColumnRenamed("et", "event_type").withColumnRenamed(
+                "u", "user_id"
+            ),
+            "event_type",
+            "user_id",
+            HH_BY_TYPE_MIN_COUNT,
+        )
+    ev = t(spark, sf_dir, "events")
+    return SK.heavy_keys_min_count_by(
+        ev, "event_type", "user_id", HH_BY_TYPE_MIN_COUNT
+    )
+
+
 @query("hh_users_served", _HH_USERS_SQL)
 def hh_users_served(spark, sf_dir):
     # Serve-tier certification of the KEYCOUNT fold under the

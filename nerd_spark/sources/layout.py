@@ -103,6 +103,19 @@ SUMMARY_TOPFREQ_RESULT_DIRNAME = "summary_topfreq_result.parquet"
 HH_USERS_MIN_FRAC = 0.005
 HH_BY_TYPE_MIN_FRAC = 0.008
 TOPFREQ_K = 10
+# Absolute-count heavy-key bindings (r12 verdict #5): the fractional
+# thresholds above go EMPTY once the corpus outgrows any single key's
+# bounded event rate (0.005 x 16M events >> any user's count at the
+# replica shape), so their serve measurements above sf0.01 time empty
+# answers. "Keys with >= N events" is the scale-stable companion (the
+# reference's per-entity event-count trigger shape) — non-empty and
+# selective at every SF of this data.
+SUMMARY_HH_MINCOUNT_RESULT_DIRNAME = "summary_hh_mincount_result.parquet"
+SUMMARY_HH_BY_MINCOUNT_RESULT_DIRNAME = (
+    "summary_hh_by_mincount_result.parquet"
+)
+HH_USERS_MIN_COUNT = 50
+HH_BY_TYPE_MIN_COUNT = 15
 # Banded MinHash signatures of `documents` (id, b, h) at the default
 # (k=3 shingles, 4 bands x 3 rows) family — the persisted LSH index
 # the incremental-dedup contract assumes. Parameters are part of the
@@ -1706,6 +1719,15 @@ def _write_keycount_results(
     tf.coalesce(1).write.mode("overwrite").parquet(out)
     write_summary_meta(spark, out, {"entity": entity, "k": TOPFREQ_K})
     fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+    hm = SK.heavy_keys_min_count_from_counts(
+        tot, entity, HH_USERS_MIN_COUNT
+    ).localCheckpoint()
+    out = os.path.join(data_dir, SUMMARY_HH_MINCOUNT_RESULT_DIRNAME)
+    hm.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(
+        spark, out, {"entity": entity, "min_count": HH_USERS_MIN_COUNT}
+    )
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
     pair = (
         spark.read.parquet(
             os.path.join(data_dir, SUMMARY_TYPE_USER_DIRNAME)
@@ -1725,6 +1747,21 @@ def _write_keycount_results(
             "group": type_col,
             "entity": entity,
             "min_frac": HH_BY_TYPE_MIN_FRAC,
+        },
+    )
+    fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
+    hbm = SK.heavy_keys_min_count_by_from_counts(
+        pair, type_col, entity, HH_BY_TYPE_MIN_COUNT
+    ).localCheckpoint()
+    out = os.path.join(data_dir, SUMMARY_HH_BY_MINCOUNT_RESULT_DIRNAME)
+    hbm.coalesce(1).write.mode("overwrite").parquet(out)
+    write_summary_meta(
+        spark,
+        out,
+        {
+            "group": type_col,
+            "entity": entity,
+            "min_count": HH_BY_TYPE_MIN_COUNT,
         },
     )
     fsutil.touch(spark, os.path.join(out, "_SUCCESS"))
@@ -2258,6 +2295,8 @@ _SERVE_TABLES: tuple[tuple[str, str], ...] = (
     (SUMMARY_HH_USERS_RESULT_DIRNAME, "_SUCCESS"),
     (SUMMARY_HH_BY_TYPE_RESULT_DIRNAME, "_SUCCESS"),
     (SUMMARY_TOPFREQ_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_HH_MINCOUNT_RESULT_DIRNAME, "_SUCCESS"),
+    (SUMMARY_HH_BY_MINCOUNT_RESULT_DIRNAME, "_SUCCESS"),
     (SUMMARY_TOPK_VALUE_DIRNAME, "_SUCCESS"),
     (SUMMARY_VALUE_HIST_DIRNAME, "_SUCCESS"),
     (SUMMARY_VALUE_COUNTS_DIRNAME, "_SUCCESS"),

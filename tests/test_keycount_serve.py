@@ -94,6 +94,31 @@ def test_fold_equals_one_shot_and_serve(spark, tmp_path):
     assert _rows(top_frequent_users(spark, d)) == _rows(
         SK.top_frequent(ev, "user_id", k=10, initial_frac=0.005)
     )
+    # absolute-count bindings (scale-stable companions): served ==
+    # raw operator, and the answers are NON-EMPTY at this shape —
+    # the load-bearing property the fractional bindings lose above
+    # sf0.01 (r12 verdict #5)
+    from nerd_spark.queries.dataprep import (
+        hh_by_type_min_count,
+        hh_users_min_count,
+    )
+    from nerd_spark.sources.layout import (
+        HH_BY_TYPE_MIN_COUNT,
+        HH_USERS_MIN_COUNT,
+    )
+
+    hm = _rows(hh_users_min_count(spark, d))
+    assert hm == _rows(
+        SK.heavy_keys_min_count(ev, "user_id", HH_USERS_MIN_COUNT)
+    )
+    assert len(hm) > 0
+    hbm = _rows(hh_by_type_min_count(spark, d))
+    assert hbm == _rows(
+        SK.heavy_keys_min_count_by(
+            ev, "event_type", "user_id", HH_BY_TYPE_MIN_COUNT
+        )
+    )
+    assert len(hbm) > 0
 
 
 def test_staleness_falls_back_to_raw(spark, tmp_path):
