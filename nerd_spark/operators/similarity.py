@@ -234,13 +234,19 @@ def _default_centroids(e, n_lists: int):
     also provisions the full list count on sparse or offset id
     domains, where the filter silently yielded fewer — possibly zero —
     lists (ADVICE r7)."""
-    w0 = Window.orderBy("id")
+    # numbered without a WindowExec (sketches._rank_bounded shape):
+    # sort_array over the post-limit(n_lists) rows, list id = array
+    # position — no "No Partition Defined" warning in layout logs,
+    # one node less than the former unpartitioned row_number window
+    st = F.struct(F.col("id").alias("_id"), F.col("v").alias("_v"))
     return (
         e.orderBy("id")
         .limit(n_lists)
+        .agg(F.sort_array(F.collect_list(st)).alias("_a"))
+        .select(F.posexplode("_a").alias("_pos", "_r"))
         .select(
-            (F.row_number().over(w0) - 1).cast("long").alias("cid"),
-            F.col("v").alias("cv"),
+            F.col("_pos").cast("long").alias("cid"),
+            F.col("_r._v").alias("cv"),
         )
     )
 

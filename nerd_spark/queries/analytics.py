@@ -229,22 +229,25 @@ def _window_table(spark, sf_dir):
     absent/stale. Serving A2/A3/A6/A7 from it makes each a row-local
     projection over one O(entities) table — zero aggregation at query
     time; the (entities x days x cats) work happened once at ingest
-    (sources/layout.py::window_rollup / update_window_summary)."""
-    import os
+    (sources/layout.py::window_rollup / update_window_summary).
 
+    Routed through the memoized serve gate (_event_serve_table): the
+    schema probe doubles as the older-engine-version column gate (a
+    pre-daily-vectors table FALLS BACK to the raw recompute instead
+    of failing), and a repeat query pays only the freshness FS stats —
+    the per-call footer read was the dominant piece of this family's
+    sub-second floor (r12 verdict #6 piece timings in PLANS.md)."""
     from nerd_spark.sources.layout import SUMMARY_WINDOW_DIRNAME
 
-    if _summary_fresh(spark, sf_dir, SUMMARY_WINDOW_DIRNAME):
-        wt = spark.read.parquet(os.path.join(sf_dir, SUMMARY_WINDOW_DIRNAME))
-        # schema gate: a table written by an older engine version
-        # (pre-daily-vectors) must FALL BACK to the raw recompute,
-        # not fail the query on a missing column
-        required = {"entity", "total", "total1", "total7", "total30",
-                    "cats7", "nd_days", "cats_days", "err_days",
-                    "cat_counts30", "rep_events", "rep_err"}
-        if required.issubset(set(wt.columns)):
-            return wt
-    return None
+    return _event_serve_table(
+        spark,
+        sf_dir,
+        SUMMARY_WINDOW_DIRNAME,
+        {},
+        ("entity", "total", "total1", "total7", "total30",
+         "cats7", "nd_days", "cats_days", "err_days",
+         "cat_counts30", "rep_events", "rep_err"),
+    )
 
 
 @query(
@@ -760,6 +763,7 @@ def a16_rollup_revenue(spark, sf_dir):
     from nerd_spark.sources.layout import (
         SUMMARY_A16_DIRNAME,
         bucketed_pair,
+        read_summary_cached,
         summary_fresh,
     )
 
@@ -774,7 +778,7 @@ def a16_rollup_revenue(spark, sf_dir):
         sources=("orders.parquet", "customer.parquet"),
         expect_cols=("r_name", "n_name", "rev_u4"),
     ):
-        s = spark.read.parquet(os.path.join(sf_dir, SUMMARY_A16_DIRNAME))
+        s = read_summary_cached(spark, sf_dir, SUMMARY_A16_DIRNAME)
         return (
             s.rollup("r_name", "n_name")
             .agg(F.round(F.sum("rev_u4") / F.lit(1e4), 2).alias("revenue"))

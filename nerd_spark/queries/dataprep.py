@@ -1050,6 +1050,7 @@ def corpus_stats_card(spark, sf_dir):
         DOC_CARD_PROBS,
         SUMMARY_DOC_CARD_RESULT_DIRNAME,
         SUMMARY_DOC_TOKEN_HIST_DIRNAME,
+        read_summary_cached,
         read_summary_meta,
         summary_fresh,
     )
@@ -1072,7 +1073,9 @@ def corpus_stats_card(spark, sf_dir):
         cpath = _os.path.join(sf_dir, SUMMARY_DOC_CARD_RESULT_DIRNAME)
         meta = read_summary_meta(spark, cpath)
         if meta is not None and meta.get("probs") == list(DOC_CARD_PROBS):
-            return spark.read.parquet(cpath).select(
+            return read_summary_cached(
+                spark, sf_dir, SUMMARY_DOC_CARD_RESULT_DIRNAME
+            ).select(
                 "source", "n_docs", "total_tokens",
                 "p50_tokens", "p95_tokens",
             )
@@ -1083,8 +1086,8 @@ def corpus_stats_card(spark, sf_dir):
         ("documents.parquet",),
         ("src", "ntok", "cnt"),
     ):
-        h = spark.read.parquet(
-            _os.path.join(sf_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
+        h = read_summary_cached(
+            spark, sf_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME
         )
         vols = h.groupBy(F.col("src").alias("source")).agg(
             F.sum("cnt").alias("n_docs"),
@@ -1186,7 +1189,11 @@ def dedup_incremental(spark, sf_dir):
     # 33.7 -> 15.0 s), so tiny sources skip the index even when fresh.
     from nerd_spark.operators.dedup import _bytes_conf
     from nerd_spark.sources.fsutil import estimate_input_bytes
-    from nerd_spark.sources.layout import MINHASH_BANDS_DIRNAME, summary_fresh
+    from nerd_spark.sources.layout import (
+        MINHASH_BANDS_DIRNAME,
+        read_summary_cached,
+        summary_fresh,
+    )
 
     docs = t(spark, sf_dir, "documents")
     batch = lambda c: c % 5 == 4  # noqa: E731
@@ -1201,7 +1208,7 @@ def dedup_incremental(spark, sf_dir):
     ):
         import os
 
-        bands = spark.read.parquet(os.path.join(sf_dir, MINHASH_BANDS_DIRNAME))
+        bands = read_summary_cached(spark, sf_dir, MINHASH_BANDS_DIRNAME)
         return DD.incremental_minhash_pairs_indexed(docs, bands, batch)
     return DD.incremental_minhash_pairs(docs, batch)
 

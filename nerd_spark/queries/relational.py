@@ -53,7 +53,11 @@ def q1_pricing_summary(spark, sf_dir):
     # to the raw path (the driver's sf0.01 correctness runs).
     import os
 
-    from nerd_spark.sources.layout import SUMMARY_Q1_DIRNAME, summary_fresh
+    from nerd_spark.sources.layout import (
+        SUMMARY_Q1_DIRNAME,
+        read_summary_cached,
+        summary_fresh,
+    )
 
     if summary_fresh(
         spark,
@@ -66,7 +70,7 @@ def q1_pricing_summary(spark, sf_dir):
             "n_qty", "cnt",
         ),
     ):
-        s = spark.read.parquet(os.path.join(sf_dir, SUMMARY_Q1_DIRNAME))
+        s = read_summary_cached(spark, sf_dir, SUMMARY_Q1_DIRNAME)
         return (
             s.filter(
                 F.col("l_shipdate")

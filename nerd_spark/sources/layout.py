@@ -2535,27 +2535,47 @@ def summary_fresh(
         # schema probe memoized by the commit marker's mtime: the
         # footer read costs ~0.1 s per call (the dominant gate cost —
         # r10 verdict #4's suspect class) and any rewrite bumps the
-        # marker, so the key self-invalidates
+        # marker, so the key self-invalidates. The FULL schema is
+        # cached (not just column names) so read_summary_cached can
+        # supply it to the read and skip the second footer pass the
+        # serve body used to pay per call (r12 verdict #6).
         key = (os.path.join(data_dir, dirname), smtime)
-        cols = _SCHEMA_COLS_CACHE.get(key)
-        if cols is None:
+        schema = _SCHEMA_COLS_CACHE.get(key)
+        if schema is None:
             try:
-                cols = set(
-                    spark.read.parquet(
-                        os.path.join(data_dir, dirname)
-                    ).columns
-                )
+                schema = spark.read.parquet(
+                    os.path.join(data_dir, dirname)
+                ).schema
             except Exception:
                 return False
             if len(_SCHEMA_COLS_CACHE) > 256:  # bound the session cache
                 _SCHEMA_COLS_CACHE.clear()
-            _SCHEMA_COLS_CACHE[key] = cols
-        if not set(expect_cols) <= cols:
+            _SCHEMA_COLS_CACHE[key] = schema
+        if not set(expect_cols) <= {f.name for f in schema.fields}:
             return False
     return True
 
 
 _SCHEMA_COLS_CACHE: dict = {}
+
+
+def read_summary_cached(spark: SparkSession, data_dir: str, dirname: str):
+    """Read a summary table whose schema summary_fresh just verified,
+    supplying the cached schema so the read plans WITHOUT a second
+    footer pass. Call only after a truthy summary_fresh with
+    expect_cols (which populates the cache); falls back to a plain
+    read when the cache was since evicted."""
+    from nerd_spark.sources import fsutil
+
+    path = os.path.join(data_dir, dirname)
+    try:
+        smtime = fsutil.mtime(spark, os.path.join(path, "_SUCCESS"))
+    except Exception:
+        smtime = None
+    schema = _SCHEMA_COLS_CACHE.get((path, smtime))
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.parquet(path)
 
 
 def bucketed_pair_names(data_dir: str) -> tuple[str, str]:
