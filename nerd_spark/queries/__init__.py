@@ -32,82 +32,85 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 
 # The inventory exceeds the driver's 50-entry correctness window, so
 # the window front is hand-prioritized each round.
-# Round-12 rotation (implements the r11 verdict's binding schedule):
-# 1. the 35 r9-latest rows at the staleness bound MUST head the window
-#    (the r11 verdict corrected the earlier note's count of 33 -- the
-#    CORRECTNESS union says 35, listed verbatim below);
+# Round-13 rotation (implements the r12 verdict's binding schedule):
+# 1. the 38 r10-latest rows at the staleness bound MUST head the
+#    window (computed from the CORRECTNESS_r01-r12 union; the r12
+#    verdict's prose list overcounted by two -- a1_daily_rollup and
+#    sessionize_stats are r11-latest);
 # 2. queries ADDED this round, registered INSIDE the window:
-#    funnel_stages_served and quantile_values_served -- the serve-tier
-#    certification queries (r11 verdict #3): each materializes its
-#    ingest-maintained state into a scratch dir inside the query body
-#    and serves from it, so the driver's hash gate pins
-#    fold+serve == oracle every round;
-# 3. queries whose code paths changed THIS round (round 12):
-#    quantile_event_values / quantile_by_event_type / corpus_stats_card
-#    (value/token-histogram serve tiers), funnel_stages (fold meta
-#    binding + ledger), w1_topk (fold dedupe), j5_asof_join (bucket
-#    spec sidecar in the DDL re-registration). The late-r12 staged
-#    fold commit (_staged_partition_commit) is exercised under the
-#    driver hash gate by the two _served certification queries, which
-#    fold state inside their query bodies;
-# 4. fill to 50 with the oldest (r10-latest) rows.
-# After r12: no query's latest driver row older than r10; the
-# remaining 38 r10-latest rows rotate across r13-r14.
+#    cohort_retention_served + hh_users_served (the serve-tier
+#    certification recipe extended to the cohort and keycount fold
+#    algebras, r12 verdict #2) and hh_users_min_count +
+#    hh_by_type_min_count (the scale-stable absolute-count heavy-key
+#    bindings, r12 verdict #5);
+# 3. queries whose DRIVER-EXERCISED code paths changed this round
+#    (the driver runs on raw sf0.01 dirs, so only raw paths and
+#    in-body folds count): funnel_stages_served + quantile_values_served
+#    (the staged-commit protocol gained the atomic manifest write and
+#    the unparseable-manifest discard; quantile_values_served also
+#    rides the new window-free quantiles_from_counts shape),
+#    top_frequent_users (bounded rank now via sort_array+posexplode
+#    instead of the unpartitioned window). The IVF centroid renumber
+#    (same shape) is covered by ann_ivf_topk/_indexed inside the
+#    r10-38 block;
+# 4. fill to 50 with the oldest (r11-latest) remaining rows.
+# After r13: no row older than r11 except the r11 remainder, which
+# completes in r14 (the staleness obligation the r12 verdict set).
 _WINDOW_PRIORITY = [
-    # 1 -- r9-latest (staleness bound; binding, r11 verdict #1)
-    "a10_prefix_summary",
-    "a11_distinct_pair_counts",
-    "a12_refcount_rebuild",
-    "a13_intervals",
-    "a14_feed_rollup",
-    "a16_rollup_revenue",
-    "a3_ewma",
-    "a6_source_reputation",
-    "a7_total_reputation",
-    "a8_threat_summary",
-    "corpus_curation_v2",
-    "corpus_drift_psi",
-    "corpus_novelty",
-    "dedup_best_of_cluster",
-    "dedup_incremental",
-    "dedup_semantic",
-    "f_ip_codec",
-    "j9_semi_anti",
-    "lm_bigram_logprob",
-    "mixture_temperature",
-    "nru_due_selection",
-    "p20_passive_dns",
-    "p3_list_or_range",
-    "p4_suffix_predicate",
-    "p7_json_exists",
-    "quality_gopher_rules",
-    "s10_export_blocklist",
-    "s5_point_read",
-    "s6_filtered_find",
-    "shard_assign",
-    "streaming_hh_terms",
-    "streaming_quantiles",
-    "tags_rules",
-    "text_span_dedup",
-    "w5_pivot",
-    # 2 -- NEW this round (serve-tier certification, r11 verdict #3)
+    # 1 -- r10-latest (staleness bound; binding, r12 verdict #1)
+    "a7_total_multi",
+    "ann_cosine_topk",
+    "ann_ivf_indexed",
+    "ann_ivf_topk",
+    "ann_lsh_bucket_topk",
+    "contamination_check",
+    "dedup_clusters",
+    "dedup_clusters_scalable",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_centroids",
+    "fmp_training_frame",
+    "hh_terms",
+    "ip_records",
+    "j4_range_join_bucketed",
+    "leakage_safe_split",
+    "lm_unigram_logprob",
+    "mixture_sample",
+    "p11_threat_categorization",
+    "p12_dnsbl_membership",
+    "p13_geo_enrichment",
+    "p14_ptr_hostname",
+    "quality_model_filter",
+    "read_path_search",
+    "read_path_typed",
+    "s4_misp_upserts",
+    "s8_event_fetch",
+    "sequence_packing",
+    "set_ops_union",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality",
+    "text_repetition",
+    "tfidf_top_terms",
+    "train_val_split",
+    "w6_rank_lag",
+    # 2 -- NEW this round (r12 verdict #2 and #5)
+    "cohort_retention_served",
+    "hh_users_served",
+    "hh_users_min_count",
+    "hh_by_type_min_count",
+    # 3 -- driver-exercised code path changed this round (r13)
     "funnel_stages_served",
     "quantile_values_served",
-    # 3 -- code path changed this round (r12)
-    "quantile_event_values",
-    "quantile_by_event_type",
-    "corpus_stats_card",
-    "funnel_stages",
-    "w1_topk",
-    "j5_asof_join",
-    # 4 -- oldest (r10-latest) fill to 50
-    "op_merge_snapshot",
-    "a5_type_profile",
-    "j1_equi_join",
-    "p9_warden_filter_dsl",
-    "dedup_exact",
-    "corpus_curation",
-    "multimodal_bytes",
+    "top_frequent_users",
+    # 4 -- oldest (r11-latest) fill to 50
+    "a1_daily_rollup",
+    "a2_window_totals",
+    "a2_window_totals_approx",
+    "a6_rep_blacklists",
+    "a6_rep_dshield",
 ]
 
 
