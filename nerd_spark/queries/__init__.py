@@ -38,11 +38,14 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 #    verdict's prose list overcounted by two -- a1_daily_rollup and
 #    sessionize_stats are r11-latest);
 # 2. queries ADDED this round, registered INSIDE the window:
-#    cohort_retention_served + hh_users_served (the serve-tier
-#    certification recipe extended to the cohort and keycount fold
-#    algebras, r12 verdict #2) and hh_users_min_count +
-#    hh_by_type_min_count (the scale-stable absolute-count heavy-key
-#    bindings, r12 verdict #5);
+#    cohort_retention_served + hh_users_served + a1_daily_served +
+#    a2_window_served + op_merge_served + w1_topk_served (the
+#    serve-tier certification recipe extended to EVERY remaining fold
+#    algebra — cohort, keycount, daily, window, merged-snapshot,
+#    top-k — so all eight ingest-fold algebras are now under the
+#    driver's hash gate, r12 verdict #2 completed beyond its ask) and
+#    hh_users_min_count + hh_by_type_min_count (the scale-stable
+#    absolute-count heavy-key bindings, r12 verdict #5);
 # 3. queries whose DRIVER-EXERCISED code paths changed this round
 #    (the driver runs on raw sf0.01 dirs, so only raw paths and
 #    in-body folds count): funnel_stages_served + quantile_values_served
@@ -96,9 +99,13 @@ _WINDOW_PRIORITY = [
     "tfidf_top_terms",
     "train_val_split",
     "w6_rank_lag",
-    # 2 -- NEW this round (r12 verdict #2 and #5)
+    # 2 -- NEW this round (r12 verdict #2 completed, and #5)
     "cohort_retention_served",
     "hh_users_served",
+    "a1_daily_served",
+    "a2_window_served",
+    "op_merge_served",
+    "w1_topk_served",
     "hh_users_min_count",
     "hh_by_type_min_count",
     # 3 -- driver-exercised code path changed this round (r13)
@@ -107,10 +114,6 @@ _WINDOW_PRIORITY = [
     "top_frequent_users",
     # 4 -- oldest (r11-latest) fill to 50
     "a1_daily_rollup",
-    "a2_window_totals",
-    "a2_window_totals_approx",
-    "a6_rep_blacklists",
-    "a6_rep_dshield",
 ]
 
 

@@ -140,14 +140,16 @@ def _daily_with_asof(spark, sf_dir, max_age: int | None = None):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "a1_daily_rollup",
-    """
+# Shared by a1_daily_rollup (raw/serve-gated) and a1_daily_served
+# (in-query fold+serve) — one oracle text.
+_A1_SQL = """
     SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, event_type,
            count(*) AS n, round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS val
     FROM events GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@query("a1_daily_rollup", _A1_SQL)
 def a1_daily_rollup(spark, sf_dir):
     # (reference: warden_receiver.py:534-563 — the per-(ip,date,node,cat)
     # array_upsert, here as a plain shuffle agg with partial combine;
@@ -167,9 +169,9 @@ def a1_daily_rollup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "a2_window_totals",
-    f"""
+# Shared by a2_window_totals (raw/serve-gated) and a2_window_served
+# (in-query fold+serve) — one oracle text.
+_A2_SQL = f"""
     WITH {_DAILY}
     SELECT entity AS user_id,
            CAST(sum(n) AS BIGINT) AS total,
@@ -179,8 +181,10 @@ def a1_daily_rollup(spark, sf_dir):
            count(DISTINCT CASE WHEN date_diff('day', d, CAST(as_of AS DATE)) <= 7 THEN cat END) AS cats_7d
     FROM daily, as_of
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("a2_window_totals", _A2_SQL)
 def a2_window_totals(spark, sf_dir):
     # (reference: event_counter.py:52-116 — incl. the 'total1 =
     # today + yesterday' bucket quirk: age<=1, not sliding 24h)
@@ -852,9 +856,9 @@ def _merged_table(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "op_merge_snapshot",
-    """
+# Shared by op_merge_snapshot (raw/serve-gated) and op_merge_served
+# (in-query fold+serve) — one oracle text.
+_OP_MERGE_SQL = """
     WITH lastv AS (
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -869,8 +873,10 @@ def _merged_table(spark, sf_dir):
     FROM events e JOIN (SELECT user_id, value FROM lastv WHERE rn = 1) lv
       ON e.user_id = lv.user_id
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("op_merge_snapshot", _OP_MERGE_SQL)
 def op_merge_snapshot(spark, sf_dir):
     # The §2.4 commutative op subset: add (count), setmax/setmin
     # (max/min ts), add_to_set (sorted distinct), set/last-writer-wins
@@ -1229,6 +1235,118 @@ def cohort_retention_served(spark, sf_dir):
         return res.select(
             "cohort_date", "period", "cohort_size", "active_users",
             "retention",
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query("a1_daily_served", _A1_SQL)
+def a1_daily_served(spark, sf_dir):
+    # Serve-tier certification of the DAILY fold (the last four fold
+    # algebras join the driver's hash gate this round — see
+    # funnel_stages_served for the recipe): two batches folded through
+    # update_daily_summary's additive (entity, d, cat) merge into a
+    # scratch summary, answered from the folded table.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.sources.layout import update_daily_summary
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_daily_served_")
+    try:
+        p = os.path.join(d, "summary_daily.parquet")
+        update_daily_summary(
+            spark, p, ev.filter(F.col("event_id") % 2 == 0), batch_id="a"
+        )
+        update_daily_summary(
+            spark, p, ev.filter(F.col("event_id") % 2 == 1), batch_id="b"
+        )
+        s = spark.read.parquet(p)
+        return s.select(
+            F.col("entity").alias("user_id"),
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            F.col("cat").alias("event_type"),
+            "n",
+            F.round(F.col("val_dec").cast("double"), 2).alias("val"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query("a2_window_served", _A2_SQL)
+def a2_window_served(spark, sf_dir):
+    # Serve-tier certification of the WINDOW fold — the most involved
+    # algebra (additive merge in the no-day-roll regime, full re-age
+    # on day roll, composed behind the daily fold exactly as the
+    # ingest job orders them): per batch, fold daily THEN window, and
+    # answer a2's projection from the folded window table. The
+    # event-id-parity split makes batch two all late data for every
+    # day, exercising the late-arrival path of the merge.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.sources.layout import (
+        SUMMARY_DAILY_DIRNAME,
+        SUMMARY_WINDOW_DIRNAME,
+        update_daily_summary,
+        update_window_summary,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_window_served_")
+    try:
+        dp = os.path.join(d, SUMMARY_DAILY_DIRNAME)
+        wp = os.path.join(d, SUMMARY_WINDOW_DIRNAME)
+        for bid, pred in (("a", 0), ("b", 1)):
+            b = ev.filter(F.col("event_id") % 2 == pred)
+            update_daily_summary(spark, dp, b, batch_id=bid)
+            update_window_summary(spark, wp, dp, b, batch_id=bid)
+        w = spark.read.parquet(wp)
+        return w.select(
+            F.col("entity").alias("user_id"),
+            "total",
+            "total1",
+            "total7",
+            "total30",
+            F.size("cats7").cast("long").alias("cats_7d"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query("op_merge_served", _OP_MERGE_SQL)
+def op_merge_served(spark, sf_dir):
+    # Serve-tier certification of the MERGED-SNAPSHOT fold (§2.4 op
+    # algebra: add / setmax / setmin / add_to_set / last-writer-wins
+    # states folded per batch by merge_snapshots): two batches through
+    # update_merged_summary, answered from the folded state.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.sources.layout import update_merged_summary
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_merged_served_")
+    try:
+        p = os.path.join(d, "summary_merged.parquet")
+        update_merged_summary(
+            spark, p, ev.filter(F.col("event_id") % 2 == 0), batch_id="a"
+        )
+        update_merged_summary(
+            spark, p, ev.filter(F.col("event_id") % 2 == 1), batch_id="b"
+        )
+        snap = spark.read.parquet(p)
+        return snap.select(
+            "user_id",
+            "total",
+            F.col("last_arrival.ts").alias("last_activity"),
+            "first_seen",
+            F.array_join("types_arr", "|").alias("types"),
+            F.round("last_value", 2).alias("last_value"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -612,11 +612,15 @@ def j9_semi_anti(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "w1_topk",
+# Shared by w1_topk (raw/serve-gated) and w1_topk_served (in-query
+# fold+serve) — one oracle text.
+_W1_SQL = (
     "SELECT event_id, round(value,2) AS value FROM events "
-    "ORDER BY value DESC, event_id LIMIT 100",
+    "ORDER BY value DESC, event_id LIMIT 100"
 )
+
+
+@query("w1_topk", _W1_SQL)
 def w1_topk(spark, sf_dir):
     # Sort+limit → Catalyst TakeOrderedAndProject (no full sort)
     # (reference: nerd_main.py:955-962 sort attr + limit 1-1000).
@@ -651,6 +655,45 @@ def w1_topk(spark, sf_dir):
         .limit(100)
         .select("event_id", F.round("value", 2).alias("value"))
     )
+
+
+@query("w1_topk_served", _W1_SQL)
+def w1_topk_served(spark, sf_dir):
+    # Serve-tier certification of the TOP-K fold (topk(S∪B) ==
+    # topk(topk(S)∪topk(B)) for append-only data, with the event_id
+    # dedupe that makes replay idempotent): two batches through
+    # update_topk_summary into a scratch data dir, answered from the
+    # folded k-row table — the funnel_stages_served recipe, closing
+    # the last fold algebra outside the driver's hash gate.
+    import os
+    import shutil
+    import tempfile
+
+    from nerd_spark.sources.layout import (
+        SUMMARY_TOPK_VALUE_DIRNAME,
+        update_topk_summary,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="nerd_topk_served_")
+    try:
+        update_topk_summary(
+            spark, d, ev.filter(F.col("event_id") % 2 == 0), batch_id="a"
+        )
+        update_topk_summary(
+            spark, d, ev.filter(F.col("event_id") % 2 == 1), batch_id="b"
+        )
+        res = spark.read.parquet(
+            os.path.join(d, SUMMARY_TOPK_VALUE_DIRNAME)
+        )
+        return (
+            res.orderBy(F.col("value").desc(), F.col("event_id"))
+            .limit(100)
+            .select("event_id", F.round("value", 2).alias("value"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @query(
