@@ -252,8 +252,46 @@ def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
     verify (jaccard_dedup, containment_dedup, and the combined
     jaccard_containment_pairs): shingle the corpus, df-cap to kill the
     hot-shingle blowup, self-join the rare rows into candidate pairs.
-    Returns (sarr CACHED, rare CACHED, cand, sets) — callers must tie
+    Returns (sarr CACHED, rare CACHED, cand, aset) — callers must tie
     the two cached frames to their result (cacheutil.tie_unpersist).
+
+    r13 verify restructure (guide §1.2 step 1 / §2.3): the exact
+    intersection |A ∩ B| partitions by document frequency,
+
+        |A ∩ B| = |A ∩ B ∩ rare| + |A ∩ B ∩ hot|,
+
+    and the RARE term is a by-product of candidate generation itself —
+    grouping the rare-shingle self-join by pair counts exactly the
+    shared rare shingles — while the HOT term intersects per-doc
+    hot-shingle projections that are tiny by construction (a hot
+    shingle lives in > max_df docs, so a corpus has at most
+    shingle_rows/max_df of them; measured sf0.1: 59 hot of 27,213
+    distinct, 0.26 avg/doc vs 52 full-set avg). The per-pair verify
+    therefore stops re-intersecting two ~full shingle arrays
+    (O(|A|+|B|) string hashing per pair, the dominant cost of the
+    containment stage — 12.3 s of corpus_curation_v4's 23 s at sf0.1)
+    and the verify join stops shipping full string arrays per side.
+    Also map-only strictly less work upstream: the self-join runs on
+    per-doc DISTINCT shingle rows (in-doc duplicates previously
+    multiplied join output before the pair-distinct).
+
+    ``cand`` is (a_id, b_id, rc) — rc = |A ∩ B ∩ rare|; ``aset`` is
+    (id, n, hot) — n = |distinct shingles|, hot = the per-doc
+    hot-shingle projection (empty array when none).
+
+    SIZE-GATED like :func:`waist_checkpoint` (same measured-crossover
+    rationale): below ``spark.nerd.rareVerifyMinBytes`` of source
+    parquet (default 8 MiB) the decomposition's fixed costs — the
+    rare_per_doc shuffle and the aset cache materialization — exceed
+    what the per-pair savings return (interleaved A/B at sf0.1:
+    old 3.5–4.1 s vs decomposed 4.1–4.7 s warm; at a 16x replica dir
+    the decomposition wins 7.8–11.5 s → 4.1–5.6 s), so the small
+    path keeps rc unused (zeroed) and serves the FULL distinct array
+    as ``hot`` — the verify then intersects full sets map-side from
+    the cached sarr exactly as before, through the same downstream
+    code. Unknown size (in-memory frames, e.g. corpus_curation_v4's
+    checkpointed survivor frame) takes the scale path: the scale path
+    must never silently degrade.
 
     ``sarr`` (optional): a precomputed (id, sarr) shingle frame — a
     pipeline that already shingled a superset corpus (corpus_curation
@@ -261,24 +299,94 @@ def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
     the tokenize/transform pass is not paid again. The CALLER owns
     that cache; this function only creates (and the operator only
     ties) what it built itself."""
+    from nerd_spark.sources.fsutil import estimate_input_bytes
+
+    spark = docs.sparkSession
+    min_bytes = _bytes_conf(spark, "spark.nerd.rareVerifyMinBytes", 8 << 20)
+    est = estimate_input_bytes(docs)
+    small = est is not None and est < min_bytes
     if sarr is None:
         sarr = shingle_arrays(_spread(docs), id_col, text_col, k).cache()
-    sh = sarr.select("id", F.explode("sarr").alias("s"))
-    df_ok = (
-        sh.groupBy("s")
-        .agg(F.count_distinct("id").alias("df"))
-        .filter(F.col("df") <= max_df)
-    )
-    rare = sh.join(df_ok.select("s"), "s").cache()
+    sd = sarr.select("id", F.array_distinct("sarr").alias("ss"))
+    sh = sd.select("id", F.explode("ss").alias("s"))  # distinct (id,s)
+    dfc = sh.groupBy("s").agg(F.count("*").alias("df"))
+    rare = sh.join(dfc.filter(F.col("df") <= max_df).select("s"), "s").cache()
     cand = (
         rare.alias("x")
         .join(rare.alias("y"), "s")
         .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
-        .distinct()
+        .groupBy(
+            F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id")
+        )
+        .agg(
+            (F.count("*") * F.lit(0 if small else 1))
+            .cast("long")
+            .alias("rc")
+        )
     )
-    sets = sarr.select("id", F.array_distinct("sarr").alias("ss"))
-    return sarr, rare, cand, sets
+    if small:
+        # full distinct sets ride as `hot` (rc zeroed above): verify
+        # intersects full arrays map-side from the cached sarr — the
+        # pre-decomposition shape, no extra shuffle, no extra cache
+        aset = sd.select(
+            "id", F.size("ss").cast("long").alias("n"),
+            F.col("ss").alias("hot"),
+        )
+        return sarr, rare, cand, aset
+    # per-doc hot projection WITHOUT a second df pass: hot = the doc's
+    # distinct shingles minus its (cached) rare rows — one
+    # array_except per DOC, not per pair. aset is doc-count-sized
+    # (id, long, tiny array) and consumed by both verify-join sides,
+    # so it is cached; _pair_scores_rare ties it to the result.
+    rare_per_doc = rare.groupBy("id").agg(F.collect_list("s").alias("rl"))
+    aset = (
+        sd.join(rare_per_doc, "id", "left")
+        .select(
+            "id",
+            F.size("ss").cast("long").alias("n"),
+            F.array_except(
+                "ss",
+                F.coalesce("rl", F.array().cast("array<string>")),
+            ).alias("hot"),
+        )
+        .cache()
+    )
+    return sarr, rare, cand, aset
+
+
+def _pair_scores_rare(
+    cand: DataFrame, aset: DataFrame, broadcast_max_pairs: int = 2_000_000
+):
+    """Exact (jaccard, containment) columns for rare-shingle candidate
+    pairs from the decomposed intersection (see
+    :func:`_rare_shingle_candidates`): c = rc + |hot_a ∩ hot_b|.
+    Same measured-bound broadcast discipline and cache tie as
+    :func:`_pair_jaccard`; returns (scored_df, pins) — the caller
+    hands the pins (the persisted cand + the cached aset) to
+    tie_unpersist along with its own."""
+    a = aset.select(
+        F.col("id").alias("a_id"), F.col("n").alias("na"),
+        F.col("hot").alias("ha"),
+    )
+    b = aset.select(
+        F.col("id").alias("b_id"), F.col("n").alias("nb"),
+        F.col("hot").alias("hb"),
+    )
+    cand = cand.persist()  # probe + verify join; tied below
+    over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+    probe = cand.hint("merge") if over else F.broadcast(cand)
+    c = F.col("rc") + F.size(F.array_intersect("ha", "hb"))
+    scored = (
+        probe.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
+            F.round(c / F.least("na", "nb"), 6).alias("containment"),
+        )
+    )
+    return scored, [cand, aset]
 
 
 def jaccard_dedup(
@@ -297,14 +405,17 @@ def jaccard_dedup(
     acceptable for near-dup detection and essential at scale (the
     hot-shingle join otherwise degenerates to all-pairs).
     """
-    sarr, rare, cand, sets = _rare_shingle_candidates(
+    sarr, rare, cand, aset = _rare_shingle_candidates(
         docs, id_col, text_col, k, max_df
     )
-    pj = _pair_jaccard(cand, sets)
-    # re-tie: the filter below is a new handle; without this the
-    # intermediate dies at return and drops the candidate pin early
+    scored, pins = _pair_scores_rare(cand, aset)
     return tie_unpersist(
-        pj.filter(F.col("jaccard") >= threshold), pj, sarr, rare
+        scored.filter(F.col("jaccard") >= threshold).select(
+            "a_id", "b_id", "jaccard"
+        ),
+        *pins,
+        sarr,
+        rare,
     )
 
 
@@ -328,39 +439,16 @@ def jaccard_containment_pairs(
     array_intersect (the denominators are the only difference).
     Per-measure filters reproduce the standalone operators exactly
     (pytest-pinned)."""
-    sarr, rare, cand, sets = _rare_shingle_candidates(
+    sarr, rare, cand, aset = _rare_shingle_candidates(
         docs, id_col, text_col, k, max_df
     )
-    sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
-    a = sets.select(
-        F.col("id").alias("a_id"), F.col("ss").alias("sa"),
-        F.col("n").alias("na"),
-    )
-    b = sets.select(
-        F.col("id").alias("b_id"), F.col("ss").alias("sb"),
-        F.col("n").alias("nb"),
-    )
-    c = F.size(F.array_intersect("sa", "sb"))
-    cand = cand.persist()  # probe + verify join (the _pair_jaccard
-    # measured-bound broadcast discipline); tied to the result below
-    over = cand.limit(2_000_001).count() > 2_000_000
-    probe = cand.hint("merge") if over else F.broadcast(cand)
-    scored = (
-        probe.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
-            F.round(c / F.least("na", "nb"), 6).alias("containment"),
-        )
-    )
+    scored, pins = _pair_scores_rare(cand, aset)
     return tie_unpersist(
         scored.filter(
             (F.col("jaccard") >= jaccard_threshold)
             | (F.col("containment") >= containment_threshold)
         ),
-        cand,
+        *pins,
         sarr,
         rare,
     )
@@ -395,42 +483,16 @@ def containment_dedup(
     see :func:`_rare_shingle_candidates`).
     """
     own = sarr is None
-    sarr, rare, cand, sets = _rare_shingle_candidates(
+    sarr, rare, cand, aset = _rare_shingle_candidates(
         docs, id_col, text_col, k, max_df, sarr=sarr
     )
-    pc = _pair_containment(cand, sets)
-    ties = [pc, rare] + ([sarr] if own else [])
+    scored, pins = _pair_scores_rare(cand, aset)
+    ties = pins + [rare] + ([sarr] if own else [])
     return tie_unpersist(
-        pc.filter(F.col("containment") >= threshold), *ties
-    )
-
-
-def _pair_containment(
-    cand: DataFrame, sets: DataFrame, broadcast_max_pairs: int = 2_000_000
-) -> DataFrame:
-    """Exact containment for candidate (a_id, b_id) pairs — the
-    :func:`_pair_jaccard` verify (same measured-bound broadcast
-    discipline, same cache tie) with denominator min(|A|, |B|)."""
-    sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
-    a = sets.select(
-        F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na")
-    )
-    b = sets.select(
-        F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb")
-    )
-    c = F.size(F.array_intersect("sa", "sb"))
-    cand = cand.persist()  # probe + verify join; tied to the result below
-    over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
-    probe = cand.hint("merge") if over else F.broadcast(cand)
-    return tie_unpersist(
-        probe.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(c / F.least("na", "nb"), 6).alias("containment"),
+        scored.filter(F.col("containment") >= threshold).select(
+            "a_id", "b_id", "containment"
         ),
-        cand,
+        *ties,
     )
 
 
