@@ -2584,10 +2584,19 @@ def corpus_curation_v4(spark, sf_dir):
         .distinct()
     )
     d4 = d3.join(closers, "doc_id", "left_anti")
+    # fourth funnel waist (r13): `kept` feeds BOTH the split and the
+    # shard branches of the final join, and unlike v3's (whose tail
+    # hangs off the checkpointed d3) v4's tail re-derives the whole
+    # containment verify + closers subtree per consumer — the plan
+    # carried the dedup tail twice (1.6 MB formatted) and the verify
+    # joins executed twice. Checkpointing the ~survivor-count result
+    # of the mixture truncates both. Interleaved A/B at sf0.1:
+    # 23.0→18.4 s / 18.6→13.2 s, identical output frame.
     kept = (
         SAMP.temperature_mixture(d4)
         .groupBy("doc_id", "source")
         .agg(F.count("*").alias("n_copies"))
+        .localCheckpoint()
     )
     split = SAMP.hash_split(kept, val_frac=_SPLIT_FRAC)
     shards = SAMP.shard_assign(kept, n_shards=4, salt="shard").select(
