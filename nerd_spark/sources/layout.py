@@ -394,67 +394,24 @@ def optimize_layout(
     # serializing — the scheduler interleaves their tasks across cores.
     with ThreadPoolExecutor(max_workers=4) as pool:
         list(pool.map(_rewrite, tables or list(_LAYOUT)))
-    if build_indexes and (tables is None or "lineitem" in tables):
-        # Per-(shipdate, flag, status) partial aggregates for the q1
-        # family — the reference's cron-refreshed meta-table
-        # discipline (scripts/update_db_meta_info.js) applied to the
-        # pricing summary: every q1 measure is additive (long u4
-        # sums, exact-integer quantity sums, counts), so the daily
-        # partials re-aggregate to BIT-IDENTICAL final values while
-        # the query scan shrinks from |lineitem| to |days|x6 rows.
-        # The shipdate filter hits the partial's group key exactly.
-        # At 100 TB the ingest job maintains this incrementally
-        # (append a day -> merge a day), like the daily summary.
-        li = read_table(spark, out_dir, "lineitem")
-        (
-            li.groupBy("l_shipdate", "l_returnflag", "l_linestatus")
-            .agg(
-                F.sum("l_quantity").alias("qty_sum"),
-                F.sum("l_extendedprice_u4").alias("ep_u4"),
-                F.sum("l_discprice_u4").alias("dp_u4"),
-                F.sum("l_charge_u4").alias("ch_u4"),
-                F.sum("l_discount_u4").alias("disc_u4"),
-                F.count("l_extendedprice_u4").alias("n_ep"),
-                F.count("l_discount_u4").alias("n_disc"),
-                F.count("l_quantity").alias("n_qty"),
-                F.count("*").alias("cnt"),
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, SUMMARY_Q1_DIRNAME))
-        )
-    if build_indexes and (
-        tables is None or {"orders", "customer"} <= set(tables)
-    ):
-        # Base (region, nation) revenue partials for a16: the rollup
-        # margins re-derive from the 25-row base exactly (additive u4
-        # longs), so serving is bit-identical to the 4-way join.
-        o = read_table(spark, out_dir, "orders")
-        c = read_table(spark, out_dir, "customer")
-        n = read_table(spark, out_dir, "nation")
-        r = read_table(spark, out_dir, "region")
-        (
-            o.join(
-                F.broadcast(c.select("c_custkey", "c_nationkey")),
-                o.o_custkey == F.col("c_custkey"),
-            )
-            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-            .groupBy("r_name", "n_name")
-            .agg(F.sum("o_totalprice_u4").alias("rev_u4"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, SUMMARY_A16_DIRNAME))
-        )
-        # Co-partitioned orders||customer on custkey (the a16 join
-        # key): both sides bucketed+sorted, so the fact-dim join plans
-        # a zero-exchange zero-sort SortMergeJoin over bucketed scans.
-        # This is the beyond-broadcast scale path — at SF where
-        # customer no longer broadcasts (~1e8+ rows), the join cost is
-        # the co-located scan itself. Registered as external catalog
-        # tables under out_dir (bucket metadata needs the catalog).
-        write_join_pair(spark, out_dir)
-    if build_indexes and (tables is None or "events" in tables):
+    if not build_indexes:
+        return
+    # ---- ingest-time index / serve-table builds ----------------------
+    # Every build below is an independent chain of tiny jobs over the
+    # just-rewritten tables (distinct output dirs, no shared state
+    # beyond the committed table files); run them CONCURRENTLY so the
+    # scheduler back-fills each chain's stragglers with the next
+    # chain's tasks (guide-recommended overlap of independent jobs;
+    # the sequential form serialized ~20 small writes). Job
+    # descriptions are thread-local, so each chain labels its own
+    # jobs. The ONLY cross-chain ordering needed is (a) the events
+    # column-stats sidecar before the value-histogram gate that reads
+    # it, and (b) the documents sidecar before the band index whose
+    # freshness gate compares against the documents dir mtime — both
+    # kept by running the stats writes sequentially FIRST (they are
+    # single map-side aggregates) and by keeping each dependent write
+    # inside the same chain as its prerequisite.
+    if tables is None or "events" in tables:
         # Column-stats sidecar: the sketch probes (top_frequent,
         # heavy_hitters_by, the quantile histogram gate) route on the
         # table's distinct-count profile — a property of the TABLE,
@@ -471,273 +428,417 @@ def optimize_layout(
             ["user_id", "value", "event_type"],
             [("event_type", "user_id"), ("event_type", "value")],
         )
-    if build_indexes and (tables is None or "embeddings" in tables):
-        # Derived index structures are ingest-time work too: the IVF
-        # inverted-list layout (corpus partitioned by coarse-centroid
-        # list id) is built once here so ANN probes only ever pay
-        # partition-pruned reads. Same deterministic first-N quantizer
-        # as the ann_ivf_* queries, so results are interchangeable.
-        from nerd_spark.operators import similarity as SIM
 
-        emb = read_table(spark, out_dir, "embeddings")
-        SIM.build_ivf_index(
-            emb, os.path.join(out_dir, IVF_INDEX_DIRNAME), n_lists=8
-        )
-    if build_indexes and (tables is None or "documents" in tables):
-        # Persisted MinHash band index: continuous-ingestion dedup
-        # (operators/dedup.py::incremental_minhash_pairs_indexed) is
-        # O(batch + collisions) ONLY when the corpus band table
-        # already exists — computing it per batch re-shingles the
-        # whole corpus. Building it at ingest (12 narrow rows/doc)
-        # mirrors the IVF index; at 100 TB the ingest job appends a
-        # batch's bands in the same pass that archives the batch.
-        from nerd_spark.operators.dedup import (
-            _spread,
-            minhash_band_table,
-            shingle_arrays,
-        )
+    _chains: list = []
 
-        dd = read_table(spark, out_dir, "documents")
-        # Column-stats sidecar over the just-materialized per-doc
-        # token counts: the corpus-card quantile probe then answers
-        # "is (source, n_tokens) a bounded domain?" from an FS stat
-        # instead of a scanning HLL pass (same discipline as events).
-        # Written BEFORE the band index: the sidecar lands inside
-        # documents.parquet and bumps that dir's mtime, and the band
-        # index's freshness gate (summary_fresh) compares against it.
-        from nerd_spark.sources import colstats
+    if tables is None or "lineitem" in tables:
 
-        colstats.write_column_stats(
-            spark,
-            f"{out_dir}/documents.parquet",
-            ["source", "n_tokens_pre"],
-            [("source", "n_tokens_pre")],
-        )
-        # per-(source, token-count) histogram: the corpus stats card's
-        # serve table — volumes (n_docs, total_tokens) and EXACT token
-        # quantiles all derive from it, so the card never re-scans the
-        # corpus on a fresh layout dir. Same bounded-domain gate as
-        # the events value histogram.
-        nd_doc = colstats.distinct_upper_bound(
-            dd, ["source", "n_tokens_pre"]
-        )
-        if nd_doc is not None and nd_doc * 1.25 <= VALUE_HIST_MAX_ROWS:
-            dh = (
-                dd.filter(F.col("n_tokens_pre").isNotNull())
-                .groupBy(
-                    F.col("source").alias("src"),
-                    F.col("n_tokens_pre").alias("ntok"),
+        def _ix_q1():
+            # Per-(shipdate, flag, status) partial aggregates for the q1
+            # family — the reference's cron-refreshed meta-table
+            # discipline (scripts/update_db_meta_info.js) applied to the
+            # pricing summary: every q1 measure is additive (long u4
+            # sums, exact-integer quantity sums, counts), so the daily
+            # partials re-aggregate to BIT-IDENTICAL final values while
+            # the query scan shrinks from |lineitem| to |days|x6 rows.
+            # The shipdate filter hits the partial's group key exactly.
+            # At 100 TB the ingest job maintains this incrementally
+            # (append a day -> merge a day), like the daily summary.
+            li = read_table(spark, out_dir, "lineitem")
+            (
+                li.groupBy("l_shipdate", "l_returnflag", "l_linestatus")
+                .agg(
+                    F.sum("l_quantity").alias("qty_sum"),
+                    F.sum("l_extendedprice_u4").alias("ep_u4"),
+                    F.sum("l_discprice_u4").alias("dp_u4"),
+                    F.sum("l_charge_u4").alias("ch_u4"),
+                    F.sum("l_discount_u4").alias("disc_u4"),
+                    F.count("l_extendedprice_u4").alias("n_ep"),
+                    F.count("l_discount_u4").alias("n_disc"),
+                    F.count("l_quantity").alias("n_qty"),
+                    F.count("*").alias("cnt"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, SUMMARY_Q1_DIRNAME))
+            )
+
+        _chains.append(("q1 partials", _ix_q1))
+
+    if tables is None or {"orders", "customer"} <= set(tables):
+
+        def _ix_a16():
+            # Base (region, nation) revenue partials for a16: the rollup
+            # margins re-derive from the 25-row base exactly (additive u4
+            # longs), so serving is bit-identical to the 4-way join.
+            o = read_table(spark, out_dir, "orders")
+            c = read_table(spark, out_dir, "customer")
+            n = read_table(spark, out_dir, "nation")
+            r = read_table(spark, out_dir, "region")
+            (
+                o.join(
+                    F.broadcast(c.select("c_custkey", "c_nationkey")),
+                    o.o_custkey == F.col("c_custkey"),
+                )
+                .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name", "n_name")
+                .agg(F.sum("o_totalprice_u4").alias("rev_u4"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, SUMMARY_A16_DIRNAME))
+            )
+            # Co-partitioned orders||customer on custkey (the a16 join
+            # key): both sides bucketed+sorted, so the fact-dim join plans
+            # a zero-exchange zero-sort SortMergeJoin over bucketed scans.
+            # This is the beyond-broadcast scale path — at SF where
+            # customer no longer broadcasts (~1e8+ rows), the join cost is
+            # the co-located scan itself. Registered as external catalog
+            # tables under out_dir (bucket metadata needs the catalog).
+            write_join_pair(spark, out_dir)
+
+        _chains.append(("a16 partials + join pair", _ix_a16))
+
+    if tables is None or "embeddings" in tables:
+
+        def _ix_ivf():
+            # Derived index structures are ingest-time work too: the IVF
+            # inverted-list layout (corpus partitioned by coarse-centroid
+            # list id) is built once here so ANN probes only ever pay
+            # partition-pruned reads. Same deterministic first-N quantizer
+            # as the ann_ivf_* queries, so results are interchangeable.
+            from nerd_spark.operators import similarity as SIM
+
+            emb = read_table(spark, out_dir, "embeddings")
+            SIM.build_ivf_index(
+                emb, os.path.join(out_dir, IVF_INDEX_DIRNAME), n_lists=8
+            )
+
+        _chains.append(("ivf index", _ix_ivf))
+
+    if tables is None or "documents" in tables:
+
+        def _ix_docs():
+            # Persisted MinHash band index: continuous-ingestion dedup
+            # (operators/dedup.py::incremental_minhash_pairs_indexed) is
+            # O(batch + collisions) ONLY when the corpus band table
+            # already exists — computing it per batch re-shingles the
+            # whole corpus. Building it at ingest (12 narrow rows/doc)
+            # mirrors the IVF index; at 100 TB the ingest job appends a
+            # batch's bands in the same pass that archives the batch.
+            from nerd_spark.operators.dedup import (
+                _spread,
+                minhash_band_table,
+                shingle_arrays,
+            )
+
+            dd = read_table(spark, out_dir, "documents")
+            # Column-stats sidecar over the just-materialized per-doc
+            # token counts: the corpus-card quantile probe then answers
+            # "is (source, n_tokens) a bounded domain?" from an FS stat
+            # instead of a scanning HLL pass (same discipline as events).
+            # Written BEFORE the band index: the sidecar lands inside
+            # documents.parquet and bumps that dir's mtime, and the band
+            # index's freshness gate (summary_fresh) compares against it.
+            from nerd_spark.sources import colstats
+
+            colstats.write_column_stats(
+                spark,
+                f"{out_dir}/documents.parquet",
+                ["source", "n_tokens_pre"],
+                [("source", "n_tokens_pre")],
+            )
+            # per-(source, token-count) histogram: the corpus stats card's
+            # serve table — volumes (n_docs, total_tokens) and EXACT token
+            # quantiles all derive from it, so the card never re-scans the
+            # corpus on a fresh layout dir. Same bounded-domain gate as
+            # the events value histogram.
+            nd_doc = colstats.distinct_upper_bound(
+                dd, ["source", "n_tokens_pre"]
+            )
+            if nd_doc is not None and nd_doc * 1.25 <= VALUE_HIST_MAX_ROWS:
+                dh = (
+                    dd.filter(F.col("n_tokens_pre").isNotNull())
+                    .groupBy(
+                        F.col("source").alias("src"),
+                        F.col("n_tokens_pre").alias("ntok"),
+                    )
+                    .agg(F.count("*").alias("cnt"))
+                )
+                dhpath = os.path.join(out_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
+                dh.coalesce(1).write.mode("overwrite").parquet(dhpath)
+                fsutil.touch(spark, os.path.join(dhpath, "_SUCCESS"))
+                # resolved card rows (|sources|): volumes + exact token
+                # quantiles from the committed histogram — the registered
+                # corpus_stats_card becomes a file read (meta-bound to the
+                # prob list; other bindings fall to the histogram tier)
+                from nerd_spark.operators import sketches as SK
+
+                h = spark.read.parquet(dhpath)
+                vols = h.groupBy(F.col("src").alias("source")).agg(
+                    F.sum("cnt").alias("n_docs"),
+                    F.sum(F.col("ntok") * F.col("cnt")).alias("total_tokens"),
+                )
+                qby = SK.quantiles_by_from_counts(
+                    h.select(
+                        F.col("src").alias("et"),
+                        F.col("ntok").alias("v"),
+                        "cnt",
+                    ),
+                    "source",
+                    list(DOC_CARD_PROBS),
+                )
+                wide = qby.groupBy("source").agg(
+                    F.max(
+                        F.when(F.col("p") == DOC_CARD_PROBS[0], F.col("value"))
+                    ).alias("p50_tokens"),
+                    F.max(
+                        F.when(F.col("p") == DOC_CARD_PROBS[1], F.col("value"))
+                    ).alias("p95_tokens"),
+                )
+                cpath = os.path.join(out_dir, SUMMARY_DOC_CARD_RESULT_DIRNAME)
+                card = vols.join(wide, "source").localCheckpoint()
+                card.coalesce(1).write.mode("overwrite").parquet(cpath)
+                write_summary_meta(
+                    spark, cpath, {"probs": list(DOC_CARD_PROBS)}
+                )
+                fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
+            (
+                minhash_band_table(shingle_arrays(_spread(dd), "doc_id", "text", 3))
+                .coalesce(max(1, min(scale, 16)))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, MINHASH_BANDS_DIRNAME))
+            )
+
+        _chains.append(("documents stats/card/bands", _ix_docs))
+
+    if tables is None or "events" in tables:
+
+        def _ix_daily_window():
+            from nerd_spark.plans import derivations as D
+
+            ev = read_table(spark, out_dir, "events")
+            # cluster by day before the partitioned write: without it every
+            # shuffle partition drops a sliver file into every date dir
+            # (days x partitions tiny files) and scan/listing cost eats the
+            # summary's benefit. At 100 TB the key becomes (d, file_group).
+            daily = D.daily_rollup(ev, "user_id")
+            daily.repartition("d").write.mode("overwrite").partitionBy("d").parquet(
+                os.path.join(out_dir, SUMMARY_DAILY_DIRNAME)
+            )
+            write_summary_meta(
+                spark,
+                os.path.join(out_dir, SUMMARY_DAILY_DIRNAME),
+                {"entity": "user_id"},
+            )
+            as_of = ev.agg(F.max("ts").alias("as_of"))
+            as_of.write.mode("overwrite").parquet(
+                os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
+            )
+            # Second-level window rollup (the A2 answer table): reading
+            # the just-committed daily summary (compact) rather than
+            # re-aggregating raw events.
+            sd = spark.read.parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
+            asof_d_df = as_of.select(F.to_date("as_of").alias("as_of_d"))
+            wpath = os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME)
+            (
+                _with_rep_columns(
+                    window_rollup(sd.select("entity", "d", "cat", "n"), asof_d_df)
+                )
+                .drop("as_of_d")  # anchor lives in the sidecar meta
+                .withColumn("wb", _wbucket())
+                .repartition("wb")
+                .write.mode("overwrite")
+                .partitionBy("wb")
+                .parquet(wpath)
+            )
+            asof_d_df.write.mode("overwrite").parquet(_window_meta_path(wpath))
+            write_summary_meta(spark, wpath, {"entity": "user_id"})
+            fsutil.touch(spark, os.path.join(wpath, WINDOW_GATE))
+
+        _chains.append(("daily/window rollup", _ix_daily_window))
+
+    if tables is None or "events" in tables:
+
+        def _ix_merged():
+            ev = read_table(spark, out_dir, "events")
+            # §2.4 merged snapshot (the op_merge_snapshot answer table):
+            # one mergeable row per entity, bucketed like the window
+            # table so incremental folds rewrite only touched buckets
+            # (update_merged_summary). Every column is commutative op
+            # state, so serving is bit-identical to the raw one-pass fold.
+            from nerd_spark.operators.merge import snapshot_events
+
+            (
+                snapshot_events(ev, "user_id")
+                .withColumn("wb", _wbucket("user_id"))
+                .repartition("wb")
+                .write.mode("overwrite")
+                .partitionBy("wb")
+                .parquet(os.path.join(out_dir, SUMMARY_MERGED_DIRNAME))
+            )
+            write_summary_meta(
+                spark,
+                os.path.join(out_dir, SUMMARY_MERGED_DIRNAME),
+                {"entity": "user_id"},
+            )
+
+        _chains.append(("merged snapshot", _ix_merged))
+
+    if tables is None or "events" in tables:
+
+        def _ix_funnel():
+            ev = read_table(spark, out_dir, "events")
+            # Funnel / cohort per-user state + resolved result caches (the
+            # op_merge discipline applied to event analytics): the state
+            # tables hold the exact mergeable per-user reduction — distinct
+            # (ts, stage) sets / (day set, per-type first day) — so ingest
+            # folds stay exact under out-of-order arrival; the result
+            # caches make the registered queries a tiny file read. Raw
+            # dirs (and every oracle) recompute from events.
+            from nerd_spark.operators.funnels import (
+                cohort_user_state,
+                funnel_user_state,
+                resolve_funnel_times,
+            )
+
+            fstages = list(FUNNEL_STAGES_DEFAULT)
+            fstate = resolve_funnel_times(
+                funnel_user_state(ev, fstages), fstages
+            )
+            fpath = os.path.join(out_dir, SUMMARY_FUNNEL_DIRNAME)
+            (
+                fstate.withColumn("wb", _wbucket("u"))
+                .repartition("wb")
+                .write.mode("overwrite")
+                .partitionBy("wb")
+                .parquet(fpath)
+            )
+            write_summary_meta(
+                spark, fpath, {"stages": fstages, "entity": "user_id"}
+            )
+            fsutil.touch(spark, os.path.join(fpath, "_SUCCESS"))
+            _write_funnel_result(
+                spark, out_dir, spark.read.parquet(fpath), fstages
+            )
+
+        _chains.append(("funnel state+result", _ix_funnel))
+
+    if tables is None or "events" in tables:
+
+        def _ix_cohort():
+            ev = read_table(spark, out_dir, "events")
+            from nerd_spark.operators.funnels import cohort_user_state
+
+            cstate = cohort_user_state(ev)
+            cpath = os.path.join(out_dir, SUMMARY_COHORT_DIRNAME)
+            (
+                cstate.withColumn("wb", _wbucket("u"))
+                .repartition("wb")
+                .write.mode("overwrite")
+                .partitionBy("wb")
+                .parquet(cpath)
+            )
+            write_summary_meta(spark, cpath, {"entity": "user_id"})
+            fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
+            _write_cohort_result(spark, out_dir, spark.read.parquet(cpath))
+
+        _chains.append(("cohort state+result", _ix_cohort))
+
+    if tables is None or "events" in tables:
+
+        def _ix_bucketed():
+            # (type, entity) count table + entity totals: the hh / top-k
+            # sketch-spot serve tables (operators/sketches.py::
+            # *_from_counts) — the corpus pass the screen/plain paths pay
+            # per query happens once here; queries read O(pairs)/O(keys).
+            # user-bucketed sorted events: per-user ordered operators (the
+            # j5 as-of window, w4 last-N, sessionize) plan exchange-free
+            write_events_bucketed(spark, out_dir)
+
+        _chains.append(("bucketed events", _ix_bucketed))
+
+    if tables is None or "events" in tables:
+
+        def _ix_topk():
+            ev = read_table(spark, out_dir, "events")
+            # global top-k-by-value rows (the w1 serve table; exactly
+            # mergeable for append-only events — update_topk_summary)
+            update_topk_summary(spark, out_dir, ev)
+
+        _chains.append(("topk values", _ix_topk))
+
+    if tables is None or "events" in tables:
+
+        def _ix_keycount():
+            ev = read_table(spark, out_dir, "events")
+            kpath = os.path.join(out_dir, SUMMARY_TYPE_USER_DIRNAME)
+            (
+                ev.groupBy(
+                    F.col("event_type").alias("et"),
+                    F.col("user_id").alias("u"),
                 )
                 .agg(F.count("*").alias("cnt"))
+                .withColumn("wb", _wbucket("u"))
+                .repartition("wb")
+                .write.mode("overwrite")
+                .partitionBy("wb")
+                .parquet(kpath)
             )
-            dhpath = os.path.join(out_dir, SUMMARY_DOC_TOKEN_HIST_DIRNAME)
-            dh.coalesce(1).write.mode("overwrite").parquet(dhpath)
-            fsutil.touch(spark, os.path.join(dhpath, "_SUCCESS"))
-            # resolved card rows (|sources|): volumes + exact token
-            # quantiles from the committed histogram — the registered
-            # corpus_stats_card becomes a file read (meta-bound to the
-            # prob list; other bindings fall to the histogram tier)
-            from nerd_spark.operators import sketches as SK
-
-            h = spark.read.parquet(dhpath)
-            vols = h.groupBy(F.col("src").alias("source")).agg(
-                F.sum("cnt").alias("n_docs"),
-                F.sum(F.col("ntok") * F.col("cnt")).alias("total_tokens"),
-            )
-            qby = SK.quantiles_by_from_counts(
-                h.select(
-                    F.col("src").alias("et"),
-                    F.col("ntok").alias("v"),
-                    "cnt",
-                ),
-                "source",
-                list(DOC_CARD_PROBS),
-            )
-            wide = qby.groupBy("source").agg(
-                F.max(
-                    F.when(F.col("p") == DOC_CARD_PROBS[0], F.col("value"))
-                ).alias("p50_tokens"),
-                F.max(
-                    F.when(F.col("p") == DOC_CARD_PROBS[1], F.col("value"))
-                ).alias("p95_tokens"),
-            )
-            cpath = os.path.join(out_dir, SUMMARY_DOC_CARD_RESULT_DIRNAME)
-            card = vols.join(wide, "source").localCheckpoint()
-            card.coalesce(1).write.mode("overwrite").parquet(cpath)
             write_summary_meta(
-                spark, cpath, {"probs": list(DOC_CARD_PROBS)}
+                spark, kpath, {"entity": "user_id", "type_col": "event_type"}
             )
-            fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
-        (
-            minhash_band_table(shingle_arrays(_spread(dd), "doc_id", "text", 3))
-            .coalesce(max(1, min(scale, 16)))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, MINHASH_BANDS_DIRNAME))
-        )
-    if build_indexes and (tables is None or "events" in tables):
-        # Precomputed summary table (the reference's cron-refreshed
-        # meta tables, scripts/update_db_meta_info.js): the (entity,
-        # day, category) base rollup every A-family aggregation starts
-        # from, plus the as-of anchor. The additive measure is exact
-        # DECIMAL, so the parquet round-trip is bit-identical to
-        # recomputing — queries read it when present and fall back to
-        # the raw scan otherwise. At 100 TB the ingest job maintains
-        # this incrementally (merge per micro-batch); here it is one
-        # extra aggregation over the just-rewritten events.
-        from nerd_spark.plans import derivations as D
-
-        ev = read_table(spark, out_dir, "events")
-        # cluster by day before the partitioned write: without it every
-        # shuffle partition drops a sliver file into every date dir
-        # (days x partitions tiny files) and scan/listing cost eats the
-        # summary's benefit. At 100 TB the key becomes (d, file_group).
-        daily = D.daily_rollup(ev, "user_id")
-        daily.repartition("d").write.mode("overwrite").partitionBy("d").parquet(
-            os.path.join(out_dir, SUMMARY_DAILY_DIRNAME)
-        )
-        write_summary_meta(
-            spark,
-            os.path.join(out_dir, SUMMARY_DAILY_DIRNAME),
-            {"entity": "user_id"},
-        )
-        as_of = ev.agg(F.max("ts").alias("as_of"))
-        as_of.write.mode("overwrite").parquet(
-            os.path.join(out_dir, SUMMARY_ASOF_DIRNAME)
-        )
-        # Second-level window rollup (the A2 answer table): reading
-        # the just-committed daily summary (compact) rather than
-        # re-aggregating raw events.
-        sd = spark.read.parquet(os.path.join(out_dir, SUMMARY_DAILY_DIRNAME))
-        asof_d_df = as_of.select(F.to_date("as_of").alias("as_of_d"))
-        wpath = os.path.join(out_dir, SUMMARY_WINDOW_DIRNAME)
-        (
-            _with_rep_columns(
-                window_rollup(sd.select("entity", "d", "cat", "n"), asof_d_df)
+            fsutil.touch(spark, os.path.join(kpath, "_SUCCESS"))
+            tpath = os.path.join(out_dir, SUMMARY_USER_COUNTS_DIRNAME)
+            (
+                spark.read.parquet(kpath)
+                .groupBy("u")
+                .agg(F.sum("cnt").alias("cnt"))
+                .write.mode("overwrite")
+                .parquet(tpath)
             )
-            .drop("as_of_d")  # anchor lives in the sidecar meta
-            .withColumn("wb", _wbucket())
-            .repartition("wb")
-            .write.mode("overwrite")
-            .partitionBy("wb")
-            .parquet(wpath)
-        )
-        asof_d_df.write.mode("overwrite").parquet(_window_meta_path(wpath))
-        write_summary_meta(spark, wpath, {"entity": "user_id"})
-        fsutil.touch(spark, os.path.join(wpath, WINDOW_GATE))
-        # §2.4 merged snapshot (the op_merge_snapshot answer table):
-        # one mergeable row per entity, bucketed like the window
-        # table so incremental folds rewrite only touched buckets
-        # (update_merged_summary). Every column is commutative op
-        # state, so serving is bit-identical to the raw one-pass fold.
-        from nerd_spark.operators.merge import snapshot_events
+            fsutil.touch(spark, os.path.join(tpath, "_SUCCESS"))
+            # resolved hh/top-k answers for the registered bindings (the
+            # funnel-result discipline over the count tables just written)
+            _write_keycount_results(spark, out_dir)
 
-        (
-            snapshot_events(ev, "user_id")
-            .withColumn("wb", _wbucket("user_id"))
-            .repartition("wb")
-            .write.mode("overwrite")
-            .partitionBy("wb")
-            .parquet(os.path.join(out_dir, SUMMARY_MERGED_DIRNAME))
-        )
-        write_summary_meta(
-            spark,
-            os.path.join(out_dir, SUMMARY_MERGED_DIRNAME),
-            {"entity": "user_id"},
-        )
-        # Funnel / cohort per-user state + resolved result caches (the
-        # op_merge discipline applied to event analytics): the state
-        # tables hold the exact mergeable per-user reduction — distinct
-        # (ts, stage) sets / (day set, per-type first day) — so ingest
-        # folds stay exact under out-of-order arrival; the result
-        # caches make the registered queries a tiny file read. Raw
-        # dirs (and every oracle) recompute from events.
-        from nerd_spark.operators.funnels import (
-            cohort_user_state,
-            funnel_user_state,
-            resolve_funnel_times,
-        )
+        _chains.append(("keycount tables+results", _ix_keycount))
 
-        fstages = list(FUNNEL_STAGES_DEFAULT)
-        fstate = resolve_funnel_times(
-            funnel_user_state(ev, fstages), fstages
-        )
-        fpath = os.path.join(out_dir, SUMMARY_FUNNEL_DIRNAME)
-        (
-            fstate.withColumn("wb", _wbucket("u"))
-            .repartition("wb")
-            .write.mode("overwrite")
-            .partitionBy("wb")
-            .parquet(fpath)
-        )
-        write_summary_meta(
-            spark, fpath, {"stages": fstages, "entity": "user_id"}
-        )
-        fsutil.touch(spark, os.path.join(fpath, "_SUCCESS"))
-        _write_funnel_result(
-            spark, out_dir, spark.read.parquet(fpath), fstages
-        )
-        cstate = cohort_user_state(ev)
-        cpath = os.path.join(out_dir, SUMMARY_COHORT_DIRNAME)
-        (
-            cstate.withColumn("wb", _wbucket("u"))
-            .repartition("wb")
-            .write.mode("overwrite")
-            .partitionBy("wb")
-            .parquet(cpath)
-        )
-        write_summary_meta(spark, cpath, {"entity": "user_id"})
-        fsutil.touch(spark, os.path.join(cpath, "_SUCCESS"))
-        _write_cohort_result(spark, out_dir, spark.read.parquet(cpath))
-        # (type, entity) count table + entity totals: the hh / top-k
-        # sketch-spot serve tables (operators/sketches.py::
-        # *_from_counts) — the corpus pass the screen/plain paths pay
-        # per query happens once here; queries read O(pairs)/O(keys).
-        # user-bucketed sorted events: per-user ordered operators (the
-        # j5 as-of window, w4 last-N, sessionize) plan exchange-free
-        write_events_bucketed(spark, out_dir)
-        # global top-k-by-value rows (the w1 serve table; exactly
-        # mergeable for append-only events — update_topk_summary)
-        update_topk_summary(spark, out_dir, ev)
-        kpath = os.path.join(out_dir, SUMMARY_TYPE_USER_DIRNAME)
-        (
-            ev.groupBy(
-                F.col("event_type").alias("et"),
-                F.col("user_id").alias("u"),
-            )
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("wb", _wbucket("u"))
-            .repartition("wb")
-            .write.mode("overwrite")
-            .partitionBy("wb")
-            .parquet(kpath)
-        )
-        write_summary_meta(
-            spark, kpath, {"entity": "user_id", "type_col": "event_type"}
-        )
-        fsutil.touch(spark, os.path.join(kpath, "_SUCCESS"))
-        tpath = os.path.join(out_dir, SUMMARY_USER_COUNTS_DIRNAME)
-        (
-            spark.read.parquet(kpath)
-            .groupBy("u")
-            .agg(F.sum("cnt").alias("cnt"))
-            .write.mode("overwrite")
-            .parquet(tpath)
-        )
-        fsutil.touch(spark, os.path.join(tpath, "_SUCCESS"))
-        # resolved hh/top-k answers for the registered bindings (the
-        # funnel-result discipline over the count tables just written)
-        _write_keycount_results(spark, out_dir)
-        # (event_type, value) histogram + global value counts — the
-        # quantile family's serve tables — seeded ONLY under a
-        # bounded-domain certificate from the colstats sidecar written
-        # above (a continuous value domain keeps the GK bracket path:
-        # there the histogram would BE the corpus). One corpus pass;
-        # quantiles become cumulative-sum lookups over distinct values.
-        from nerd_spark.sources import colstats as _cs
+    if tables is None or "events" in tables:
 
-        nd_ev = _cs.distinct_upper_bound(ev, ["event_type", "value"])
-        if nd_ev is not None and nd_ev * 1.25 <= VALUE_HIST_MAX_ROWS:
-            seed_value_hist(spark, out_dir, ev)
+        def _ix_valuehist():
+            ev = read_table(spark, out_dir, "events")
+            # (event_type, value) histogram + global value counts — the
+            # quantile family's serve tables — seeded ONLY under a
+            # bounded-domain certificate from the colstats sidecar written
+            # above (a continuous value domain keeps the GK bracket path:
+            # there the histogram would BE the corpus). One corpus pass;
+            # quantiles become cumulative-sum lookups over distinct values.
+            from nerd_spark.sources import colstats as _cs
+
+            nd_ev = _cs.distinct_upper_bound(ev, ["event_type", "value"])
+            if nd_ev is not None and nd_ev * 1.25 <= VALUE_HIST_MAX_ROWS:
+                seed_value_hist(spark, out_dir, ev)
+
+
+
+        _chains.append(("value histogram", _ix_valuehist))
+
+    def _run_chain(item):
+        name, fn = item
+        spark.sparkContext.setJobDescription(f"layout index: {name}")
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    workers = int(
+        str(spark.conf.get("spark.nerd.layoutIndexWorkers", "6"))
+    )
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        futs = [pool.submit(_run_chain, it) for it in _chains]
+        for f in futs:
+            f.result()  # propagate the first failure loudly
 
 
 def update_daily_summary(
