@@ -202,9 +202,21 @@ def shingle_rows(
 
 
 def _pair_jaccard(
-    cand: DataFrame, sets: DataFrame, broadcast_max_pairs: int = 2_000_000
+    cand: DataFrame,
+    sets: DataFrame,
+    broadcast_max_pairs: int = 2_000_000,
+    over: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate (a_id, b_id) pairs.
+
+    ``over``: the caller's already-measured verdict of the same
+    bounded probe. A caller that has ALREADY pinned ``cand`` (e.g. a
+    localCheckpoint) and counted it against the bound for its own
+    broadcast decision passes the verdict through so this function
+    does not persist and probe a second time — the probe is a whole
+    extra job launch per call, pure overhead when the answer is
+    known. With ``over`` given the caller owns the pin; nothing is
+    persisted or tied here.
 
     `sets` is (id, ss: array<string> distinct shingles) — computed
     map-side from shingle arrays. Candidates are rare by
@@ -232,8 +244,11 @@ def _pair_jaccard(
     a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
     b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
     c = F.size(F.array_intersect("sa", "sb"))
-    cand = cand.persist()  # probe + verify join; tied to the result below
-    over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+    pins = []
+    if over is None:
+        cand = cand.persist()  # probe + verify join; tied to the result below
+        over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+        pins = [cand]
     probe = cand.hint("merge") if over else F.broadcast(cand)
     return tie_unpersist(
         probe.join(a, "a_id")
@@ -243,7 +258,7 @@ def _pair_jaccard(
             "b_id",
             F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
         ),
-        cand,
+        *pins,
     )
 
 
@@ -291,7 +306,10 @@ def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
     the cached sarr exactly as before, through the same downstream
     code. Unknown size (in-memory frames, e.g. corpus_curation_v4's
     checkpointed survivor frame) takes the scale path: the scale path
-    must never silently degrade.
+    must never silently degrade — and an r13 A/B that plumbed a
+    corpus-size prior through to flip v4's stage small measured the
+    small path SLOWER in-pipeline (see the corpus_curation_v4 call
+    site), so unknown→scale is the measured choice too.
 
     ``sarr`` (optional): a precomputed (id, sarr) shingle frame — a
     pipeline that already shingled a superset corpus (corpus_curation
@@ -679,6 +697,16 @@ def minhash_cluster_edges(
                 )
             )
         else:
+            # The star checkpoint stays (r13 negative result): its
+            # (a_id, b_id) projection is materialized into
+            # _pair_jaccard's persisted candidates anyway, so
+            # deferring the checkpoint to the residue path looked
+            # like a free job saved — but the interleaved sf0.1 A/B
+            # (clean 0.10 s canary window) measured the deferred
+            # variant 4.6–6.9 s vs 4.6–5.5 s: residue rounds DO occur
+            # on real corpora (md5 band buckets mix similarity
+            # groups), and each one re-derives roots+star over the
+            # residual band table, costing more than the checkpoint.
             roots = cur.groupBy("b", "h").agg(F.min("id").alias("rid"))
             star = (
                 cur.join(roots, ["b", "h"])
@@ -835,7 +863,10 @@ def incremental_minhash_pairs_indexed(
     sets = shingle_arrays(_spread(cdocs), id_col, text_col, k).select(
         "id", F.array_distinct("sarr").alias("ss")
     )
-    pj = _pair_jaccard(cand, sets, broadcast_max_pairs)
+    # cand is already checkpointed and already counted against the
+    # bound above — hand the verdict through so the verify does not
+    # persist + probe the same frame again (one whole job per query)
+    pj = _pair_jaccard(cand, sets, broadcast_max_pairs, over=over)
     return tie_unpersist(
         pj.filter(F.col("jaccard") >= threshold), pj
     )

@@ -2563,6 +2563,17 @@ def corpus_curation_v4(spark, sf_dir):
     # consumes d4
     d3 = d2.join(losers, "doc_id", "left_anti").localCheckpoint()
     sarr3 = sarr2.join(d3.select(F.col("doc_id").alias("id")), "id")
+    # d3 is an in-memory checkpoint, so the containment stage's size
+    # gate sees no file size and takes the SCALE path — and that is
+    # the measured-right choice here, not just the safe default: an
+    # r13 A/B plumbed the file-backed corpus estimate through
+    # (flipping sf0.1 to the small full-array path that wins
+    # standalone) and the pipeline got consistently SLOWER, 11.2–11.8
+    # → 17.0–18.6 s over 4 interleaved reps in a clean-canary window.
+    # In-pipeline the small path's uncached full-array aset re-runs
+    # the sarr2⋈d3 subplan per verify side, which standalone's
+    # file-scan aset never pays. Decided by measurement; revisit only
+    # with a new A/B.
     cpairs = DD.containment_dedup(
         d3, k=3, threshold=0.9, max_df=20, sarr=sarr3
     )
