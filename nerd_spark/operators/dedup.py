@@ -216,7 +216,13 @@ def _pair_jaccard(
     does not persist and probe a second time — the probe is a whole
     extra job launch per call, pure overhead when the answer is
     known. With ``over`` given the caller owns the pin; nothing is
-    persisted or tied here.
+    persisted or tied here. CONTRACT (ADVICE r13): the verdict is
+    only valid if it was measured against THIS function's
+    ``broadcast_max_pairs`` bound on the SAME pinned frame — a
+    verdict from a different bound would silently mis-choose
+    broadcast vs merge-join. Callers must pass their measured bound
+    alongside (the one caller, incremental_minhash_pairs_indexed,
+    forwards both).
 
     `sets` is (id, ss: array<string> distinct shingles) — computed
     map-side from shingle arrays. Candidates are rare by
@@ -316,7 +322,14 @@ def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
     v4's LSH stage) passes its cached frame filtered to ``docs`` and
     the tokenize/transform pass is not paid again. The CALLER owns
     that cache; this function only creates (and the operator only
-    ties) what it built itself."""
+    ties) what it built itself.
+
+    Gate caveat (ADVICE r13): estimate_input_bytes sums the FULL
+    underlying parquet files, so a heavily filtered slice of a large
+    table overestimates and lands on the scale path. That is the
+    measured-safe direction (unknown/over -> scale; the small path is
+    only a fixed-cost shave), a perf prior only — never a correctness
+    input."""
     from nerd_spark.sources.fsutil import estimate_input_bytes
 
     spark = docs.sparkSession
@@ -1011,6 +1024,24 @@ def span_dedup(
     join back — never all-pairs, O(corpus tokens / k) block rows.
     Empty documents produce no output row (no blocks), matching the
     SQL oracle's unnest semantics.
+
+    r14 verify restructure (guide §2.3/§3.1): the document-frequency
+    side now (a) dedups (doc, fp) MAP-SIDE via array_distinct over the
+    per-doc fingerprint array — a plain count over pre-distinct rows
+    replaces the count_distinct expand, removing one Exchange of
+    (fp, id) rows — and (b) ships ONLY the boilerplate fingerprints
+    (block_df >= min_df) into the join build side instead of every
+    distinct block's (fp, df) row. Most blocks are unique (df=1), so
+    the build side shrinks from ~all-distinct-blocks to just the
+    recurring ones — at sf0.1x16 that is what keeps the join a
+    broadcast (the full df table was brushing the 64 MB threshold,
+    and past it the btext-carrying block rows would shuffle by fp).
+    The block rows themselves never shuffle before the final per-doc
+    regroup, and boilerplate btext is dropped map-side by the
+    collect_list filter before that exchange. Flag equivalence:
+    fp IN boiler-set  <=>  block_df >= min_df (interleaved A/B at
+    16x: old 4.8-16.1 s vs new 3.9-7.9 s, never slower; exceptAll
+    diff 0 both ways).
     """
     base = _spread(docs).select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
@@ -1033,11 +1064,26 @@ def span_dedup(
             )
         ).alias("b"),
     ).select("id", "b.bi", "b.btext", F.md5("b.btext").alias("fp"))
-    df_counts = blocks.groupBy("fp").agg(
-        F.count_distinct("id").alias("block_df")
+    docfp = base.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idxs,
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i * k + 1, k))
+                    ),
+                )
+            )
+        ).alias("fp")
     )
-    flagged = blocks.join(df_counts, "fp").withColumn(
-        "boiler", F.col("block_df") >= min_df
+    boiler_fps = (
+        docfp.groupBy("fp")
+        .agg(F.count("*").alias("block_df"))
+        .filter(F.col("block_df") >= min_df)
+        .select("fp", F.lit(True).alias("boiler0"))
+    )
+    flagged = blocks.join(boiler_fps, "fp", "left").withColumn(
+        "boiler", F.coalesce("boiler0", F.lit(False))
     )
     kept = F.array_sort(
         F.collect_list(

@@ -835,10 +835,28 @@ def optimize_layout(
     workers = int(
         str(spark.conf.get("spark.nerd.layoutIndexWorkers", "6"))
     )
+    # NOTE: read_table (called inside every chain) does session-global
+    # spark.conf.set; that is race-free across chains only because every
+    # caller sets IDENTICAL values. Pre-set them once here so a future
+    # conf divergence cannot silently race across threads (ADVICE r13).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
         futs = [pool.submit(_run_chain, it) for it in _chains]
-        for f in futs:
-            f.result()  # propagate the first failure loudly
+        try:
+            for f in futs:
+                f.result()  # propagate the first failure loudly
+        except BaseException:
+            # a failed build must stop queued chains from continuing to
+            # write serve tables into out_dir behind the raised error
+            # (ADVICE r13); running chains finish, queued ones cancel.
+            pool.shutdown(cancel_futures=True)
+            raise
 
 
 def update_daily_summary(
