@@ -63,6 +63,26 @@ EXTENDED = [
     "hh_by_type_min_count",
 ]
 
+# Replica-scale ratio set (r13 verdict #2): the sf0.1 headline is
+# job-launch floors end to end (8-vs-32-core scaling ratios ≈ 1 on
+# every query; serve answers are file reads), so sf0.1 walls cannot
+# adjudicate optimization work. The committed row therefore ALSO
+# carries engine/DuckDB ratios measured on an N-fold replica of the
+# input (bench_scale.replicate — key-shifted, text-rotated, built
+# INSIDE this run from the raw parquet inputs and layout-optimized
+# the same way; build cost reported, nothing persists across runs).
+# The set is the headline plus the dedup/curation tail whose cost is
+# data-dominated at replica scale.
+REPLICA_EXTRA = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_incremental",
+    "text_span_dedup",
+    "dedup_clusters_scalable",
+    "corpus_curation_v3",
+    "corpus_curation_v4",
+]
+
 # Representative cut across operator families; excludes the
 # deliberately quadratic-ish jaccard candidate path (minhash LSH is
 # the scale-path dedup entry).
@@ -311,6 +331,116 @@ def main() -> None:
         fn(spark, data_dir).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 3)
 
+    # Replica-scale ratio block (r13 verdict #2): build an N-fold
+    # replica dir IN THIS RUN (replicate + the same layout pass —
+    # both timed and reported), then one interleaved engine/DuckDB
+    # pass over HEADLINE + REPLICA_EXTRA. At this scale the queries
+    # are data-dominated, so the per-query ratio is the
+    # host-independent number optimization rounds diff; sf0.1 ratios
+    # above stay for continuity but are floor-arithmetic.
+    # SPARK_GRAFT_BENCH_REPLICA=0 disables; --replica N overrides.
+    replica_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICA", "16"))
+    if "--replica" in sys.argv:
+        replica_n = int(sys.argv[sys.argv.index("--replica") + 1])
+    replica_out: dict = {}
+    if replica_n > 1:
+        from bench_duckdb import duck_connect as _rep_duck_connect
+        from bench_scale import replicate
+        from nerd_spark.sources.layout import serve_table_status
+
+        rep_raw = tempfile.mkdtemp(prefix=f"nerd_bench_rep{replica_n}_raw_")
+        t0 = time.perf_counter()
+        replicate(spark, SF_DIR, rep_raw, replica_n)
+        rep_build_sec = round(time.perf_counter() - t0, 3)
+        rep_dir = tempfile.mkdtemp(prefix=f"nerd_bench_rep{replica_n}_")
+        t0 = time.perf_counter()
+        optimize_layout(spark, rep_raw, rep_dir, scale=replica_n)
+        rep_layout_sec = round(time.perf_counter() - t0, 3)
+        rep_serve = serve_table_status(spark, rep_dir)
+        bad = [
+            r["table"]
+            for r in rep_serve
+            if r["present"]
+            and not (r["gated"] and r["fresh"] and not r["staging"])
+        ]
+        if bad:
+            raise RuntimeError(
+                f"replica bench precondition failed: stale serve tables {bad}"
+            )
+        try:
+            rep_duck = _rep_duck_connect(rep_dir)
+        except Exception:
+            rep_duck = None
+        # The comparator gets a per-query budget: several dedup/curation
+        # oracles are quadratic-ish SQL that DuckDB chews on for many
+        # minutes at replica scale (that asymmetry IS the design point —
+        # the engine's banded/star algorithms stay near-linear), and an
+        # uncapped oracle would eat the driver's whole bench window.
+        # A capped query records the budget as its comparator time, so
+        # its reported ratio is an UPPER bound (engine looks worse than
+        # truth, never better) and lands in comparator_replica_capped.
+        duck_budget = float(
+            os.environ.get("SPARK_GRAFT_BENCH_REPLICA_DUCK_BUDGET", "60")
+        )
+        rep_walls: dict[str, float] = {}
+        rep_duckt: dict[str, float] = {}
+        rep_capped: list[str] = []
+        for name in HEADLINE + REPLICA_EXTRA:
+            fn = REGISTRY[name]
+            spark.sparkContext.setJobDescription(f"replica{replica_n}x:{name}")
+            t0 = time.perf_counter()
+            fn(spark, rep_dir).write.format("noop").mode("overwrite").save()
+            rep_walls[name] = round(time.perf_counter() - t0, 3)
+            spark.sparkContext.setJobDescription(None)
+            if rep_duck is not None and name in ORACLE:
+                import threading
+
+                done = threading.Event()
+
+                def _watchdog(con=rep_duck, ev=done):
+                    if not ev.wait(duck_budget):
+                        con.interrupt()
+
+                wd = threading.Thread(target=_watchdog, daemon=True)
+                t0 = time.perf_counter()
+                wd.start()
+                try:
+                    rep_duck.execute(ORACLE[name]).fetchall()
+                    rep_duckt[name] = round(time.perf_counter() - t0, 3)
+                except Exception:
+                    rep_duckt[name] = round(duck_budget, 3)
+                    rep_capped.append(name)
+                finally:
+                    done.set()
+                    wd.join()
+        replica_out = {
+            "replica_factor": replica_n,
+            "replica_build_sec": rep_build_sec,
+            "replica_layout_sec": rep_layout_sec,
+            "replica_serve_tables_fresh": sum(
+                1 for r in rep_serve if r["present"]
+            ),
+            "queries_replica": rep_walls,
+            "comparator_replica": rep_duckt,
+            "comparator_replica_capped": rep_capped,
+            "queries_ratio_replica": {
+                n: round(rep_walls[n] / rep_duckt[n], 3)
+                for n in rep_duckt
+                if rep_duckt[n] > 0
+            },
+            "ratio_overall_replica": round(
+                sum(rep_walls[n] for n in rep_duckt)
+                / max(sum(rep_duckt.values()), 1e-9),
+                3,
+            )
+            if rep_duckt
+            else None,
+        }
+        import shutil
+
+        shutil.rmtree(rep_raw, ignore_errors=True)
+        shutil.rmtree(rep_dir, ignore_errors=True)
+
     # Per-stage breakdown of the curation flagship so its one number
     # localizes regressions (quality gate vs LSH vs clustering ...).
     from nerd_spark.queries.dataprep import (
@@ -363,6 +493,7 @@ def main() -> None:
         ),
         "extended_total": round(sum(extended.values()), 3),
         "extended_queries": extended,
+        **replica_out,
         "curation_stages": curation_stages,
         "curation_v3_stages": curation_v3_stages,
         "run_meta": {
@@ -404,8 +535,17 @@ def main() -> None:
             "queries_ratio",
             "ratio_overall",
             "serve_tables_fresh",
+            # replica-scale ratio block (r13 verdict #2): the
+            # host-independent numbers rounds diff; per-query walls
+            # stay on the detail line
+            "replica_factor",
+            "replica_build_sec",
+            "replica_layout_sec",
+            "queries_ratio_replica",
+            "ratio_overall_replica",
             "run_meta",
         )
+        if k in out
     }
     print(json.dumps(summary))
     spark.stop()

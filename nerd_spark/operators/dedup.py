@@ -386,7 +386,11 @@ def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
 
 
 def _pair_scores_rare(
-    cand: DataFrame, aset: DataFrame, broadcast_max_pairs: int = 2_000_000
+    cand: DataFrame,
+    aset: DataFrame,
+    broadcast_max_pairs: int = 2_000_000,
+    j_min: float | None = None,
+    c_min: float | None = None,
 ):
     """Exact (jaccard, containment) columns for rare-shingle candidate
     pairs from the decomposed intersection (see
@@ -394,7 +398,30 @@ def _pair_scores_rare(
     Same measured-bound broadcast discipline and cache tie as
     :func:`_pair_jaccard`; returns (scored_df, pins) — the caller
     hands the pins (the persisted cand + the cached aset) to
-    tie_unpersist along with its own."""
+    tie_unpersist along with its own.
+
+    r14 upper-bound prune (guide §8 "decide with small rows" / §2.3):
+    ``j_min``/``c_min`` are the caller's FINAL output thresholds. The
+    intersection is bounded above by c_ub = rc + min(|hot_a|, |hot_b|)
+    (every shared shingle is shared-rare or shared-hot, and shared-hot
+    ≤ either hot set), and both scores are monotone in c with
+    c_ub ≤ min(na, nb) (rc ≤ na−|hot_a| and min ≤ |hot_a|, same for
+    b), so a pair whose ROUNDED upper-bound scores miss every given
+    threshold provably cannot appear in the caller's output — rounding
+    to the same 6 dp keeps the comparison exact because round() is
+    monotone. Pairs are pruned on (na, nb, |hot|) alone, BEFORE any
+    hot array is shipped or intersected. When the measured pair count
+    exceeds the broadcast bound this becomes a two-pass verify: pass 1
+    joins cand to the doc-count-sized (id, n, nh) stats projection
+    (tiny rows; AQE sees the real sizes — no merge pin needed on a
+    16-byte payload), pass 2 re-applies the measured broadcast
+    discipline to the surviving pairs (usually far under the bound)
+    and intersects hot arrays only for them — the heavy arrays never
+    ride a pair-sized sort. Measured at a 16x replica: 15.0M candidate
+    pairs, verify stage 99 s (two SMJ sorts carrying avg-20-string hot
+    arrays per side) → survivors only. Callers that filter the
+    returned frame at these thresholds get identical output; passing
+    no threshold keeps every pair (the pre-r14 contract)."""
     a = aset.select(
         F.col("id").alias("a_id"), F.col("n").alias("na"),
         F.col("hot").alias("ha"),
@@ -405,19 +432,89 @@ def _pair_scores_rare(
     )
     cand = cand.persist()  # probe + verify join; tied below
     over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
-    probe = cand.hint("merge") if over else F.broadcast(cand)
+    prune = j_min is not None or c_min is not None
+    if over and prune and c_min is not None:
+        # The containment bound c_ub/min(na,nb) is only selective when
+        # hot sets are small next to full sets (then c_ub ≈ rc): with a
+        # large hot fraction c_ub → min(na,nb) and the bound keeps
+        # EVERYTHING (measured on the 16x letter-rotation replica dir,
+        # hot_frac 0.38: containment-0.9 survivors 14,971,942 of
+        # 14,971,942 — the two-pass verify then only ADDS a pass; the
+        # jaccard bound on the same data kept 36% and won 2-4x). For an
+        # OR-caller a weak c-side makes the whole OR vacuous, so the
+        # prune is disabled outright, not just the c term — the keep
+        # filter must stay a NECESSARY condition for the caller's
+        # output. One tiny agg on the (doc-count-sized, cached,
+        # needed-anyway) aset decides from the measured fraction; real
+        # corpora sit far under the gate (sf0.1: 59 hot shingles of
+        # 27,213 distinct, hot_frac ~0.005).
+        hs = aset.agg(
+            F.sum("n").alias("sn"),
+            F.sum(F.size("hot")).alias("sh"),
+        ).first()
+        hot_frac = (hs["sh"] or 0) / max(hs["sn"] or 1, 1)
+        if hot_frac > 0.2:
+            prune = j_min is not None and c_min is None
+
+    def _ub_keep(c_ub):
+        keep = F.lit(False)
+        if j_min is not None:
+            keep = keep | (
+                F.round(c_ub / (F.col("na") + F.col("nb") - c_ub), 6)
+                >= F.lit(j_min)
+            )
+        if c_min is not None:
+            keep = keep | (
+                F.round(c_ub / F.least("na", "nb"), 6) >= F.lit(c_min)
+            )
+        return keep
+
     c = F.col("rc") + F.size(F.array_intersect("ha", "hb"))
-    scored = (
-        probe.join(a, "a_id")
-        .join(b, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
-            F.round(c / F.least("na", "nb"), 6).alias("containment"),
+    exact = [
+        "a_id",
+        "b_id",
+        F.round(c / (F.col("na") + F.col("nb") - c), 6).alias("jaccard"),
+        F.round(c / F.least("na", "nb"), 6).alias("containment"),
+    ]
+    if over and prune:
+        # pass 1 — bounds on tiny rows: no hint on either side (the
+        # stats side is doc-count-sized 16-byte rows; AQE converts
+        # from the REAL exchange size, the measured discipline's
+        # estimate distrust does not apply)
+        nst_a = aset.select(
+            F.col("id").alias("a_id"),
+            F.col("n").alias("na"),
+            F.size("hot").alias("nha"),
         )
-    )
-    return scored, [cand, aset]
+        nst_b = aset.select(
+            F.col("id").alias("b_id"),
+            F.col("n").alias("nb"),
+            F.size("hot").alias("nhb"),
+        )
+        c_ub = F.col("rc") + F.least("nha", "nhb")
+        surv = (
+            cand.join(nst_a, "a_id")
+            .join(nst_b, "b_id")
+            .filter(_ub_keep(c_ub))
+            .select("a_id", "b_id", "rc")
+            .persist()
+        )
+        over2 = (
+            surv.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
+        )
+        probe = surv.hint("merge") if over2 else F.broadcast(surv)
+        scored = probe.join(a, "a_id").join(b, "b_id").select(*exact)
+        return scored, [cand, surv, aset]
+    probe = cand.hint("merge") if over else F.broadcast(cand)
+    joined = probe.join(a, "a_id").join(b, "b_id")
+    if prune:
+        # broadcast path: same joins, but the bound filter sits
+        # between the join and the intersect projection so pruned
+        # rows never pay the array_intersect (one codegen stage)
+        joined = joined.filter(
+            _ub_keep(F.col("rc") + F.least(F.size("ha"), F.size("hb")))
+        )
+    return joined.select(*exact), [cand, aset]
 
 
 def jaccard_dedup(
@@ -439,7 +536,7 @@ def jaccard_dedup(
     sarr, rare, cand, aset = _rare_shingle_candidates(
         docs, id_col, text_col, k, max_df
     )
-    scored, pins = _pair_scores_rare(cand, aset)
+    scored, pins = _pair_scores_rare(cand, aset, j_min=threshold)
     return tie_unpersist(
         scored.filter(F.col("jaccard") >= threshold).select(
             "a_id", "b_id", "jaccard"
@@ -473,7 +570,9 @@ def jaccard_containment_pairs(
     sarr, rare, cand, aset = _rare_shingle_candidates(
         docs, id_col, text_col, k, max_df
     )
-    scored, pins = _pair_scores_rare(cand, aset)
+    scored, pins = _pair_scores_rare(
+        cand, aset, j_min=jaccard_threshold, c_min=containment_threshold
+    )
     return tie_unpersist(
         scored.filter(
             (F.col("jaccard") >= jaccard_threshold)
@@ -517,7 +616,7 @@ def containment_dedup(
     sarr, rare, cand, aset = _rare_shingle_candidates(
         docs, id_col, text_col, k, max_df, sarr=sarr
     )
-    scored, pins = _pair_scores_rare(cand, aset)
+    scored, pins = _pair_scores_rare(cand, aset, c_min=threshold)
     ties = pins + [rare] + ([sarr] if own else [])
     return tie_unpersist(
         scored.filter(F.col("containment") >= threshold).select(
@@ -695,9 +794,15 @@ def minhash_cluster_edges(
     cur = minhash_band_table(sarr, n_bands, rows_per_band).localCheckpoint()
     rounds = []
     for rnd in range(star_rounds + 1):
-        if not cur.take(1):
-            break
+        # No per-round emptiness probe (r14, guide §1 job-count): a
+        # residue round only starts when the previous round saw a
+        # FAILED edge, and every bad pair came from a star edge, so
+        # the residue is non-empty by construction — the old
+        # `cur.take(1)` could never fire past round 0, and on an
+        # empty corpus round 0 just flows empty frames through the
+        # same (fast) jobs into the correctly-typed empty result.
         final = rnd == star_rounds
+        star_cnt = None
         if final:
             # residue fallback: all remaining within-bucket pairs
             star = None
@@ -734,7 +839,19 @@ def minhash_cluster_edges(
                 .localCheckpoint()
             )
             cand_rows = star.select("a_id", "b_id")
-        pj = _pair_jaccard(cand_rows.distinct(), sets).persist()
+            # the star is already materialized: its row count is a
+            # free UPPER bound on the distinct pair count, so the
+            # broadcast verdict needs no persist+limit probe of the
+            # pair frame (one whole job per round, and the probe's
+            # early-stopped distinct paid the exchange map side
+            # anyway). Over-approximation errs toward the merge
+            # path — the safe direction (r7 verdict #3).
+            star_cnt = star.count()
+        pj = _pair_jaccard(
+            cand_rows.distinct(),
+            sets,
+            over=None if star_cnt is None else star_cnt > 2_000_000,
+        ).persist()
         rounds.append(
             pj.filter(F.col("jaccard") >= threshold).localCheckpoint()
         )

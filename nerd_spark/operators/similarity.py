@@ -395,6 +395,7 @@ def ivf_probe(
     queries: DataFrame,
     k: int = 5,
     n_probe: int = 2,
+    collect_probes: bool = False,
 ) -> DataFrame:
     """Search an on-disk IVF index built by :func:`build_ivf_index`.
 
@@ -406,6 +407,18 @@ def ivf_probe(
     at file-listing time: only n_probe/n_lists of the index is read,
     and the only exchange in the plan is the broadcast of the probe
     side (plan-asserted in tests).
+
+    ``collect_probes`` (r14, guide §1 job-count): when the CALLER
+    knows ``queries`` is driver-small (the registered query's
+    10-probe shape; anything already bounded by a literal filter),
+    the scored probe rows themselves — not just their cids — are
+    collected in ONE action, the broadcast side is rebuilt from the
+    local rows, and the pruning literals come from the same collect:
+    the separate probe-materialize+collect job (and its cache)
+    disappears, leaving a single Spark job per search. Off by
+    default because the collect is bounded by |queries| x n_probe —
+    only the caller can know that bound is driver-safe; the default
+    path stays bounded by n_lists regardless of query count.
 
     Result shape matches :func:`ivf_topk` exactly (same rounding and
     tie-breaks), so the two are interchangeable and share an oracle.
@@ -426,11 +439,19 @@ def ivf_probe(
         qscored.withColumn("crank", F.row_number().over(wq))
         .filter(F.col("crank") <= n_probe)
         .select("query_id", "qv", "qnorm", "cid")
-        .cache()  # consumed twice: the cid collect below + the corpus join
     )
-    probe_cids = sorted(
-        r.cid for r in probes.select("cid").distinct().collect()
-    )  # ≤ n_lists values — the literal the partition pruner needs
+    pins = []
+    if collect_probes:
+        schema = probes.schema
+        rows = probes.collect()  # caller-asserted driver-small
+        probe_cids = sorted({r.cid for r in rows})
+        probes = spark.createDataFrame(rows, schema)
+    else:
+        probes = probes.cache()  # consumed twice: cid collect + corpus join
+        pins = [probes]
+        probe_cids = sorted(
+            r.cid for r in probes.select("cid").distinct().collect()
+        )  # ≤ n_lists values — the literal the partition pruner needs
     corpus = (
         spark.read.parquet(path)
         .filter(F.col("cid").isin(probe_cids))
@@ -456,7 +477,7 @@ def ivf_probe(
         sims.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank"),
-        probes,
+        *pins,
     )
 
 

@@ -2001,7 +2001,9 @@ def ann_ivf_indexed(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return SIM.ivf_probe(spark, path, q, k=5, n_probe=2)
+    # 10 probes by construction (vec_id < 10): driver-small, so the
+    # one-job collected-probe path applies (operator docstring)
+    return SIM.ivf_probe(spark, path, q, k=5, n_probe=2, collect_probes=True)
 
 
 
