@@ -229,6 +229,16 @@ def _pair_jaccard(
     construction, so the common plan broadcasts `cand` and both joins
     stream `sets` map-side: verification never shuffles the corpus.
 
+    r14 NEGATIVE RESULT (do not revisit without a new mechanism):
+    moving the array_distinct+size projection ABOVE the broadcast
+    joins — so only candidate rows pay the per-row array work, raw
+    arrays below — measured a wash-to-LOSS at the 16x replica
+    (old 4.6-9.8 s vs new 8.2-9.6 s interleaved, pair sets
+    identical). The candidate count there (39k pairs) is comparable
+    to the corpus (80k docs), so the "candidates-only" saving is
+    ~nothing while raw arrays riding two joins (and the second
+    join's build side) cost more. The pre-join distinct stays.
+
     The broadcast decision is made from a MEASURED bound, not
     Catalyst's estimate (r7 verdict #3, falsified at the 160x stress
     point): on a degenerate corpus — giant near-dup cliques; the
