@@ -32,88 +32,80 @@ from nerd_spark.queries import streamingq  # noqa: E402,F401
 
 # The inventory exceeds the driver's 50-entry correctness window, so
 # the window front is hand-prioritized each round.
-# Round-13 rotation (implements the r12 verdict's binding schedule):
-# 1. the 38 r10-latest rows at the staleness bound MUST head the
-#    window (computed from the CORRECTNESS_r01-r12 union; the r12
-#    verdict's prose list overcounted by two -- a1_daily_rollup and
-#    sessionize_stats are r11-latest);
-# 2. queries ADDED this round, registered INSIDE the window:
-#    cohort_retention_served + hh_users_served + a1_daily_served +
-#    a2_window_served + op_merge_served + w1_topk_served (the
-#    serve-tier certification recipe extended to EVERY remaining fold
-#    algebra — cohort, keycount, daily, window, merged-snapshot,
-#    top-k — so all eight ingest-fold algebras are now under the
-#    driver's hash gate, r12 verdict #2 completed beyond its ask) and
-#    hh_users_min_count + hh_by_type_min_count (the scale-stable
-#    absolute-count heavy-key bindings, r12 verdict #5);
-# 3. queries whose DRIVER-EXERCISED code paths changed this round
-#    (the driver runs on raw sf0.01 dirs, so only raw paths and
-#    in-body folds count): funnel_stages_served + quantile_values_served
-#    (the staged-commit protocol gained the atomic manifest write and
-#    the unparseable-manifest discard; quantile_values_served also
-#    rides the new window-free quantiles_from_counts shape),
-#    top_frequent_users (bounded rank now via sort_array+posexplode
-#    instead of the unpartitioned window). The IVF centroid renumber
-#    (same shape) is covered by ann_ivf_topk/_indexed inside the
-#    r10-38 block;
-# 4. fill to 50 with the oldest (r11-latest) remaining rows.
-# After r13: no row older than r11 except the r11 remainder, which
-# completes in r14 (the staleness obligation the r12 verdict set).
+# Round-14 rotation (implements the r13 verdict's binding #1b/#3):
+# 1. every query whose operator code changed in r13/r14 heads the
+#    window AHEAD of the rotation fill (r13 verdict binding #3):
+#    the r13-touched set the verdict names (dedup_containment,
+#    dedup_incremental, dedup_minhash_lsh, corpus_curation_v4) plus
+#    the r14-touched riders — span_dedup's boilerplate-fingerprint
+#    build side (text_span_dedup, corpus_curation_v3), the
+#    upper-bound verify prune in _pair_scores_rare
+#    (dedup_ngram_jaccard, dedup_containment, corpus_curation_v4's
+#    containment stage), the cluster-edge probe batching
+#    (dedup_clusters_scalable), and the IVF collected-probe fold
+#    (ann_ivf_indexed);
+# 2. the scheduled rotation remainder: sessionize_stats and the rest
+#    of the r11-latest rows (38 rows — the staleness obligation the
+#    r12 verdict set, completing here);
+# 3. fill to 50 with the three r12-latest rows nearest the touched
+#    paths (corpus_curation, corpus_curation_v2, dedup_best_of_cluster
+#    ride the same minhash/components/curation code family).
+# After r14: no row older than r11; the r12 remainder (45 rows) is
+# the next staleness block.
 _WINDOW_PRIORITY = [
-    # 1 -- r10-latest (staleness bound; binding, r12 verdict #1)
-    "a7_total_multi",
-    "ann_cosine_topk",
-    "ann_ivf_indexed",
-    "ann_ivf_topk",
-    "ann_lsh_bucket_topk",
-    "contamination_check",
-    "dedup_clusters",
-    "dedup_clusters_scalable",
-    "dedup_embedding_cosine",
+    # 1 -- operator code changed in r13/r14 (binding, r13 verdict #3)
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "corpus_curation_v4",
+    "corpus_curation_v3",
+    "text_span_dedup",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "emb_centroids",
-    "fmp_training_frame",
-    "hh_terms",
-    "ip_records",
-    "j4_range_join_bucketed",
-    "leakage_safe_split",
-    "lm_unigram_logprob",
-    "mixture_sample",
-    "p11_threat_categorization",
-    "p12_dnsbl_membership",
-    "p13_geo_enrichment",
-    "p14_ptr_hostname",
-    "quality_model_filter",
-    "read_path_search",
-    "read_path_typed",
-    "s4_misp_upserts",
-    "s8_event_fetch",
-    "sequence_packing",
-    "set_ops_union",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality",
-    "text_repetition",
-    "tfidf_top_terms",
-    "train_val_split",
-    "w6_rank_lag",
-    # 2 -- NEW this round (r12 verdict #2 completed, and #5)
-    "cohort_retention_served",
-    "hh_users_served",
-    "a1_daily_served",
-    "a2_window_served",
-    "op_merge_served",
-    "w1_topk_served",
-    "hh_users_min_count",
-    "hh_by_type_min_count",
-    # 3 -- driver-exercised code path changed this round (r13)
-    "funnel_stages_served",
-    "quantile_values_served",
-    "top_frequent_users",
-    # 4 -- oldest (r11-latest) fill to 50
-    "a1_daily_rollup",
+    "dedup_clusters_scalable",
+    "ann_ivf_indexed",
+    # 2 -- the r11-latest remainder (staleness bound)
+    "a2_window_totals",
+    "a2_window_totals_approx",
+    "a6_rep_blacklists",
+    "a6_rep_dshield",
+    "ann_ivf_trained",
+    "ann_ivfpq_indexed",
+    "ann_pq_topk",
+    "cohort_retention",
+    "dedup_simhash_pairs",
+    "fmp_score",
+    "fmp_score_gbt",
+    "hh_by_event_type",
+    "hh_event_users",
+    "j2_enrichment_chain",
+    "j4_range_join",
+    "j6_bulk_lookup",
+    "j8_group_stats_join_back",
+    "mixture_temperature_free",
+    "op_array_upsert_rebuild",
+    "p10_validity_filter",
+    "p15_as_class",
+    "p16_reserved_ip",
+    "p17_asn_rank",
+    "p18_bgp_rank",
+    "p19_shodan",
+    "p1_projection",
+    "p2_range_predicate",
+    "p5_multi_value_and_or",
+    "p6_elem_match",
+    "p8_semijoin",
+    "q1_pricing_summary",
+    "sessionize_stats",
+    "streaming_cohort",
+    "streaming_daily_counts",
+    "streaming_funnel",
+    "text_token_stats",
+    "w4_last_n_per_key",
+    "weighted_sample_topk",
+    # 3 -- r12-latest fill nearest the touched code family
+    "corpus_curation",
+    "corpus_curation_v2",
+    "dedup_best_of_cluster",
 ]
 
 

@@ -57,6 +57,7 @@ def ev(spark):
     )
 
 
+@pytest.mark.slow
 def test_tie_unpersist_releases_on_gc(spark):
     base = _storage_count(spark)
     pinned = spark.range(1000).select((F.col("id") % 7).alias("k")).persist()

@@ -8,6 +8,7 @@ _SUCCESS) must be invisible until committed, and a base-epoch
 compaction must not move the served answer."""
 
 from __future__ import annotations
+import pytest
 
 import os
 import shutil
@@ -31,6 +32,7 @@ def _serve(spark, state):
     }
 
 
+@pytest.mark.slow
 def test_streamed_cohort_equals_batch_replay_torn_and_compaction(
     spark, sf_dir
 ):

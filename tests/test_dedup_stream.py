@@ -8,6 +8,7 @@ found exactly when its second member arrives, none twice."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import tempfile
 
@@ -18,6 +19,7 @@ from nerd_spark.session import read_table
 from nerd_spark.streaming.dedup_stream import stream_dedup
 
 
+@pytest.mark.slow
 def test_streamed_pairs_equal_batch_dedup(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -56,6 +58,7 @@ def test_streamed_pairs_equal_batch_dedup(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_replayed_epoch_is_idempotent(spark, sf_dir):
     # foreachBatch is at-least-once: re-running an epoch (crash after a
     # partial/total index absorption) must not double-absorb the batch

@@ -5,6 +5,7 @@ miss semantics — are pinned here."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nerd_spark.plans.enrich import (
@@ -474,6 +475,7 @@ def test_api_enrich_fetchers_over_loopback_http():
         srv.shutdown()
 
 
+@pytest.mark.slow
 def test_shodan_and_pdns_ops_merge_roundtrip(spark):
     """The wire-format emitters feed operators/merge.py and land the
     reference's record shapes: set shodan.{ports,tags,cpes} builds the

@@ -83,6 +83,7 @@ def test_asn_semijoin(graph):
     assert got2 == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_delete_cascade_converges_to_rebuild(spark):
     """Property (VERDICT r2 #7): after a random sequence of IP record
     deletions, the incremental cascade's counts, pointer arrays and

@@ -14,6 +14,7 @@ from nerd_spark.session import read_table
 from nerd_spark.streaming import hh_stream, quantile_stream
 from nerd_spark.streaming.epochs import compact_epochs
 from nerd_spark.streaming.hh_stream import _epochs
+import pytest
 
 
 def _hh_serve(spark, state):
@@ -164,6 +165,7 @@ def test_crash_mid_delete_base_still_present(spark, sf_dir):
     assert _hh_serve(spark, state) == want
 
 
+@pytest.mark.slow
 def test_soak_stream_with_auto_compaction_and_crash(spark, sf_dir):
     """Multi-batch soak (the test_soak_multiday pattern, r9 verdict
     #6): 8 micro-batches drain through stream_heavy_hitters with
@@ -237,6 +239,7 @@ def test_soak_stream_with_auto_compaction_and_crash(spark, sf_dir):
     ), "crashed aside never converged"
 
 
+@pytest.mark.slow
 def test_dedup_index_auto_compaction(spark, sf_dir):
     """dedup_stream with compact_after: the band/shingle index epochs
     fold (row-set re-layout) mid-stream; cumulative pairs still equal

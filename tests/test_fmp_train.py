@@ -38,6 +38,7 @@ def frames(spark):
     ev_frame.unpersist()
 
 
+@pytest.mark.slow
 def test_train_score_roundtrip_beats_stub(frames):
     train, ev_frame = frames
     model = fit_logistic(train, n_iter=20, lr=3.0)
@@ -53,6 +54,7 @@ def test_train_score_roundtrip_beats_stub(frames):
     assert a_trained > a_stub + 0.05, "trained model does not beat stub"
 
 
+@pytest.mark.slow
 def test_fit_is_deterministic(frames):
     train, _ = frames
     m1 = fit_logistic(train, n_iter=5, lr=1.0)
@@ -61,6 +63,7 @@ def test_fit_is_deterministic(frames):
     assert (m1.weights == m2.weights).all()
 
 
+@pytest.mark.slow
 def test_gbt_train_score_roundtrip(frames):
     """Spark-native GBT (pyspark.ml) through the same FEATURE_SPEC:
     the model-family parity with the reference's XGBoost scorer.

@@ -11,6 +11,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from nerd_spark.operators.funnels import cohort_retention, funnel
+import pytest
 
 _STAGES = ["view", "click", "purchase"]
 _TYPES = _STAGES + ["other"]
@@ -116,6 +117,7 @@ def _ref_cohort(rows, period_days=7, n_periods=4):
 
 @given(_DAY_EVENTS)
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_cohort_matches_bruteforce(spark, rows):
     df = spark.createDataFrame(
         [(u, f"2024-01-01", d, et) for (u, d, et) in rows]
@@ -144,6 +146,7 @@ def test_cohort_matches_bruteforce(spark, rows):
 
 @given(_EVENTS, st.integers(min_value=1, max_value=3))
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_funnel_state_fold_equals_one_shot(spark, rows, mod):
     """The serve-table fold algebra (tests the r11 ingest-maintained
     state): split an arbitrary event set into batches by any rule,
@@ -181,6 +184,7 @@ def test_funnel_state_fold_equals_one_shot(spark, rows, mod):
 
 @given(_EVENTS, st.integers(min_value=1, max_value=3))
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_cohort_state_fold_equals_one_shot(spark, rows, mod):
     from nerd_spark.operators.funnels import (
         cohort_state_to_per_user,

@@ -14,6 +14,7 @@ Pins the contracts the module docstring's freeze argument rests on:
 """
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -112,6 +113,7 @@ def _many_batches(spark, d, n=8, lateness_days=7):
     return out
 
 
+@pytest.mark.slow
 def test_compaction_preserves_serve_and_prunes(spark, tmp_path):
     d = str(tmp_path / "state")
     all_events = _many_batches(spark, d)
@@ -144,6 +146,7 @@ def test_compaction_preserves_serve_and_prunes(spark, tmp_path):
     assert _serve(spark, d) == expect
 
 
+@pytest.mark.slow
 def test_torn_compaction_aside_never_serves(spark, tmp_path):
     d = str(tmp_path / "state")
     _many_batches(spark, d, n=4)

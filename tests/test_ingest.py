@@ -297,6 +297,7 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     assert len(batch_sizes) >= 3
 
 
+@pytest.mark.slow
 def test_ip_record_locality_and_incremental_refresh(spark, tmp_path):
     """Per-entity locality: a record's derived fields depend only on
     that entity's events, so refresh_ip_records (rebuild changed keys,

@@ -6,6 +6,7 @@ executed end to end."""
 
 from __future__ import annotations
 
+import pytest
 import tempfile
 
 from pyspark.sql import functions as F
@@ -14,6 +15,7 @@ from nerd_spark.operators import similarity as SIM
 from nerd_spark.session import read_table
 
 
+@pytest.mark.slow
 def test_trained_index_probe_equals_in_memory(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     cents = SIM.kmeans_centroids(emb, n_lists=16, n_iter=5)

@@ -8,6 +8,7 @@ to raw.
 """
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -63,6 +64,7 @@ def _data_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_fold_equals_one_shot_and_serve(spark, tmp_path):
     d = _data_dir(spark, tmp_path)
     ev = spark.read.parquet(os.path.join(d, "events.parquet"))
@@ -253,6 +255,7 @@ def test_topk_fold_replay_and_relayout_idempotent(spark, tmp_path):
     ] == raw
 
 
+@pytest.mark.slow
 def test_hh_result_cache_tiers(spark, tmp_path):
     """The resolved hh/top-k answers serve first (meta-bound file
     reads); deleting their gates falls to the count-table tier with
@@ -332,6 +335,7 @@ def test_topk_state_loss_rebuilds_from_events(spark, tmp_path):
     assert [(r.event_id, r.value) for r in served.collect()] == raw
 
 
+@pytest.mark.slow
 def test_asof_anchor_loss_recomputes_from_events(spark, tmp_path):
     """Same state-loss class for the as-of anchor: after a crashed
     overwrite, re-seeding from an out-of-order batch alone would

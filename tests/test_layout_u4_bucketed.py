@@ -31,6 +31,7 @@ def layout_dir(spark, sf_dir):
     spark.sql(f"DROP TABLE IF EXISTS {ct}")
 
 
+@pytest.mark.slow
 def test_u4_columns_materialized_and_bit_equal(spark, sf_dir, layout_dir):
     """The stored longs equal the on-the-fly _unscaled of the raw
     doubles row-for-row (serve parity is derivable either way)."""

@@ -5,6 +5,7 @@ applications, and the first tick's due set must equal the oracled
 
 from __future__ import annotations
 
+import pytest
 import os
 import time
 
@@ -22,6 +23,7 @@ def _rows(df, cols):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
+@pytest.mark.slow
 def test_nru_two_ticks_stream_equals_batch(spark, sf_dir, tmp_path):
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")

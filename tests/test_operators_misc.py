@@ -3,6 +3,7 @@ export sinks."""
 
 from __future__ import annotations
 
+import pytest
 import glob
 import os
 
@@ -176,6 +177,7 @@ def test_multimodal_real_pixel_decode(spark):
         MM.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
+@pytest.mark.slow
 def test_optimize_layout_roundtrip(spark, sf_dir, tmp_path):
     """Layout rewrite preserves contents exactly (incl. the events
     nanos-ts shim). File count is bytes-derived (r9: file SIZE is the
@@ -547,6 +549,7 @@ def test_simhash_banding_recall_is_total(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_changelog_seq_is_run_stable(spark):
     """seq derives from data, not partition index (ADVICE r02):
     reshuffling the input must not change the merged record."""

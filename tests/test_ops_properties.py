@@ -4,6 +4,7 @@ path relies on (pure Python fold — no Spark session needed)."""
 
 from __future__ import annotations
 
+import pytest
 import random
 
 from hypothesis import given, settings
@@ -220,6 +221,7 @@ def _ref_partial_reputation(day_data, p):
     st.floats(min_value=0.5, max_value=50),
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_partial_reputation_matches_reference_loop(
     spark, day_data, decay, detectors, scale
 ):

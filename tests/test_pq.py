@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from nerd_spark.operators import pq as PQ
 from nerd_spark.operators import similarity as SIM
 from nerd_spark.session import read_table
+import pytest
 
 
 def test_rerank_full_equals_brute_force(spark, sf_dir):
@@ -107,6 +108,7 @@ def test_ivfpq_candidate_scan_reads_codes_not_vectors(spark, sf_dir):
     assert rr and all("codes" not in s for s in rr), idx_scans
 
 
+@pytest.mark.slow
 def test_ivfpq_append_equals_full_build(spark, sf_dir):
     """Frozen-quantizer append: building on half the corpus and
     appending the other half yields bit-identical probe results to
@@ -182,6 +184,7 @@ def _mk_index(spark, emb, base, frac=None):
     return books, cents
 
 
+@pytest.mark.slow
 def test_ivfpq_delete_compact_bit_equal_rebuild(spark, sf_dir):
     """Lifecycle (r8): tombstone delete -> probe excludes the ids
     immediately; compaction -> probe bit-equal to an index REBUILT

@@ -7,6 +7,7 @@ batch boundaries (the §5.4 discipline applied to the quantile serve
 tier)."""
 
 from __future__ import annotations
+import pytest
 
 import math
 import os
@@ -62,6 +63,7 @@ def _ref_quantiles(vals, probs):
 
 @given(_EVENTS, st.integers(min_value=1, max_value=3))
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_value_hist_fold_split_invariant(spark, tmp_path_factory, rows, k):
     d, df = _mk_dir(spark, tmp_path_factory.mktemp("vh"), rows)
     # arbitrary batch split: seed with slice 0, fold the rest

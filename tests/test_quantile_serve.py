@@ -10,6 +10,7 @@ bracket path; staleness falls back to raw.
 """
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -70,6 +71,7 @@ def _data_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_fold_equals_one_shot_and_serves(spark, tmp_path):
     d = _data_dir(spark, tmp_path)
     ev = spark.read.parquet(os.path.join(d, "events.parquet"))

@@ -3,6 +3,7 @@ incremental minhash dedup."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nerd_spark.operators import dedup as DD
@@ -223,6 +224,7 @@ def test_waist_checkpoint_is_size_adaptive(spark, sf_dir):
     assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().toString()
 
 
+@pytest.mark.slow
 def test_weighted_sample_aes_properties(spark):
     """weighted_sample (Efraimidis-Spirakis A-ES): exact k without
     replacement; inclusion frequency across independent salts tracks

@@ -10,6 +10,7 @@ look special relative to a naive per-partition top-k.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nerd_spark.operators import sketches as SK
@@ -191,6 +192,7 @@ try:
         max_size=400,
     )
 
+    @pytest.mark.slow
     @given(keys=_HH_KEYS, frac=st.sampled_from([0.05, 0.2, 0.5]), parts=st.integers(1, 6))
     @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
     def test_hh_property(spark, keys, frac, parts):

@@ -47,6 +47,7 @@ def _drain(spark, schema, src, state, ckpt):
     assert not q.isActive
 
 
+@pytest.mark.slow
 def test_three_day_soak_with_midday_restart(spark, sf_dir, tmp_path):
     ev = read_table(spark, sf_dir, "events").localCheckpoint()
     dates = [

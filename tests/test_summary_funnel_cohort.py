@@ -15,6 +15,7 @@ paths:
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -166,6 +167,7 @@ def _data_dir(spark, tmp_path):
     return d
 
 
+@pytest.mark.slow
 def test_incremental_maintenance_and_serve(spark, tmp_path):
     d = _data_dir(spark, tmp_path)
     ev = spark.read.parquet(os.path.join(d, "events.parquet"))

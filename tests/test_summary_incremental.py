@@ -3,6 +3,7 @@ batch's date partitions rewritten."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import tempfile
 
@@ -113,6 +114,7 @@ def test_untouched_partitions_not_rewritten(spark, sf_dir):
         )
 
 
+@pytest.mark.slow
 def test_pool_crash_replay_converges(spark, sf_dir, tmp_path, monkeypatch):
     """r11 verdict #7: kill the concurrent fold pool mid-batch (five
     folds committed, cohort torn) and re-run the batch with the same
@@ -325,6 +327,7 @@ def test_unfinished_staging_write_discarded(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_staged_commit_tear_sweep(spark, tmp_path, monkeypatch):
     """Exhaustive tear sweep over the staged fold commit: crash the
     daily fold at EVERY mutating-FS-op boundary (manifest write, gate
@@ -417,6 +420,7 @@ def test_staged_commit_tear_sweep(spark, tmp_path, monkeypatch):
         assert _rows(spark.read.parquet(d)) == expected, f"tear at op {k}"
 
 
+@pytest.mark.slow
 def test_staged_commit_tear_sweep_keycount(spark, tmp_path, monkeypatch):
     """Same exhaustive tear sweep over the keycount fold — the
     wb-bucketed shape with DEPENDENT projections (entity totals,
@@ -548,6 +552,7 @@ def test_staged_commit_tear_sweep_keycount(spark, tmp_path, monkeypatch):
         assert rows(hh_event_users(spark, d)) == raw_hh, f"hh serve, op {k}"
 
 
+@pytest.mark.slow
 def test_staged_commit_tear_sweep_funnel(spark, tmp_path, monkeypatch):
     """Third commit shape under the exhaustive tear sweep: the funnel
     fold writes its stage-binding meta sidecar between the partition
@@ -650,6 +655,7 @@ def test_staged_commit_tear_sweep_funnel(spark, tmp_path, monkeypatch):
         assert rows(funnel_stages(spark, d)) == expected, f"tear at op {k}"
 
 
+@pytest.mark.slow
 def test_serve_table_status_lifecycle(spark, sf_dir, tmp_path):
     """serve_table_status reports the states an operator acts on:
     absent -> committed+fresh after a fold, stale after an events
@@ -690,6 +696,7 @@ def test_serve_table_status_lifecycle(spark, sf_dir, tmp_path):
     assert daily["present"] and not daily["gated"] and daily["staging"]
 
 
+@pytest.mark.slow
 def test_fold_binding_guards(spark, sf_dir, tmp_path):
     """Every fold stamps its parameter binding (entity / type-and-
     value columns / k) into the state's meta sidecar and refuses to

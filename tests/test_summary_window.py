@@ -4,6 +4,7 @@ serve path must equal the raw-scan fallback."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import tempfile
 
@@ -54,6 +55,7 @@ def _win_meta_asof(spark, wpath):
     return spark.read.parquet(_window_meta_path(wpath)).first()[0]
 
 
+@pytest.mark.slow
 def test_incremental_window_equals_full_rebuild(spark, sf_dir):
     """Three batches — the middle split INSIDE one day so both the
     same-day additive merge and the day-roll recompute paths run —
@@ -85,6 +87,7 @@ def test_incremental_window_equals_full_rebuild(spark, sf_dir):
     assert _win_meta_asof(spark, wpath) == days[-1]
 
 
+@pytest.mark.slow
 def test_a_family_serve_paths_equal_fallback(spark, sf_dir):
     """a2/a3/a6/a7 over a layout-optimized dir (precomputed window
     table) return exactly the raw-dir recompute, with zero Aggregate
@@ -116,6 +119,7 @@ def test_a_family_serve_paths_equal_fallback(spark, sf_dir):
         assert rows(served) == rows(fallback) and served.count() > 0, q
 
 
+@pytest.mark.slow
 def test_window_total_survives_retention_of_old_partitions(spark, sf_dir):
     """The all-history `total` is maintained additively, so pruning
     ancient daily partitions (retention) does not corrupt it: only
@@ -156,6 +160,7 @@ def test_window_total_survives_retention_of_old_partitions(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_streamed_summaries_serve_a_family(spark, sf_dir, tmp_path):
     """Three streamed micro-batches through stream_all_summaries keep
     the full derived-state set current: afterwards a2/a3/a6/a7 served
@@ -200,6 +205,7 @@ def test_streamed_summaries_serve_a_family(spark, sf_dir, tmp_path):
         assert rows(served) == rows(REGISTRY[name](spark, sf_dir)), name
 
 
+@pytest.mark.slow
 def test_window_maintenance_random_batchings(spark, sf_dir):
     """Property: ANY partition of the events into ordered batches —
     time-ordered, reversed, round-robin (cells split across batches),
@@ -245,6 +251,7 @@ def test_window_maintenance_random_batchings(spark, sf_dir):
         assert got == want, f"batching mode {mode} diverged from rebuild"
 
 
+@pytest.mark.slow
 def test_summary_stream_replay_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: a REPLAYED epoch must not
     double-merge (the summary merges are not idempotent). The epoch
@@ -278,6 +285,7 @@ def test_summary_stream_replay_idempotent(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stale_window_table_falls_back(spark, sf_dir, tmp_path):
     """Events changing AFTER the window table was built must route
     a2/a3/a6/a7 to the raw recompute — serving stale precomputed state
@@ -307,6 +315,7 @@ def test_stale_window_table_falls_back(spark, sf_dir, tmp_path):
         assert "Aggregate" in plan, f"{q} served stale precomputed state"
 
 
+@pytest.mark.slow
 def test_same_day_merge_rewrites_only_touched_buckets(spark, sf_dir):
     """The window table is hash-bucketed by entity; a same-day batch
     touching one entity must rewrite ONLY that entity's bucket dir —
@@ -374,6 +383,7 @@ def test_same_day_merge_rewrites_only_touched_buckets(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_day_roll_skips_long_idle_buckets(spark):
     """A day-roll only rewrites buckets holding entities active inside
     the trailing window of either anchor: a bucket whose entities all
@@ -450,6 +460,7 @@ def test_day_roll_skips_long_idle_buckets(spark):
     assert _win_meta_asof(spark, wpath) == (base + _dt.timedelta(days=41)).date()
 
 
+@pytest.mark.slow
 def test_null_category_corpus_serves_equal_raw(spark, tmp_path):
     """Null event_type is a legal rollup group on every raw path, but
     an illegal map key in the fold state (cat_counts30, cohort
@@ -497,6 +508,7 @@ def test_null_category_corpus_serves_equal_raw(spark, tmp_path):
         assert rows(q(spark, d)) == rows(q(spark, raw)), q.__name__
 
 
+@pytest.mark.slow
 def test_staged_commit_tear_sweep_window_dayroll(spark, tmp_path, monkeypatch):
     """Tear sweep over the window summary's DAY-ROLL commit — the one
     full-table rewrite shape (full=True: stale buckets deleted, all
