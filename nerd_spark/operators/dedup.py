@@ -395,6 +395,72 @@ def _rare_shingle_candidates(docs, id_col, text_col, k, max_df, sarr=None):
     return sarr, rare, cand, aset
 
 
+def _encode_hot_longs(aset: DataFrame) -> DataFrame:
+    """(id, n, hot: array<string>) -> CACHED (id, n, hot: array<bigint>)
+    with hot strings bijectively mapped to dense longs — the r14
+    session-2 pre-shuffle encode for pair-sized MERGE-join verifies
+    (guide §2.3 narrower types / §8 lightweight proxy).
+
+    Why: when the measured pair count exceeds the broadcast bound,
+    the verify degrades to sort-merge joins that ship a hot array per
+    pair side AND intersect string arrays per pair. Stage profile at
+    the 16x replica (audits/stage_profile_r14.py): the containment
+    verify's final stage read 2.83 GB of ~600 B string arrays and
+    burned 3,245 CPU-s in 15M string array_intersects; the jaccard
+    pass-2 equivalent read 1.82 GB / 534 CPU-s. Encoding each
+    distinct hot shingle as a long cuts the per-element payload
+    ~600->~170 B and replaces per-pair string hashing with long
+    compares. Doc-count-sized work (explode + one tiny window + one
+    groupBy) buys pair-count-sized savings.
+
+    Exactness: the map s -> hid is injective — hid = bucket << 40 |
+    row_number within bucket, buckets disjoint by construction and
+    row_number unique within its bucket (rn < 2^40 needs > 10^12 hot
+    shingles per bucket to overflow) — so per-doc encoded sets have
+    the same cardinality and pairwise |enc_a INTERSECT enc_b| =
+    |hot_a INTERSECT hot_b|. No hash-collision caveat: xxhash64 only
+    picks the bucket; identity comes from the exact per-bucket rank.
+    The bucketed window avoids a single-partition global sort: the
+    hot vocabulary is bounded by shingle_rows/max_df but can still be
+    large at scale, and 4096 buckets keep each rank partition small.
+
+    Deterministic across recomputation (unlike
+    monotonically_increasing_id), so a cache-evicted partition
+    re-derives the SAME ids — cross-partition consistency of the
+    encoding never depends on cache residency. Callers must tie the
+    returned cache to their result."""
+    from pyspark.sql import Window
+
+    hv = (
+        aset.select(F.explode("hot").alias("s"))
+        .distinct()
+        .select("s", F.pmod(F.xxhash64("s"), F.lit(4096)).alias("bk"))
+        .select(
+            "s",
+            (
+                F.shiftleft(F.col("bk"), 40)
+                + F.row_number().over(Window.partitionBy("bk").orderBy("s"))
+            ).cast("long").alias("hid"),
+        )
+    )
+    ids = (
+        aset.select("id", F.explode("hot").alias("s"))
+        .join(hv, "s")
+        .groupBy("id")
+        .agg(F.collect_list("hid").alias("hl"))
+    )
+    return (
+        aset.select("id", "n")
+        .join(ids, "id", "left")
+        .select(
+            "id",
+            "n",
+            F.coalesce("hl", F.array().cast("array<bigint>")).alias("hot"),
+        )
+        .cache()
+    )
+
+
 def _pair_scores_rare(
     cand: DataFrame,
     aset: DataFrame,
@@ -432,14 +498,20 @@ def _pair_scores_rare(
     arrays per side) → survivors only. Callers that filter the
     returned frame at these thresholds get identical output; passing
     no threshold keeps every pair (the pre-r14 contract)."""
-    a = aset.select(
-        F.col("id").alias("a_id"), F.col("n").alias("na"),
-        F.col("hot").alias("ha"),
-    )
-    b = aset.select(
-        F.col("id").alias("b_id"), F.col("n").alias("nb"),
-        F.col("hot").alias("hb"),
-    )
+    def _ab(src: DataFrame):
+        # src is aset or its long-encoded twin (_encode_hot_longs):
+        # every downstream expression (size, array_intersect) is
+        # element-type-agnostic and the encode preserves set algebra
+        a = src.select(
+            F.col("id").alias("a_id"), F.col("n").alias("na"),
+            F.col("hot").alias("ha"),
+        )
+        b = src.select(
+            F.col("id").alias("b_id"), F.col("n").alias("nb"),
+            F.col("hot").alias("hb"),
+        )
+        return a, b
+
     cand = cand.persist()  # probe + verify join; tied below
     over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
     prune = j_min is not None or c_min is not None
@@ -512,10 +584,33 @@ def _pair_scores_rare(
         over2 = (
             surv.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
         )
-        probe = surv.hint("merge") if over2 else F.broadcast(surv)
-        scored = probe.join(a, "a_id").join(b, "b_id").select(*exact)
+        if over2:
+            # survivors still exceed the bound: the verify is a
+            # pair-sized merge join shipping a hot array per side —
+            # encode to longs first (see _encode_hot_longs)
+            enc = _encode_hot_longs(aset)
+            a, b = _ab(enc)
+            scored = (
+                surv.hint("merge").join(a, "a_id").join(b, "b_id")
+                .select(*exact)
+            )
+            return scored, [cand, surv, enc, aset]
+        a, b = _ab(aset)
+        scored = (
+            F.broadcast(surv).join(a, "a_id").join(b, "b_id").select(*exact)
+        )
         return scored, [cand, surv, aset]
-    probe = cand.hint("merge") if over else F.broadcast(cand)
+    if over:
+        # merge-join regime (includes the hot-frac-gated containment
+        # path): arrays ride two pair-sized sorts — encode to longs
+        enc = _encode_hot_longs(aset)
+        a, b = _ab(enc)
+        probe = cand.hint("merge")
+        pins = [cand, enc, aset]
+    else:
+        a, b = _ab(aset)
+        probe = F.broadcast(cand)
+        pins = [cand, aset]
     joined = probe.join(a, "a_id").join(b, "b_id")
     if prune:
         # broadcast path: same joins, but the bound filter sits
@@ -524,7 +619,7 @@ def _pair_scores_rare(
         joined = joined.filter(
             _ub_keep(F.col("rc") + F.least(F.size("ha"), F.size("hb")))
         )
-    return joined.select(*exact), [cand, aset]
+    return joined.select(*exact), pins
 
 
 def jaccard_dedup(

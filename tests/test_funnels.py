@@ -172,3 +172,77 @@ def test_containment_stage_drops_planted_subset_copy(spark):
     pairs = containment_dedup(docs, threshold=0.9, max_df=3).collect()
     assert [(r.a_id, r.b_id) for r in pairs] == [(1, 2)]
     assert pairs[0].containment == 1.0
+
+
+def test_encoded_merge_verify_matches_broadcast(spark, sf_dir):
+    """r14 session-2: over the broadcast bound the verify's
+    merge-join sides carry hot arrays bijectively encoded as longs
+    (_encode_hot_longs) instead of strings. Forcing the over paths
+    with broadcast_max_pairs=1 must reproduce the broadcast-path
+    output EXACTLY for all three callers (the encode preserves
+    per-pair intersection sizes), and the executed plan must show the
+    bucketed-rank encode feeding the pair join."""
+    from nerd_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(fn, bound, **kw):
+        orig = DD._pair_scores_rare
+
+        def forced(cand, aset, broadcast_max_pairs=2_000_000, **kws):
+            return orig(cand, aset, broadcast_max_pairs=bound, **kws)
+
+        DD._pair_scores_rare = forced
+        try:
+            df = fn(docs, **kw)
+            rows = sorted(tuple(r) for r in df.collect())
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return rows, plan
+        finally:
+            DD._pair_scores_rare = orig
+
+    for fn, kw in (
+        (DD.jaccard_dedup, {"threshold": 0.8}),
+        (DD.containment_dedup, {"threshold": 0.9}),
+        (DD.jaccard_containment_pairs, {}),
+    ):
+        fast, fast_plan = run(fn, 2_000_000, **kw)
+        slow, slow_plan = run(fn, 1, **kw)
+        assert fast == slow, fn.__name__
+        assert "xxhash64" not in fast_plan  # broadcast path: no encode
+        # merge path: pair-sized sort-merge joins whose array sides
+        # come from the CACHED encoded frame (the encode subtree
+        # itself hides behind the InMemoryTableScan)
+        assert "SortMergeJoin" in slow_plan
+        assert "InMemoryTableScan" in slow_plan
+
+
+def test_encode_hot_longs_bijection(spark):
+    """_encode_hot_longs preserves per-doc set sizes and pairwise
+    intersection sizes (the only quantities the verify consumes) and
+    emits array<bigint>."""
+    from pyspark.sql import functions as F
+
+    from nerd_spark.operators.dedup import _encode_hot_longs
+
+    aset = spark.createDataFrame(
+        [
+            (1, 5, ["aa", "bb", "cc"]),
+            (2, 4, ["bb", "cc", "dd"]),
+            (3, 2, []),
+            (4, 7, ["aa", "dd", "ee", "ff"]),
+        ],
+        "id long, n long, hot array<string>",
+    )
+    enc = _encode_hot_longs(aset)
+    assert dict(enc.dtypes)["hot"] == "array<bigint>"
+    raw = {r.id: set(r.hot) for r in aset.collect()}
+    got = {r.id: set(r.hot) for r in enc.collect()}
+    ns = {r.id: r.n for r in enc.collect()}
+    assert ns == {1: 5, 2: 4, 3: 2, 4: 7}  # n carried through
+    for i in raw:
+        assert len(got[i]) == len(raw[i])  # per-doc cardinality
+    for a in raw:
+        for b in raw:
+            assert len(got[a] & got[b]) == len(raw[a] & raw[b]), (a, b)
+    enc.unpersist()
