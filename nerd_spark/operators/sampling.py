@@ -232,8 +232,23 @@ def temperature_mixture(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
     )
+    # ONE-SUBTREE rate derivation (r14 session 2, guide §5 / §2.4):
+    # tot and swt previously lived in their own nested
+    # BroadcastExchange subtrees (cnt -> broadcast(tot) -> w ->
+    # broadcast(sw) -> rates), and each broadcast build re-executed
+    # the per-source corpus aggregation — measured at sf0.1: 10
+    # parquet scans / 28 HashAggregates / 0 ReusedExchange in one
+    # plan, ~4 corpus aggregation passes where 1 suffices at scale.
+    # Both totals are scalars over the sources-count-sized cnt frame,
+    # so they compute as unpartitioned window sums over cnt instead:
+    # the whole rates table is ONE subtree — one corpus aggregation,
+    # one broadcast build, no cache to tie. The single-partition
+    # window is safe by construction (one row per SOURCE, the same
+    # tiny-frame bound the crossJoin(broadcast) design relied on).
+    # Values are unchanged: identical expressions over identical
+    # per-source rows; only the subtree sharing differs.
     cnt = base.groupBy("source").agg(F.count("*").alias("n_src"))
-    tot = cnt.agg(F.sum("n_src").alias("n_tot"))
+    wall = Window.partitionBy()
     p = F.col("n_src") / F.col("n_tot")
     if abs(temperature - 0.5) <= 1e-12:
         wt_raw = F.round(p * p, 6)
@@ -252,14 +267,18 @@ def temperature_mixture(
             )
         ).cast("double"),
     ).otherwise(wt_raw)
-    w = cnt.crossJoin(F.broadcast(tot)).select(
+    w = cnt.select(
         "source",
         "n_src",
+        F.sum("n_src").over(wall).alias("n_tot"),
+    ).select("source", "n_src", "n_tot", wt_guarded.alias("wt"))
+    rates = w.select(
+        "source",
+        "wt",
+        F.round(F.sum("wt").over(wall), 6).alias("swt"),
         "n_tot",
-        wt_guarded.alias("wt"),
-    )
-    sw = w.agg(F.round(F.sum("wt"), 6).alias("swt"))
-    rates = w.crossJoin(F.broadcast(sw)).select(
+        "n_src",
+    ).select(
         "source",
         F.round(
             F.col("wt") / F.col("swt") * F.col("n_tot") / F.col("n_src"), 6
