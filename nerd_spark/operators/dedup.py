@@ -257,14 +257,28 @@ def _pair_jaccard(
       join of (id, shingle-set) rows, slower but it always completes.
     """
     sets = sets.select("id", "ss", F.size("ss").cast("long").alias("n"))
-    a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
-    b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
-    c = F.size(F.array_intersect("sa", "sb"))
     pins = []
     if over is None:
         cand = cand.persist()  # probe + verify join; tied to the result below
         over = cand.limit(broadcast_max_pairs + 1).count() > broadcast_max_pairs
         pins = [cand]
+    if over:
+        # merge-join regime: the verify sort-merges a full shingle
+        # array per pair side — encode strings to dense longs first
+        # (same bijection and rationale as _pair_scores_rare's
+        # over paths; see _encode_hot_longs). The encode is
+        # doc-count-sized; the avoided cost is pair-count-sized
+        # (e.g. the 160x minhash stress corpus: ~127M pairs each
+        # dragging two ~52-string arrays through two sorts plus a
+        # string-hash array_intersect per pair).
+        enc = _encode_hot_longs(
+            sets.select("id", "n", F.col("ss").alias("hot"))
+        )
+        sets = enc.select("id", F.col("hot").alias("ss"), "n")
+        pins = pins + [enc]
+    a = sets.select(F.col("id").alias("a_id"), F.col("ss").alias("sa"), F.col("n").alias("na"))
+    b = sets.select(F.col("id").alias("b_id"), F.col("ss").alias("sb"), F.col("n").alias("nb"))
+    c = F.size(F.array_intersect("sa", "sb"))
     probe = cand.hint("merge") if over else F.broadcast(cand)
     return tie_unpersist(
         probe.join(a, "a_id")
