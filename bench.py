@@ -344,6 +344,14 @@ def main() -> None:
         replica_n = int(sys.argv[sys.argv.index("--replica") + 1])
     replica_out: dict = {}
     if replica_n > 1:
+        # Outside every timed region: drop Python handles from the
+        # sf0.1 sections so their tie-based cache unpersists fire
+        # before the replica block fills the same local-mode heap —
+        # a 160x run OOM'd a broadcast build on accumulated caches
+        # while every replica query runs clean in a fresh session.
+        import gc
+
+        gc.collect()
         from bench_duckdb import duck_connect as _rep_duck_connect
         from bench_scale import replicate
         from nerd_spark.sources.layout import serve_table_status

@@ -248,7 +248,10 @@ def temperature_mixture(
     # Values are unchanged: identical expressions over identical
     # per-source rows; only the subtree sharing differs.
     cnt = base.groupBy("source").agg(F.count("*").alias("n_src"))
-    wall = Window.partitionBy()
+    # constant partition key: same single-partition execution the
+    # tiny-frame bound already accepts, without WindowExec's
+    # no-partition warning spamming every run
+    wall = Window.partitionBy(F.lit(0))
     p = F.col("n_src") / F.col("n_tot")
     if abs(temperature - 0.5) <= 1e-12:
         wt_raw = F.round(p * p, 6)
